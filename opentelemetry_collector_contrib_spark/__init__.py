@@ -1,0 +1,29 @@
+"""opentelemetry_collector_contrib_spark — a from-scratch, PySpark-native
+re-implementation of the OpenTelemetry Collector Contrib *logs pipeline*
+semantics (reference: thmshmm/opentelemetry-collector-contrib, read-only
+snapshot at /root/reference).
+
+NOT a port: the reference is a push-based Go consumer chain; this engine
+expresses the same semantics — receiver -> processors (attributes, filter,
+transform/OTTL, groupbyattrs, batch) -> routing connector -> exporters —
+as declarative DataFrame plans that Catalyst optimizes, with vectorized
+pandas/Arrow UDFs only where built-ins cannot express the semantics
+(grok extraction).
+
+Layout
+------
+- ``schema``      canonical LogRecord envelope + transcripts input schema
+- ``session``     SparkSession builder tuned for the target workload
+- ``fixtures``    deterministic synthetic transcript corpus (seeded)
+- ``functions``   OTTL converter/editor analogs as Column builders; grok
+- ``operators``   stanza/processor/connector analogs (parse, mutate,
+                  filter, group, dedup, route, aggregate, recombine, ...)
+- ``sources``     scans (parquet/json/csv/text, otlpjson)
+- ``plans``       pipeline runner, checkpoint/lineage state
+- ``streaming``   Structured Streaming variants (readStream wiring)
+- ``textops``     language-ID, quality scoring, token counts, fingerprints
+- ``similarity``  embedding ANN (brute-force cosine + LSH-bucketed)
+- ``dedup_text``  MinHash/LSH, SimHash, n-gram Jaccard near-dup
+"""
+
+__version__ = "0.1.0"

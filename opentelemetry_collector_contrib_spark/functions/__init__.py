@@ -1,0 +1,13 @@
+"""Column-builder function registry — the OTTL converter/editor analogs.
+
+Reference: pkg/ottl/ottlfuncs (registry at functions.go:10-98). Here each
+"function" is a Python callable returning a pyspark Column; the registry
+is what the mini-OTTL compiler (plans/ottl.py) binds names against.
+"""
+
+from .severity import (  # noqa: F401
+    SEVERITY_NUMBERS,
+    severity_map_rows,
+    severity_number_col,
+    severity_text_col,
+)

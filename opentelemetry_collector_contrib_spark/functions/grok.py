@@ -1,0 +1,135 @@
+"""Grok pattern engine — OTTL ``ExtractGrokPatterns`` analog.
+
+Reference: pkg/ottl/ottlfuncs/func_extract_grok_patterns.go and
+ottlfuncs/README.md:615-705 (Elastic go-grok dialect: ``%{SYNTAX:ID:TYPE}``
+with custom pattern definitions and int/long/double/float/bool type casts).
+
+Spark-first realization (SURVEY.md §2.4): the grok expression is compiled
+ONCE on the driver into a single Python regex with named groups; execution
+is ONE vectorized pandas UDF call (``Series.str.extract`` — one Arrow
+round trip, all capture groups extracted in a single pass), returning a
+struct column. Typed casts happen JVM-side afterwards via ``cast`` so the
+Python boundary carries only strings.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# subset of the Elastic grok base pattern library (public definitions)
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?(?:[0-9]+)",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "LOGLEVEL": (
+        r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"
+        r"[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|"
+        r"WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|"
+        r"CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|"
+        r"[Ee]merg(?:ency)?"
+    ),
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPORHOST": r"(?:(?:\d{1,3}\.){3}\d{1,3}|\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?)",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "QS": r'"(?:[^"\\]|\\.)*"',
+    "PATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "HEXDIGIT": r"[0-9a-fA-F]",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\].\[@-]+))?(?::(\w+))?\}")
+_TYPE_TO_SPARK = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+class GrokPattern:
+    """A compiled grok expression: Python regex + (name -> cast type)."""
+
+    def __init__(self, expr: str, custom_patterns: dict[str, str] | None = None):
+        self.expr = expr
+        self.types: dict[str, str] = {}
+        lib = dict(BASE_PATTERNS)
+        if custom_patterns:
+            # custom defs may themselves reference %{...}
+            for k, v in custom_patterns.items():
+                lib[k] = self._expand(v, lib, capture=False)
+        self.regex_str = self._expand(expr, lib, capture=True)
+        self.regex = re.compile(self.regex_str)
+        self.names = list(self.regex.groupindex.keys())
+        if not self.names:
+            raise ValueError(f"grok expr captures nothing: {expr!r}")
+
+    def _expand(self, expr: str, lib: dict[str, str], capture: bool) -> str:
+        def sub(m: re.Match) -> str:
+            syntax, ident, typ = m.group(1), m.group(2), m.group(3)
+            if syntax not in lib:
+                raise KeyError(f"unknown grok pattern %{{{syntax}}}")
+            body = lib[syntax]
+            if ident and capture:
+                name = re.sub(r"\W", "_", ident)
+                if typ:
+                    self.types[name] = _TYPE_TO_SPARK.get(typ, "string")
+                return f"(?P<{name}>{body})"
+            return f"(?:{body})"
+
+        prev = None
+        while prev != expr:  # pattern lib entries may nest
+            prev = expr
+            expr = _GROK_REF.sub(sub, expr)
+        return expr
+
+    # ---- execution ------------------------------------------------------
+    def struct_type(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(n, T.StringType(), True) for n in self.names]
+        )
+
+    def extract(self, col: Column | str) -> Column:
+        """Vectorized extraction: one pandas UDF, one regex pass, all named
+        groups at once. Returns struct<name:string,...> (null fields when
+        no match — the OTTL converter returns an empty map then; callers
+        get null-safe struct fields which is the flat-schema equivalent)."""
+        regex = self.regex  # capture for closure; compiled once per worker
+        names = self.names
+        out_type = self.struct_type()
+
+        @F.pandas_udf(out_type)
+        def _grok(s: pd.Series) -> pd.DataFrame:
+            df = s.str.extract(regex, expand=True)
+            df.columns = names
+            return df
+
+        return _grok(F.col(col) if isinstance(col, str) else col)
+
+    def apply(self, df: DataFrame, source: str, prefix: str = "") -> DataFrame:
+        """Extract + typed casts fanned out to top-level columns."""
+        tmp = "_grok"
+        df = df.withColumn(tmp, self.extract(source))
+        for n in self.names:
+            c = F.col(f"{tmp}.{n}")
+            typ = self.types.get(n)
+            if typ and typ != "string":
+                c = c.cast(typ)
+            df = df.withColumn(prefix + n, c)
+        return df.drop(tmp)

@@ -1,0 +1,89 @@
+"""Severity parsing — stanza severity enum + preset token mapping.
+
+Reference semantics:
+- enum 0..24: pkg/stanza/entry/severity.go:11-52 (DEFAULT, TRACE..TRACE4,
+  DEBUG..DEBUG4, INFO..INFO4, WARN..WARN4, ERROR..ERROR4, FATAL..FATAL4).
+- preset aliases + HTTP range mappings (2xx→INFO, 3xx→INFO, 4xx→WARN,
+  5xx→ERROR): pkg/stanza/operator/helper/severity_builder.go:17-225.
+
+Spark-first realization: the mapping is a tiny dimension, so it compiles
+to either a broadcast-join against the severity_map table or (default) a
+generated CASE WHEN chain that stays inside whole-stage codegen — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# base enum values (severity.go:11-52)
+SEVERITY_NUMBERS: dict[str, int] = {
+    "DEFAULT": 0,
+    "TRACE": 1,
+    "DEBUG": 5,
+    "INFO": 9,
+    "WARN": 13,
+    "ERROR": 17,
+    "FATAL": 21,
+}
+
+_ALIASES: dict[str, str] = {
+    # severity_builder.go presets: common aliases
+    "TRACE": "TRACE",
+    "DEBUG": "DEBUG",
+    "INFO": "INFO",
+    "INFORMATION": "INFO",
+    "NOTICE": "INFO",
+    "WARN": "WARN",
+    "WARNING": "WARN",
+    "ERROR": "ERROR",
+    "ERR": "ERROR",
+    "CRITICAL": "ERROR",
+    "FATAL": "FATAL",
+    "EMERGENCY": "FATAL",
+    "PANIC": "FATAL",
+}
+
+# HTTP status range presets (severity_builder.go:166-197: 2xx/3xx→INFO,
+# 4xx→WARN, 5xx→ERROR)
+_HTTP_RANGES: list[tuple[int, int, str]] = [
+    (200, 299, "INFO"),
+    (300, 399, "INFO"),
+    (400, 499, "WARN"),
+    (500, 599, "ERROR"),
+]
+
+
+def severity_map_rows() -> list[tuple[str, int, str]]:
+    """(token, severity_number, severity_text) rows — the mapping as a dim
+    table (for the broadcast-join variant and for the DuckDB oracle)."""
+    rows: list[tuple[str, int, str]] = []
+    for alias, canon in _ALIASES.items():
+        rows.append((alias, SEVERITY_NUMBERS[canon], canon))
+    for lo, hi, canon in _HTTP_RANGES:
+        for code in range(lo, hi + 1):
+            rows.append((str(code), SEVERITY_NUMBERS[canon], canon))
+    return rows
+
+
+def severity_text_col(token: Column) -> Column:
+    """token (raw string like 'warn', 'WARNING', '503') → canonical
+    severity_text; NULL when unmapped (caller decides DEFAULT fallback)."""
+    up = F.upper(token)
+    expr = F.lit(None).cast("string")
+    # CASE chain, generated from the same table the oracle uses
+    code = F.when(up.rlike("^[0-9]{3}$"), up.cast("int"))
+    out = expr
+    for alias, canon in _ALIASES.items():
+        out = F.when(up == alias, F.lit(canon)).otherwise(out)
+    for lo, hi, canon in _HTTP_RANGES:
+        out = F.when((code >= lo) & (code <= hi), F.lit(canon)).otherwise(out)
+    return out
+
+
+def severity_number_col(sev_text: Column) -> Column:
+    """canonical severity_text → enum number; 0 (DEFAULT) when NULL."""
+    out = F.lit(0)
+    for canon, num in SEVERITY_NUMBERS.items():
+        out = F.when(sev_text == canon, F.lit(num)).otherwise(out)
+    return out.cast("int")

@@ -1,0 +1,3 @@
+"""Operator library — stanza operators / processors / connectors re-expressed
+as ``DataFrame -> DataFrame`` stages (SURVEY.md §2). Each module docstring
+cites the reference implementation it mirrors."""

@@ -1,0 +1,66 @@
+"""Aggregation connectors — logs → metrics.
+
+Reference: connector/countconnector (connector.go:164-200, counter.go:38-128,
+config.go:35-51) and connector/sumconnector (config.go:19-36).
+
+Semantics: per metric definition {conditions (OR-joined), attribute dims
+with optional default_value}, count (or sum a source attribute over)
+LogRecords per resource × dim-combo. Spark-first: a filter + hash
+aggregate — map-side partial aggregation makes this shuffle only one
+pre-aggregated row per (group, partition), which is exactly how it must
+behave at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_dims(
+    df: DataFrame, dims: dict[str, str | None]
+) -> tuple[DataFrame, list[str]]:
+    """dims: {column: default_value}. default_value fills NULL (the
+    countconnector default_value semantics, config.go:43-48); None keeps
+    NULLs as-is."""
+    names = []
+    for col, default in dims.items():
+        if default is not None:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+        names.append(col)
+    return df, names
+
+
+def count_connector(
+    df: DataFrame,
+    dims: dict[str, str | None],
+    conditions: list[Column] | None = None,
+    metric_name: str = "log_count",
+) -> DataFrame:
+    """countconnector: OR-joined conditions gate, then count per dims."""
+    if conditions:
+        gate = conditions[0]
+        for c in conditions[1:]:
+            gate = gate | c
+        df = df.filter(F.coalesce(gate, F.lit(False)))
+    df, names = _with_dims(df, dims)
+    return df.groupBy(*names).agg(F.count(F.lit(1)).alias(metric_name))
+
+
+def sum_connector(
+    df: DataFrame,
+    source_attribute: str,
+    dims: dict[str, str | None],
+    conditions: list[Column] | None = None,
+    metric_name: str = "log_sum",
+) -> DataFrame:
+    """sumconnector: numeric sum of source_attribute per dims."""
+    if conditions:
+        gate = conditions[0]
+        for c in conditions[1:]:
+            gate = gate | c
+        df = df.filter(F.coalesce(gate, F.lit(False)))
+    df, names = _with_dims(df, dims)
+    return df.groupBy(*names).agg(
+        F.sum(F.col(source_attribute).cast("double")).alias(metric_name)
+    )

@@ -1,0 +1,42 @@
+"""logdedup processor — interval-windowed identical-record dedup.
+
+Reference: processor/logdedupprocessor (processor.go:81-143,
+counter.go:45-95, config.go:43-46): per wall-clock interval, collapse
+records identical on (resource, scope, body, attributes minus
+exclude_fields) into one record carrying attributes `log_count`,
+`first_observed_timestamp`, `last_observed_timestamp`.
+
+Deterministic re-spec (SURVEY.md §2.8 note): wall-clock ticker → EVENT-TIME
+tumbling window (`F.window(ts, interval)`), which is also what the
+streaming variant uses with a watermark. Hash aggregate; map-side partial
+aggregation keeps the shuffle at one row per (window, identity) per
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def log_dedup(
+    df: DataFrame,
+    interval: str = "10 seconds",
+    identity_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    exclude_fields: list[str] | None = None,
+) -> DataFrame:
+    ident = identity_cols or [
+        c for c in df.columns if c != ts_col and c not in (exclude_fields or [])
+    ]
+    return (
+        df.groupBy(F.window(F.col(ts_col), interval).alias("w"), *ident)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(ts_col).alias("first_observed_timestamp"),
+            F.max(ts_col).alias("last_observed_timestamp"),
+        )
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )

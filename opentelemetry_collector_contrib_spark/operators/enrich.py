@@ -1,0 +1,31 @@
+"""Enrichment operators — lookup joins against dimension tables.
+
+Reference: k8sattributes (processor/k8sattributesprocessor/processor.go:111)
+and geoip (processor/geoipprocessor/geoip_processor.go:26-98) enrich each
+record from a small metadata store. The Spark-native shape is a BROADCAST
+hash join: dims are tiny (roles/tools/severity presets), the fact side is
+the 10^12-turn table — never shuffle the fact side for an enrichment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast left join — unmatched fact rows keep NULL dim columns
+    (left semantics pinned by the fixture's dim-missing tool value)."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def enrich_transcripts(
+    df: DataFrame, dim_roles: DataFrame, dim_tools: DataFrame
+) -> DataFrame:
+    """Flagship enrich stage: role + tool dims (both broadcast)."""
+    return enrich(enrich(df, dim_roles, "role"), dim_tools, "tool")

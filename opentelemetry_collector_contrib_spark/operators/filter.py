@@ -1,0 +1,85 @@
+"""Filter operators.
+
+Reference:
+- filterprocessor (processor/filterprocessor/logs.go:67-105; config
+  config.go:85-103,185-257): drop records matching OTTL conditions, or the
+  legacy include/exclude matchers. The include/exclude composition is
+  EXACTLY `NOT(include) OR exclude` → skip (drop) — see
+  internal/filter/filterlog/filterlog.go:30-51 (include→Not, exclude→Or).
+- stanza filter transformer (transformer/filter/config.go:44-45): drop on
+  expr match, plus `drop_ratio` sampling — made deterministic here via
+  hash-ratio instead of math/rand.
+- probabilistic sampler (processor/probabilisticsamplerprocessor/
+  logsprocessor.go:124-168): FNV hash of a source attribute + seed,
+  keep if below percentage threshold. Deterministic by design — we mirror
+  with xxhash64 (documented substitution; FNV isn't built into Spark and
+  a Python reimplementation would leave codegen).
+
+All realized as `df.filter(...)` so Catalyst pushes them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_drop(df: DataFrame, drop_cond: Column) -> DataFrame:
+    """filterprocessor core: DROP rows where condition true (NULL→keep,
+    matching OTTL ignore-mode error semantics logs.go:86-99)."""
+    return df.filter(~F.coalesce(drop_cond, F.lit(False)))
+
+
+def filter_include_exclude(
+    df: DataFrame,
+    include: Column | None = None,
+    exclude: Column | None = None,
+) -> DataFrame:
+    """Legacy matcher composition (filterlog.go:30-51): a record is
+    dropped when NOT(include) OR exclude."""
+    skip = F.lit(False)
+    if include is not None:
+        skip = skip | ~F.coalesce(include, F.lit(False))
+    if exclude is not None:
+        skip = skip | F.coalesce(exclude, F.lit(False))
+    return df.filter(~skip)
+
+
+def filter_severity_min(
+    df: DataFrame,
+    min_severity: int,
+    match_undefined: bool = False,
+    sev_col: str = "severity_number",
+) -> DataFrame:
+    """filterprocessor severity_number include matcher (config.go:224-240):
+    keep rows with severity >= min; match_undefined keeps severity 0."""
+    c = F.col(sev_col)
+    keep = c >= min_severity
+    if match_undefined:
+        keep = keep | (c == 0) | c.isNull()
+    return df.filter(F.coalesce(keep, F.lit(False)))
+
+
+def drop_ratio(
+    df: DataFrame, ratio: float, key: Column, seed: int = 0
+) -> DataFrame:
+    """stanza filter drop_ratio (config.go:44-45) — deterministic variant:
+    drop row when hash(key, seed) lands in the ratio bucket. The reference
+    uses math/rand; hash-based is reproducible and distributed-safe."""
+    bucket = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(10_000))
+    return df.filter(bucket >= int(ratio * 10_000))
+
+
+def probabilistic_sample(
+    df: DataFrame,
+    percentage: float,
+    source: Column,
+    hash_seed: int = 22,
+) -> DataFrame:
+    """probabilistic sampler keep-path (logsprocessor.go:124-168):
+    keep when scaled hash of the sampling source < percentage threshold.
+    xxhash64 substitutes FNV-32a (documented deviation; distribution
+    properties equivalent for sampling)."""
+    threshold = int(percentage / 100.0 * 10_000)
+    bucket = F.pmod(F.xxhash64(source, F.lit(hash_seed)), F.lit(10_000))
+    return df.filter(bucket < threshold)

@@ -1,0 +1,168 @@
+"""Field-mutation operators.
+
+Two reference families share these semantics:
+- attributes/resource processors' ordered action list —
+  internal/coreinternal/attraction/attraction.go:106-141 (INSERT, UPDATE,
+  UPSERT, DELETE, HASH, EXTRACT, CONVERT), applied in config order
+  (Process loop attraction.go:287+);
+- stanza transformers add/copy/move/remove/retain/flatten/assign_keys/
+  unquote (pkg/stanza/operator/transformer/*).
+
+Here attributes live in a MAP<STRING,STRING> column; every action is a
+pure map expression (map_concat/map_filter/transform_*) that stays in
+whole-stage codegen. Actions compose in order exactly like the reference's
+Process loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _m(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---- attraction.go action list -------------------------------------------
+
+
+@dataclass
+class Action:
+    action: str  # insert|update|upsert|delete|hash|extract|convert
+    key: str | None = None
+    value: Column | None = None  # literal or column expr (string-typed)
+    pattern: str | None = None  # for extract
+    converted_type: str | None = None  # for convert (int|double|string)
+    groups: list[str] = field(default_factory=list)  # extract capture names
+
+
+def apply_actions(
+    df: DataFrame, actions: list[Action], attrs_col: str = "attributes"
+) -> DataFrame:
+    """Ordered action application (attraction.go Process semantics)."""
+    for a in actions:
+        m = F.col(attrs_col)
+        if a.action == "insert":
+            # only if key absent (attraction.go:111-115)
+            new = F.when(
+                m.getItem(a.key).isNull(),
+                F.map_concat(m, F.create_map(F.lit(a.key), a.value)),
+            ).otherwise(m)
+        elif a.action == "update":
+            # only if key present
+            new = F.when(
+                m.getItem(a.key).isNotNull(),
+                _map_upsert(m, a.key, a.value),
+            ).otherwise(m)
+        elif a.action == "upsert":
+            new = _map_upsert(m, a.key, a.value)
+        elif a.action == "delete":
+            new = F.map_filter(m, lambda k, v: k != F.lit(a.key))
+        elif a.action == "hash":
+            # SHA-256 overwrite of existing value (attraction.go:129-132)
+            new = F.transform_values(
+                m,
+                lambda k, v: F.when(
+                    k == F.lit(a.key), F.sha2(v, 256)
+                ).otherwise(v),
+            )
+        elif a.action == "extract":
+            # regex named captures → new attrs (attraction.go:134-137);
+            # group names supplied explicitly (Spark regexp groups are
+            # positional)
+            src = m.getItem(a.key)
+            pairs = []
+            for i, g in enumerate(a.groups, start=1):
+                pairs.append(F.lit(g))
+                pairs.append(
+                    F.nullif(F.regexp_extract(src, a.pattern, i), F.lit(""))
+                )
+            ext = F.map_filter(
+                F.create_map(*pairs), lambda k, v: v.isNotNull()
+            )
+            new = F.map_concat(
+                F.map_filter(
+                    m, lambda k, v: ~F.array_contains(
+                        F.array(*[F.lit(g) for g in a.groups]), k
+                    )
+                ),
+                ext,
+            )
+        elif a.action == "convert":
+            # values stay strings in the map; convert normalizes the
+            # string rendering (e.g. "01" -> "1" for int)
+            t = a.converted_type
+            new = F.transform_values(
+                m,
+                lambda k, v: F.when(
+                    k == F.lit(a.key), F.try_cast(v, t).cast("string")
+                ).otherwise(v),
+            )
+        else:
+            raise ValueError(f"unknown action {a.action!r}")
+        df = df.withColumn(attrs_col, new)
+    return df
+
+
+def _map_upsert(m: Column, key: str, value: Column) -> Column:
+    """map_concat raises on duplicate keys (spark.sql.mapKeyDedupPolicy) —
+    delete-then-concat is the portable upsert."""
+    cleaned = F.map_filter(m, lambda k, v: k != F.lit(key))
+    return F.map_concat(cleaned, F.create_map(F.lit(key), value))
+
+
+# ---- stanza transformers --------------------------------------------------
+
+
+def add(df: DataFrame, field_name: str, value: Column) -> DataFrame:
+    """transformer/add/config.go:38-39."""
+    return df.withColumn(field_name, value)
+
+
+def copy_field(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """transformer/copy/config.go:37-38."""
+    return df.withColumn(dst, F.col(src))
+
+
+def move(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """transformer/move/config.go:37-38."""
+    return df.withColumn(dst, F.col(src)).drop(src)
+
+
+def remove(df: DataFrame, field_name: str) -> DataFrame:
+    """transformer/remove/config.go:38."""
+    return df.drop(field_name)
+
+
+def retain(df: DataFrame, fields: list[str]) -> DataFrame:
+    """transformer/retain/config.go:38 — keep only listed fields."""
+    return df.select(*fields)
+
+
+def flatten_struct(df: DataFrame, struct_col: str) -> DataFrame:
+    """transformer/flatten/config.go:37 — promote struct fields one level."""
+    names = df.schema[struct_col].dataType.names
+    cols = [c for c in df.columns if c != struct_col]
+    return df.select(
+        *cols, *[F.col(f"{struct_col}.{n}").alias(n) for n in names]
+    )
+
+
+def assign_keys(df: DataFrame, src: str, keys: list[str], to: str) -> DataFrame:
+    """transformer/assignkeys/config.go:46-47 — zip list values with keys."""
+    return df.withColumn(
+        to, F.map_from_arrays(F.array(*[F.lit(k) for k in keys]), F.col(src))
+    )
+
+
+def unquote(df: DataFrame, field_name: str) -> DataFrame:
+    """transformer/unquote/config.go:35 — strip surrounding quotes."""
+    c = F.col(field_name)
+    stripped = F.when(
+        c.rlike('^".*"$') | c.rlike("^'.*'$"),
+        F.expr(f"substring({field_name}, 2, length({field_name}) - 2)"),
+    ).otherwise(c)
+    return df.withColumn(field_name, stripped)

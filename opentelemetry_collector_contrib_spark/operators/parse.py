@@ -1,0 +1,251 @@
+"""Parsing operators (stanza parsers, SURVEY.md §2.2).
+
+Reference: pkg/stanza/operator/parser/{regex,json,csv,jsonarray,keyvalue};
+helper sub-parsers time.go:19-110, severity_builder.go:17-225, trace.go.
+All stanza parsers share `parse_from`/`parse_to`/`if`/`on_error`
+(helper/parser.go:85-188); here `parse_from` is just the source column and
+`on_error=send` maps to null-out-and-keep (null-safe extraction),
+`on_error=drop` to a filter on parse success.
+
+Spark-first: every parser that a built-in covers uses the built-in
+(JVM-side, codegen): from_json, from_csv, str_to_map, to_timestamp,
+regexp_extract. Only grok/named-capture regex needs the pandas-UDF path
+(functions/grok.py). The transcripts parse stage below follows the
+BASELINE.json north star: ONE vectorized pandas UDF doing all token
+extractions in a single Arrow round trip.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.severity import severity_number_col, severity_text_col
+
+# ---------------------------------------------------------------------------
+# transcripts parse stage — the tokens FIXTURES.md embeds in `text`
+# (regex_parser + severity_parser + keyvalue_parser composed, single pass)
+# ---------------------------------------------------------------------------
+
+# identical regexes are used by (1) the pandas UDF, (2) the builtin
+# regexp_extract variant, (3) the DuckDB oracle SQL — divergence-proof.
+TOKEN_PATTERNS: dict[str, str] = {
+    "sev_token": r"(?:^| )level=(\S+)",
+    "err_code": r"(?:^| )err=(E\d+)",
+    "tool_name": r"<tool:(\w+) call_id=",
+    "call_id": r"call_id=([0-9a-f]+)>",
+    "dur_ms": r"(?:^| )dur_ms=(\d+)",
+    "nbytes": r"(?:^| )bytes=(\d+)",
+}
+
+_PARSE_STRUCT = T.StructType(
+    [T.StructField(n, T.StringType(), True) for n in TOKEN_PATTERNS]
+)
+
+
+def _token_extract_udf():
+    pats = {n: re.compile(p) for n, p in TOKEN_PATTERNS.items()}
+
+    @F.pandas_udf(_PARSE_STRUCT)
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        # one Arrow batch in, all token columns out in a single pass over
+        # the batch; .str.extract is vectorized C-level regex
+        out = {}
+        for name, rx in pats.items():
+            out[name] = s.str.extract(rx, expand=False)
+        return pd.DataFrame(out)
+
+    return _extract
+
+
+def parse_transcripts(
+    df: DataFrame, use_pandas_udf: bool = True, source: str = "text"
+) -> DataFrame:
+    """parse stage: extract severity/err/tool/kv tokens from ``text`` into
+    typed columns + map severity (severity_parser semantics incl. HTTP
+    ranges). `text` itself is NEVER rewritten (bit-for-bit invariant).
+
+    use_pandas_udf=True  → north-star path: one vectorized pandas UDF.
+    use_pandas_udf=False → pure-builtin regexp_extract path (whole-stage
+    codegen; benchmarked side by side in bench.py).
+    Both produce identical results by construction (same regexes).
+    """
+    if use_pandas_udf:
+        extract = _token_extract_udf()
+        df = df.withColumn("_p", extract(F.col(source)))
+        cols = {n: F.col(f"_p.{n}") for n in TOKEN_PATTERNS}
+    else:
+        cols = {
+            n: F.nullif(F.regexp_extract(F.col(source), p, 1), F.lit(""))
+            for n, p in TOKEN_PATTERNS.items()
+        }
+
+    df = (
+        df.withColumn("sev_token", cols["sev_token"])
+        .withColumn("err_code", cols["err_code"])
+        .withColumn("tool_name", cols["tool_name"])
+        .withColumn("call_id", cols["call_id"])
+        .withColumn("dur_ms", cols["dur_ms"].cast("int"))
+        .withColumn("nbytes", cols["nbytes"].cast("long"))
+    )
+    if use_pandas_udf:
+        df = df.drop("_p")
+    df = df.withColumn("severity_text", severity_text_col(F.col("sev_token")))
+    df = df.withColumn(
+        "severity_number", severity_number_col(F.col("severity_text"))
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# generic stanza parsers
+# ---------------------------------------------------------------------------
+
+
+def regex_parser(
+    df: DataFrame,
+    source: str,
+    pattern: str,
+    on_error: str = "send",
+) -> DataFrame:
+    """stanza regex_parser (parser/regex/parser.go:16-63): named-capture
+    regex over a string field → one column per capture group.
+
+    Uses the grok engine's single-pass pandas UDF (named groups need it;
+    Spark's regexp_extract is positional). The reference's LRU memo cache
+    (regex/cache.go:24-110) is unnecessary: per-batch vectorized regex is
+    already amortized; for highly repetitive corpora compose with
+    ``dedup_before_parse``.
+    """
+    from ..functions.grok import GrokPattern
+
+    g = GrokPattern(pattern)
+    out = g.apply(df, source)
+    if on_error == "drop":
+        first = g.names[0]
+        out = out.filter(F.col(first).isNotNull())
+    return out
+
+
+def dedup_before_parse(df: DataFrame, source: str, parse_fn) -> DataFrame:
+    """Memo-cache analog (regex/cache.go): parse each DISTINCT source value
+    once, broadcast-join results back. Worth it only when distinct(source)
+    << rows (e.g. repeated log lines); the regex cache in the reference
+    exists for exactly that shape."""
+    distinct = df.select(source).distinct()
+    parsed = parse_fn(distinct)
+    return df.join(F.broadcast(parsed), on=source, how="left")
+
+
+def json_parser(
+    df: DataFrame, source: str, schema: T.DataType | str, to: str = "parsed"
+) -> DataFrame:
+    """stanza json_parser (parser/json/config.go:35) → from_json."""
+    return df.withColumn(to, F.from_json(F.col(source), schema))
+
+
+def csv_parser(
+    df: DataFrame,
+    source: str,
+    schema: str,
+    to: str = "parsed",
+    delimiter: str = ",",
+) -> DataFrame:
+    """stanza csv_parser (parser/csv/config.go:38-43) → from_csv."""
+    return df.withColumn(
+        to, F.from_csv(F.col(source), schema, {"sep": delimiter})
+    )
+
+
+def keyvalue_parser(
+    df: DataFrame,
+    source: str,
+    to: str = "parsed",
+    pair_delim: str = " ",
+    kv_delim: str = "=",
+) -> DataFrame:
+    """stanza keyvalue_parser (parser/keyvalue/config.go:38-39) →
+    str_to_map (JVM-side)."""
+    return df.withColumn(
+        to, F.str_to_map(F.col(source), F.lit(pair_delim), F.lit(kv_delim))
+    )
+
+
+def time_parser(
+    df: DataFrame,
+    source: str,
+    layout_type: str = "strptime",
+    layout: str | None = None,
+    to: str = "ts",
+) -> DataFrame:
+    """stanza time_parser (helper/time.go:19-110): strptime/epoch layouts.
+
+    strptime %-codes are translated to Spark datetime patterns; epoch
+    variants map to timestamp_seconds/millis/micros.
+    """
+    c = F.col(source)
+    if layout_type == "epoch":
+        unit = layout or "s"
+        if unit == "s":
+            out = F.timestamp_seconds(c.cast("long"))
+        elif unit == "ms":
+            out = F.timestamp_millis(c.cast("long"))
+        elif unit == "us":
+            out = F.timestamp_micros(c.cast("long"))
+        elif unit == "ns":
+            out = F.timestamp_micros((c.cast("long") / 1000).cast("long"))
+        else:
+            raise ValueError(f"epoch unit {unit!r}")
+        return df.withColumn(to, out)
+    fmt = _strptime_to_spark(layout or "%Y-%m-%d %H:%M:%S")
+    return df.withColumn(to, F.to_timestamp(c, fmt))
+
+
+_STRPTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%L": "SSS",
+    "%j": "DDD", "%p": "a", "%z": "XX", "%Z": "zz", "%b": "MMM",
+    "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+
+
+def _strptime_to_spark(layout: str) -> str:
+    out = layout
+    for k, v in _STRPTIME_MAP.items():
+        out = out.replace(k, v)
+    return out
+
+
+def trace_parser(
+    df: DataFrame, trace_col: str, span_col: str | None = None
+) -> DataFrame:
+    """stanza trace_parser (helper/trace.go): normalize hex ids."""
+    df = df.withColumn("trace_id", F.lower(F.col(trace_col)))
+    if span_col:
+        df = df.withColumn("span_id", F.lower(F.col(span_col)))
+    return df
+
+
+def uri_parser(df: DataFrame, source: str, prefix: str = "uri_") -> DataFrame:
+    """stanza uri_parser (parser/uri) → parse_url per component."""
+    c = F.col(source)
+    return (
+        df.withColumn(prefix + "scheme", F.parse_url(c, F.lit("PROTOCOL")))
+        .withColumn(prefix + "host", F.parse_url(c, F.lit("HOST")))
+        .withColumn(prefix + "path", F.parse_url(c, F.lit("PATH")))
+        .withColumn(prefix + "query", F.parse_url(c, F.lit("QUERY")))
+    )
+
+
+def severity_parser(
+    df: DataFrame, source: str, to_text: str = "severity_text",
+    to_num: str = "severity_number",
+) -> DataFrame:
+    """stanza severity_parser (helper/severity_builder.go:17-225):
+    token → enum via preset aliases + HTTP ranges; codegen CASE chain."""
+    df = df.withColumn(to_text, severity_text_col(F.col(source)))
+    return df.withColumn(to_num, severity_number_col(F.col(to_text)))

@@ -1,0 +1,65 @@
+"""recombine — multiline log stitching (sessionization).
+
+Reference: pkg/stanza/operator/transformer/recombine (config.go:50-61,
+transformer.go:97-244): group consecutive entries per source into one,
+starting a new group on `is_first_entry` (or ending on `is_last_entry`),
+concatenating `combine_field` with `combine_with`.
+
+Spark-first: the classic gaps-and-islands pattern —
+Window.partitionBy(source).orderBy(order) + running sum of the boundary
+marker gives the group id; then groupBy(source, gid) + ordered
+concat. Order comes from an explicit column (turn_idx / ts), NEVER from
+storage order (rows are stored shuffled on purpose).
+
+At scale: one shuffle for the window + the aggregation reuses the same
+(source) partitioning, so Catalyst plans a single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def recombine(
+    df: DataFrame,
+    source_id: str,
+    order_by: str,
+    combine_field: str = "text",
+    combine_with: str = "\n",
+    is_first_entry: Column | None = None,
+) -> DataFrame:
+    """Stitch runs of rows into one row per group.
+
+    is_first_entry=None → the whole source is one group (per-conversation
+    transcript reassembly, the flagship t_recombine case).
+    """
+    w = W.partitionBy(source_id).orderBy(order_by)
+    if is_first_entry is not None:
+        marker = F.coalesce(is_first_entry.cast("int"), F.lit(0))
+        df = df.withColumn("_gid", F.sum(marker).over(w))
+    else:
+        df = df.withColumn("_gid", F.lit(0))
+    # ordered concat without relying on collect_list order: sort the
+    # (order, value) structs inside the aggregate, then join
+    agg = (
+        df.groupBy(source_id, "_gid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_by), F.col(combine_field)))
+            ).alias("_parts"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min(order_by).alias("first_" + order_by),
+            F.max(order_by).alias("last_" + order_by),
+        )
+        .withColumn(
+            combine_field,
+            F.array_join(
+                F.transform(F.col("_parts"), lambda s: s[combine_field]),
+                combine_with,
+            ),
+        )
+        .drop("_parts")
+        .withColumnRenamed("_gid", "group_id")
+    )
+    return agg

@@ -1,0 +1,55 @@
+"""redaction processor.
+
+Reference: processor/redactionprocessor (config.go:11-32): allowed_keys
+(drop attrs not listed), ignored_keys, blocked_values (regexes masking
+values), plus summary attrs. Pure map expressions — codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MASK = "****"
+
+
+def redact(
+    df: DataFrame,
+    allowed_keys: list[str] | None = None,
+    ignored_keys: list[str] | None = None,
+    blocked_value_patterns: list[str] | None = None,
+    attrs_col: str = "attributes",
+    summary: bool = True,
+) -> DataFrame:
+    m = F.col(attrs_col)
+    orig_size = F.size(F.map_keys(m))
+
+    if allowed_keys is not None:
+        allow = F.array(*[F.lit(k) for k in allowed_keys])
+        ign = F.array(*[F.lit(k) for k in (ignored_keys or [])])
+        m = F.map_filter(
+            m,
+            lambda k, v: F.array_contains(allow, k) | F.array_contains(ign, k),
+        )
+
+    masked = m
+    if blocked_value_patterns:
+        ign = F.array(*[F.lit(k) for k in (ignored_keys or [])])
+
+        def _mask(k, v):
+            blocked = F.lit(False)
+            for p in blocked_value_patterns:
+                blocked = blocked | v.rlike(p)
+            return F.when(
+                blocked & ~F.array_contains(ign, k), F.lit(MASK)
+            ).otherwise(v)
+
+        masked = F.transform_values(m, _mask)
+
+    df = df.withColumn(attrs_col, masked)
+    if summary:
+        df = df.withColumn(
+            "redaction_redacted_count",
+            (orig_size - F.size(F.map_keys(F.col(attrs_col)))).cast("int"),
+        )
+    return df

@@ -1,0 +1,1 @@
+"""Plans — flagship pipeline composition, pipeline runner, checkpoints."""

@@ -1,0 +1,91 @@
+"""The flagship parse → enrich → route → aggregate DAG (SURVEY.md §7 Stage 1).
+
+Mirrors a collector logs pipeline:
+  receiver (transcripts scan)
+  → transform/parse (grok-style vectorized extraction + severity mapping)
+  → enrich (broadcast dims — k8sattributes analog)
+  → routing connector (errors / tool / slow / default; both match modes)
+  → exporters (per-sink partitioned writes)
+  + countconnector metrics rollup and groupbyattrs-style conversation
+    rollup (salted for the Zipf-hot conv_id).
+
+Every stage is a DataFrame→DataFrame function so Catalyst sees ONE plan:
+filters push into the scan, the dims broadcast, the parse UDF runs once
+per row, and the multi-sink fan-out reuses a single cached stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import count_connector, sum_connector
+from ..operators.enrich import enrich_transcripts
+from ..operators.group import conversation_rollup
+from ..operators.parse import parse_transcripts
+from ..operators.route import Route, Router
+from ..sources.readers import read_dims, read_transcripts
+
+SEV_ERROR = 17  # entry/severity.go: ERROR
+
+
+def build_router() -> Router:
+    """Route table (FIXTURES.md §5) — multi-match (match_once=False is the
+    routingconnector default semantics; rows can land in several sinks)."""
+    return Router(
+        [
+            Route("errors", F.col("severity_number") >= SEV_ERROR),
+            Route("tool_bash", F.col("tool_name") == "bash"),
+            Route("slow", F.col("dur_ms") > 4000),
+        ],
+        match_once=False,
+    )
+
+
+def parsed_enriched(
+    spark: SparkSession, fixture_dir: str, use_pandas_udf: bool = True
+) -> DataFrame:
+    df = read_transcripts(spark, fixture_dir)
+    df = parse_transcripts(df, use_pandas_udf=use_pandas_udf)
+    roles, tools = read_dims(spark, fixture_dir)
+    return enrich_transcripts(df, roles, tools)
+
+
+def run_flagship(
+    spark: SparkSession,
+    fixture_dir: str,
+    use_pandas_udf: bool = True,
+    salted: bool = True,
+) -> dict[str, DataFrame]:
+    """Full DAG; returns every stage output (unmaterialized plans)."""
+    enriched = parsed_enriched(spark, fixture_dir, use_pandas_udf)
+    router = build_router()
+    sinks = router.split(enriched)
+
+    # countconnector: per-sink × severity × tool × role counts
+    tagged = router.tags_multi(enriched).withColumn(
+        "sink", F.explode("routes")
+    )
+    metrics = count_connector(
+        tagged,
+        dims={
+            "sink": None,
+            "severity_text": "DEFAULT",
+            "tool": "<none>",
+            "role": "<none>",
+        },
+    )
+    durations = sum_connector(
+        tagged.drop("routes"),
+        source_attribute="dur_ms",
+        dims={"sink": None, "role": "<none>"},
+        metric_name="total_dur_ms",
+    )
+    rollup = conversation_rollup(enriched, salted=salted)
+    return {
+        "enriched": enriched,
+        **{f"sink_{k}": v for k, v in sinks.items()},
+        "metrics_counts": metrics,
+        "metrics_durations": durations,
+        "conversation_rollup": rollup,
+    }

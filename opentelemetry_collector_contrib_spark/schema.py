@@ -1,0 +1,69 @@
+"""Canonical schemas.
+
+The reference has two log models (SURVEY.md §1.1):
+  (a) stanza ``entry.Entry``        — pkg/stanza/entry/entry.go:14-26
+  (b) pdata ``plog.Logs`` LogRecord — pkg/ottl/contexts/ottllog/log.go:196-264
+
+Both flatten to one fixed envelope; body/attributes are the dynamic part.
+Here the envelope is a fixed StructType; ``attributes``/``resource`` are
+MAP<STRING,STRING> (typed values live in dedicated side columns, which is
+how a columnar engine should hold them — the reference's
+``transform.flatten.logs`` gate proves flat-record semantics equivalent,
+processor/transformprocessor/internal/pdatautil/logs.go:15-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- transcripts: the primary input table (BASELINE.json input_hint) -----
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# --- LogRecord envelope (plog.Logs flattened; SURVEY.md §1.3) ------------
+LOG_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), True),  # Timestamp (event time)
+        T.StructField("observed_ts", T.TimestampType(), True),
+        T.StructField("severity_number", T.IntegerType(), True),  # 0..24
+        T.StructField("severity_text", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),  # raw text, bit-for-bit
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField(
+            "resource", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("scope", T.StringType(), True),
+        T.StructField("trace_id", T.StringType(), True),  # 32 hex chars
+        T.StructField("span_id", T.StringType(), True),  # 16 hex chars
+        T.StructField("flags", T.IntegerType(), True),
+        T.StructField("dropped_attributes_count", T.IntegerType(), True),
+    ]
+)
+
+# dimension tables for the enrichment stage (broadcast joins;
+# k8sattributes/geoip analog — processor/k8sattributesprocessor/processor.go:111)
+DIM_ROLES_SCHEMA = T.StructType(
+    [
+        T.StructField("role", T.StringType(), False),
+        T.StructField("role_kind", T.StringType(), True),
+        T.StructField("priority", T.IntegerType(), True),
+    ]
+)
+
+DIM_TOOLS_SCHEMA = T.StructType(
+    [
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("tool_family", T.StringType(), True),
+        T.StructField("risk_level", T.StringType(), True),
+    ]
+)

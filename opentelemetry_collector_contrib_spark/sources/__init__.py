@@ -1,0 +1,9 @@
+"""Sources — receiver analogs (SURVEY.md §2.1)."""
+
+from .readers import (  # noqa: F401
+    read_dims,
+    read_lines,
+    read_otlp_json,
+    read_table,
+    read_transcripts,
+)

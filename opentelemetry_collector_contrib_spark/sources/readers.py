@@ -1,0 +1,99 @@
+"""Scan-side receivers.
+
+Reference mapping (SURVEY.md §2.1):
+- filelog receiver (receiver/filelogreceiver/filelog.go:38-58 +
+  pkg/stanza/fileconsumer/file.go:107) → ``read_lines``: a distributed
+  text scan; the poll-loop/fingerprint/offset machinery collapses to the
+  storage engine's snapshot/file listing. Incremental tailing is the
+  streaming module's readStream.
+- otlpjsonfile receiver (receiver/otlpjsonfilereceiver) →
+  ``read_otlp_json``: fixed-schema JSON scan (no inference at scale).
+- transcripts "receiver": the Iceberg/parquet table scan that feeds the
+  flagship pipeline. In this sandbox Iceberg jars aren't available, so the
+  table format is parquet with identical reader semantics; the format
+  string is a parameter so an Iceberg catalog slot in cluster deployments
+  is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
+
+
+def read_transcripts(spark: SparkSession, fixture_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(fixture_dir, "transcripts.parquet"))
+
+
+def read_dims(spark: SparkSession, fixture_dir: str) -> tuple[DataFrame, DataFrame]:
+    roles = spark.read.parquet(os.path.join(fixture_dir, "dim_roles.parquet"))
+    tools = spark.read.parquet(os.path.join(fixture_dir, "dim_tools.parquet"))
+    return roles, tools
+
+
+def read_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """filelog: each line one record + observed timestamp + source file
+    (the `log.file.name` resource attribute analog)."""
+    df = spark.read.text(paths)
+    return (
+        df.withColumn("observed_ts", F.current_timestamp())
+        .withColumn("source_file", F.input_file_name())
+        .withColumnRenamed("value", "body")
+    )
+
+
+# minimal OTLP-JSON log line schema (resourceLogs envelope flattened later)
+OTLP_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("observedTimeUnixNano", T.StringType()),
+        T.StructField("severityNumber", T.IntegerType()),
+        T.StructField("severityText", T.StringType()),
+        T.StructField("body", T.StructType([T.StructField("stringValue", T.StringType())])),
+        T.StructField(
+            "attributes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField(
+                            "value",
+                            T.StructType(
+                                [T.StructField("stringValue", T.StringType())]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+    ]
+)
+
+
+def read_otlp_json(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """otlpjsonfile receiver: one OTLP-JSON LogRecord per line → canonical
+    flat columns. attributes kv-array → MAP."""
+    df = spark.read.schema(OTLP_LOG_SCHEMA).json(paths)
+    return df.select(
+        F.timestamp_micros(
+            (F.col("timeUnixNano").cast("long") / 1000).cast("long")
+        ).alias("ts"),
+        F.col("severityNumber").alias("severity_number"),
+        F.col("severityText").alias("severity_text"),
+        F.col("body.stringValue").alias("body"),
+        F.map_from_arrays(
+            F.transform(F.col("attributes"), lambda a: a["key"]),
+            F.transform(F.col("attributes"), lambda a: a["value"]["stringValue"]),
+        ).alias("attributes"),
+        F.col("traceId").alias("trace_id"),
+        F.col("spanId").alias("span_id"),
+    )
