@@ -1,0 +1,126 @@
+"""Pure-Python row-by-row oracle.
+
+Plays the role the Go reference plays for the driver: an independent,
+row-at-a-time implementation of the flagship pipeline semantics
+(parse → enrich → route → aggregate) against which the distributed Spark
+plans are checked for per-sink routed-row SET equality and per-turn
+``text`` byte equality (north rule). Deliberately naive — pandas +
+re over the raw parquet, no Spark, no DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import pandas as pd
+
+from .operators.parse import TOKEN_PATTERNS
+from .functions.severity import SEVERITY_NUMBERS, severity_map_rows
+
+SEV_ERROR = 17
+
+
+def load(fixture_dir: str) -> dict[str, pd.DataFrame]:
+    return {
+        name: pd.read_parquet(os.path.join(fixture_dir, f"{name}.parquet"))
+        for name in ["transcripts", "dim_roles", "dim_tools"]
+    }
+
+
+def parse_rows(tr: pd.DataFrame) -> pd.DataFrame:
+    pats = {n: re.compile(p) for n, p in TOKEN_PATTERNS.items()}
+    sevmap = {tok: (num, txt) for tok, num, txt in severity_map_rows()}
+
+    out = tr.copy()
+    cols: dict[str, list] = {n: [] for n in pats}
+    sev_text, sev_num = [], []
+    for text in tr["text"].tolist():
+        for n, rx in pats.items():
+            m = rx.search(text)
+            cols[n].append(m.group(1) if m else None)
+        tok = cols["sev_token"][-1]
+        hit = sevmap.get(tok.upper()) if tok is not None else None
+        if hit is None and tok is not None:
+            hit = sevmap.get(tok)  # numeric http tokens are not upper-cased
+        sev_text.append(hit[1] if hit else None)
+        sev_num.append(hit[0] if hit else 0)
+    for n in pats:
+        out[n] = cols[n]
+    out["dur_ms"] = pd.array(
+        [int(x) if x is not None else None for x in cols["dur_ms"]],
+        dtype="Int32",
+    )
+    out["nbytes"] = pd.array(
+        [int(x) if x is not None else None for x in cols["nbytes"]],
+        dtype="Int64",
+    )
+    out["severity_text"] = sev_text
+    out["severity_number"] = sev_num
+    return out
+
+
+def enrich_rows(df: pd.DataFrame, roles: pd.DataFrame, tools: pd.DataFrame) -> pd.DataFrame:
+    rmap = roles.set_index("role").to_dict("index")
+    tmap = tools.set_index("tool").to_dict("index")
+    df = df.copy()
+    df["role_kind"] = [
+        rmap.get(r, {}).get("role_kind") for r in df["role"]
+    ]
+    df["priority"] = [rmap.get(r, {}).get("priority") for r in df["role"]]
+    df["tool_family"] = [tmap.get(t, {}).get("tool_family") for t in df["tool"]]
+    df["risk_level"] = [tmap.get(t, {}).get("risk_level") for t in df["tool"]]
+    return df
+
+
+def route_row(row) -> list[str]:
+    """multi-match route ids for one row (default when none)."""
+    routes = []
+    if row.severity_number is not None and row.severity_number >= SEV_ERROR:
+        routes.append("errors")
+    if row.tool_name == "bash":
+        routes.append("tool_bash")
+    if row.dur_ms is not None and not pd.isna(row.dur_ms) and row.dur_ms > 4000:
+        routes.append("slow")
+    return routes or ["default"]
+
+
+def run_oracle(fixture_dir: str) -> dict[str, object]:
+    t = load(fixture_dir)
+    parsed = parse_rows(t["transcripts"])
+    enriched = enrich_rows(parsed, t["dim_roles"], t["dim_tools"])
+
+    sink_keys: dict[str, set] = {}
+    counts: Counter = Counter()
+    for row in enriched.itertuples(index=False):
+        for r in route_row(row):
+            sink_keys.setdefault(r, set()).add((row.conv_id, row.turn_idx))
+            counts[
+                (
+                    r,
+                    row.severity_text or "DEFAULT",
+                    row.tool if isinstance(row.tool, str) else "<none>",
+                    row.role if isinstance(row.role, str) else "<none>",
+                )
+            ] += 1
+
+    # per-conversation rollup
+    g = enriched.groupby("conv_id")
+    rollup = pd.DataFrame(
+        {
+            "n_turns": g.size(),
+            "n_errors": g.apply(
+                lambda d: int((d["severity_number"] >= SEV_ERROR).sum()),
+                include_groups=False,
+            ),
+            "total_dur_ms": g["dur_ms"].sum(),
+            "max_severity": g["severity_number"].max(),
+        }
+    )
+    return {
+        "enriched": enriched,
+        "sink_keys": sink_keys,
+        "counts": counts,
+        "rollup": rollup,
+    }

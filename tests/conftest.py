@@ -1,0 +1,21 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    """Smoke tier fixture dir (sf0.001, ~6k turns)."""
+    return ensure_fixture_dir("sf0.001")

@@ -1,0 +1,115 @@
+"""Flagship pipeline vs the pure-Python oracle (north-rule contract):
+per-sink routed-row SET equality, countconnector equality, per-turn
+``text`` byte equality under (conv_id, turn_idx) ordering."""
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark import oracle
+from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship
+
+
+def _spark_outputs(spark, sf_dir, **kw):
+    return run_flagship(spark, sf_dir, **kw)
+
+
+def test_routed_row_sets_match_oracle(spark, sf_dir):
+    ora = oracle.run_oracle(sf_dir)
+    outs = _spark_outputs(spark, sf_dir)
+    for sink, expected in ora["sink_keys"].items():
+        got = {
+            (r.conv_id, r.turn_idx)
+            for r in outs[f"sink_{sink}"].select("conv_id", "turn_idx").collect()
+        }
+        assert got == expected, f"sink {sink}: {len(got)} vs {len(expected)}"
+
+
+def test_counts_match_oracle(spark, sf_dir):
+    ora = oracle.run_oracle(sf_dir)
+    outs = _spark_outputs(spark, sf_dir)
+    got = Counter(
+        {
+            (r.sink, r.severity_text, r.tool, r.role): r.log_count
+            for r in outs["metrics_counts"].collect()
+        }
+    )
+    assert got == ora["counts"]
+
+
+def test_text_byte_equality_under_stable_order(spark, sf_dir):
+    """Spark must reproduce the raw text bit-for-bit under the
+    (conv_id, turn_idx) window ordering — never altered by the parse UDF."""
+    ora = oracle.run_oracle(sf_dir)
+    expected = (
+        ora["enriched"]
+        .sort_values(["conv_id", "turn_idx"])["text"]
+        .tolist()
+    )
+    outs = _spark_outputs(spark, sf_dir)
+    got = [
+        r.text
+        for r in outs["enriched"]
+        .orderBy("conv_id", "turn_idx")
+        .select("text")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_builtin_and_udf_parse_paths_agree(spark, sf_dir):
+    a = _spark_outputs(spark, sf_dir, use_pandas_udf=True)["enriched"]
+    b = _spark_outputs(spark, sf_dir, use_pandas_udf=False)["enriched"]
+    cols = ["conv_id", "turn_idx", "sev_token", "err_code", "tool_name",
+            "call_id", "dur_ms", "nbytes", "severity_text", "severity_number"]
+    pa = a.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    pb = b.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_salted_rollup_equals_plain(spark, sf_dir):
+    salted = run_flagship(spark, sf_dir, salted=True)["conversation_rollup"]
+    plain = run_flagship(spark, sf_dir, salted=False)["conversation_rollup"]
+    cols = ["conv_id", "n_turns", "n_errors", "total_dur_ms", "max_severity"]
+    ps = salted.select(cols).orderBy("conv_id").toPandas()
+    pp = plain.select(cols).orderBy("conv_id").toPandas()
+    pd.testing.assert_frame_equal(ps, pp, check_dtype=False)
+
+
+def test_rollup_matches_oracle(spark, sf_dir):
+    ora = oracle.run_oracle(sf_dir)["rollup"]
+    got = (
+        run_flagship(spark, sf_dir)["conversation_rollup"]
+        .orderBy("conv_id")
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert got["n_turns"].astype(int).to_dict() == ora["n_turns"].astype(int).to_dict()
+    assert got["n_errors"].astype(int).to_dict() == ora["n_errors"].astype(int).to_dict()
+    assert got["max_severity"].astype(int).to_dict() == ora["max_severity"].astype(int).to_dict()
+
+
+def test_match_once_routes_disjoint_and_cover(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.plans.flagship import (
+        build_router, parsed_enriched,
+    )
+
+    enriched = parsed_enriched(spark, sf_dir).cache()
+    router = build_router()
+    router.match_once = True
+    sinks = router.split(enriched)
+    total = sum(df.count() for df in sinks.values())
+    assert total == enriched.count()  # first-match: partition, no dup
+    # first-match priority: a row in errors must NOT be in tool_bash even
+    # if tool==bash
+    err_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in sinks["errors"].select("conv_id", "turn_idx").collect()
+    }
+    bash_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in sinks["tool_bash"].select("conv_id", "turn_idx").collect()
+    }
+    assert not err_keys & bash_keys
+    enriched.unpersist()
