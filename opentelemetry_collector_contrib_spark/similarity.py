@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates within a bucket only). All math
+is built-in Column expressions (aggregate/zip_with fold — JVM codegen);
+no UDF. Weights for the LSH planes are a deterministic arithmetic
+pattern so the DuckDB oracle reproduces buckets exactly (production would
+use a broadcast numpy plane matrix + pandas UDF for wide embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine to one stored vector. The query vector is
+    collected (one row) and inlined as a literal array — the degenerate
+    broadcast join. Top-k via ORDER BY + LIMIT: Spark plans TakeOrdered
+    (per-partition heap + driver merge), no global sort."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(vec_col).head()
+    qlit = F.array(*[F.lit(float(x)) for x in q[0]])
+    sims = emb.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id",
+        F.round(cosine_sim(F.col(vec_col), qlit), 4).alias("cos_sim"),
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def knn_join_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs kNN: crossJoin + per-query top-k window. Only for small
+    query sets (broadcast the queries side); the LSH path below is the
+    bulk variant."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    pairs = pairs.withColumn(
+        "cos_sim", F.round(cosine_sim(F.col(vec_col), F.col("q_vec")), 4)
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rn")
+    )
+
+
+def _plane_weight(i, p: int):
+    """Deterministic pseudo-random weight in [-3, 3]: ((i*(p+3)+p) % 7) - 3
+    for 0-based dim index i, plane p. Data-independent and reproducible in
+    any SQL engine — stands in for a seeded gaussian plane matrix."""
+    return ((i * (p + 3) + p) % 7) - 3
+
+
+def lsh_buckets(
+    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per vector:
+    bit p = sign(<v, w_p>). Bucketed vectors then only compare within
+    buckets — turns O(n^2) ANN into per-bucket work."""
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v, idx, lambda x, i: x.cast("double") * _plane_weight(i, p)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def lsh_ann_pairs(
+    emb: DataFrame, n_planes: int = 8, threshold: float = 0.8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-dup pairs: same bucket → exact cosine verify ≥ threshold."""
+    b = lsh_buckets(emb, n_planes, vec_col)
+    withb = emb.join(b, "vec_id")
+    a = withb.alias("a")
+    c = withb.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

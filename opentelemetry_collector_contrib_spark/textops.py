@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines (documents table).
+
+Not in the OTel reference (it stops at routing/counting); these are the
+large-scale corpus operations a transcript/training pipeline needs:
+language-ID, quality scoring, token counting, fingerprinting, exact and
+n-gram near-dedup. All pure Column expressions (whole-stage codegen,
+no UDF): at 100 TB the tokenizer-ish regexes and hash folds run JVM-side.
+
+Cross-engine determinism: every hash is md5-derived (first 4/8 hex chars
+→ int) so the DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _md5_int(col: Column, hex_chars: int = 8) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; empty array when < n words
+    (guarded: Spark's sequence() would count DOWN for negative spans)."""
+    w = _words(text)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(w, i + 1, n), " ")
+    )
+    return F.array_distinct(sh)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id. Map-side partial
+    agg → one row per distinct text per partition crosses the shuffle."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard near-dup: doc pairs sharing >= threshold of their
+    distinct word n-gram shingles.
+
+    Plan shape: explode shingles → self-equi-join on shingle (this is the
+    scalable inverted-index join — NOT an all-pairs cross join) → count
+    common → jaccard. At 100 TB you'd first LSH-bucket (see dedup_text)
+    to keep the join's fan-out bounded; this is the exact verifier."""
+    sh = (
+        docs.select("doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jacc_raw",
+            F.col("n_common") * 1.0
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+        )
+        .filter(F.col("jacc_raw") >= threshold)
+    )
+    return j.select(
+        "doc_a", "doc_b", F.round("jacc_raw", 4).alias("jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """SimHash over whitespace tokens (md5-derived token hashes).
+    bit_j(sig) = majority vote of token-hash bit j (+1/-1 weights)."""
+    toks = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("tok")
+    ).withColumn("h", _md5_int(F.col("tok")))
+    bit = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    )
+    votes = bit.withColumn(
+        "vote",
+        F.when(F.expr("(h div shiftleft(1L, b)) % 2") == 1, F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    s = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return s.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free stopword-ratio language heuristic (en vs unknown)."""
+    w = _words(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    ratio = n_stop * 1.0 / F.size(w)
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_guess"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality gate: length / punctuation ratio / token stats."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(_words(t))
+    n_punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
+    punct_ratio = n_punct * 1.0 / n_chars
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_chars * 1.0 / n_tokens, 4).alias("avg_token_len"),
+        F.when(
+            n_tokens.between(5, 100000) & (punct_ratio < 0.2), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("quality_keep"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish (word/punct split) token counting."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(_words(t)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint over word hashes:
+    acc = (acc * 32769 + h_word) mod (2^31 - 1). Left fold — identical
+    sequential semantics in Spark's aggregate() and DuckDB's list_reduce."""
+    hs = F.transform(_words(F.col(text_col)), lambda x: _md5_int(x, 4))
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 32769 + x) % 2147483647,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
