@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+--scaling mode: run the flagship parse→enrich→route→aggregate DAG at two
+parallelism levels (local[8] and local[32] — the sandbox stand-in for N
+vs 4N executors, BASELINE.json north_rule) in separate subprocesses
+(one JVM per master) and report throughput at both plus scaling
+efficiency = (T8/T32)/4. Results go to stdout and BENCH_SCALING.json.
+
+Materialization uses the `noop` write format: full pipeline execution,
+no driver collect, no disk sink cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries: every north-rule stage + the heaviest registry ops
+HEADLINE = [
+    "flagship",        # end-to-end parse→enrich→route→aggregate (turns/sec metric)
+    "t_parse",         # vectorized grok/regex parse stage
+    "t_counts",        # routing fan-out + countconnector rollup
+    "t_conv_rollup",   # salted groupbyattrs conversation rollup (hot key)
+    "t_recombine",     # ordered per-conversation reassembly (window)
+    "d_exact_dedup",   # training-data dedup: exact
+    "d_minhash_sig",   # training-data dedup: MinHash signatures
+    "s_cosine_topk",   # embedding similarity search
+]
+
+
+def _materialize(df) -> int:
+    """Run the full plan; return row count (cheap second action reuses
+    shuffle files / AQE finalized plan)."""
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+    from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship
+    from opentelemetry_collector_contrib_spark.queries import build_registry
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores)
+    fx = ensure_fixture_dir(sf_dir)
+    queries, _ = build_registry()
+
+    n_turns = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).count()
+
+    timings: dict[str, float] = {}
+    turns_per_sec = None
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        if name == "flagship":
+            outs = run_flagship(spark, fx)
+            # enriched feeds 4 sinks + 2 metric tables + rollup; cache it
+            # once like routingconnector's route-group batching
+            outs["enriched"].persist()
+            try:
+                for k, df in outs.items():
+                    if k != "enriched":
+                        _materialize(df)
+            finally:
+                outs["enriched"].unpersist()
+            dt = time.monotonic() - t0
+            turns_per_sec = n_turns / dt
+        else:
+            _materialize(queries[name](spark, sf_dir))
+            dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+
+    result = {
+        "metric": "headline query wall time (parse/enrich/route/aggregate + dedup/similarity), noop sink",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(os.path.basename(os.path.normpath(sf_dir))[2:]),
+        "n_turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1) if turns_per_sec else None,
+        "cores": cores,
+    }
+    if out_json:
+        print(json.dumps(result))
+    return result
+
+
+def _flagship_throughput_subprocess(cores: int, sf_dir: str) -> dict:
+    """Run ONLY the flagship DAG in a fresh JVM at local[cores]."""
+    code = (
+        "import json,os,sys,time;"
+        f"sys.path.insert(0,{os.path.dirname(os.path.abspath(__file__))!r});"
+        "from opentelemetry_collector_contrib_spark.session import get_spark;"
+        "from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir;"
+        "from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship;"
+        f"spark=get_spark(app_name='scale{cores}',cores={cores});"
+        f"fx=ensure_fixture_dir({sf_dir!r});"
+        "n=spark.read.parquet(os.path.join(fx,'transcripts.parquet')).count();"
+        "t0=time.monotonic();"
+        "outs=run_flagship(spark,fx);"
+        "outs['enriched'].persist();"
+        "[df.write.format('noop').mode('overwrite').save() for k,df in outs.items() if k!='enriched'];"
+        "dt=time.monotonic()-t0;"
+        f"print('RESULT '+json.dumps({{'cores':{cores},'sec':round(dt,3),'turns':n,'turns_per_sec':round(n/dt,1)}}))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"scaling run local[{cores}] failed:\n{out.stderr[-3000:]}")
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    r_lo = _flagship_throughput_subprocess(lo, sf_dir)
+    r_hi = _flagship_throughput_subprocess(hi, sf_dir)
+    # efficiency: achieved speedup / ideal speedup (hi/lo cores)
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+    res = {
+        "sf_dir": sf_dir,
+        "lo": r_lo,
+        "hi": r_hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(res, indent=2))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    return res
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling(SF_DIR)
+    else:
+        run_bench(SF_DIR, CPUS)

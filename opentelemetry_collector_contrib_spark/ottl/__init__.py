@@ -1,0 +1,21 @@
+"""Mini-OTTL: the reference's transformation language re-expressed as a
+compiler to Catalyst Column trees (SURVEY.md §2.4, §7 Stage 3).
+
+Reference grammar: pkg/ottl/LANGUAGE.md, parser.go:231-246,
+grammar.go:14-466. Statements are ``editor(args...) [where bool_expr]``;
+we parse once on the driver and execute vectorized on executors — the
+per-record triple loop of transformprocessor/internal/common/logs.go:34-57
+becomes ordered withColumn/when chains that Catalyst collapses.
+"""
+
+from .parser import parse_statement, parse_condition, OTTLError
+from .compiler import StatementSequence, compile_statement, compile_condition
+
+__all__ = [
+    "parse_statement",
+    "parse_condition",
+    "compile_statement",
+    "compile_condition",
+    "StatementSequence",
+    "OTTLError",
+]

@@ -1,0 +1,420 @@
+"""Compile OTTL ASTs to Catalyst Column trees and DataFrame rewrites.
+
+The reference evaluates statements per-record (StatementSequence.Execute,
+pkg/ottl/parser.go:281-298; per-record loop transformprocessor/internal/
+common/logs.go:34-57). Here each statement compiles ONCE on the driver
+into `withColumn(target, when(cond, new).otherwise(old))` — vectorized,
+whole-stage-codegen'd, and Catalyst collapses adjacent projections so an
+N-statement sequence is still one physical stage.
+
+Error modes (pkg/ottl/config.go:11-27): 'ignore'/'silent' compile to
+null-safe try_* expressions; 'propagate' compiles to raising variants
+(raise_error guarded by the failure predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions import CONVERTERS, literal_arg
+from .parser import (
+    Binary,
+    BoolOp,
+    Call,
+    Comparison,
+    ListExpr,
+    Literal,
+    Not,
+    OTTLError,
+    Path,
+    Statement,
+    parse_condition,
+    parse_statement,
+)
+
+# default log-context path → physical column (ottllog/log.go:196-264)
+DEFAULT_PATH_MAP = {
+    "body": "body",
+    "severity_number": "severity_number",
+    "severity_text": "severity_text",
+    "time": "ts",
+    "observed_time": "observed_ts",
+    "attributes": "attributes",
+    "resource.attributes": "resource",
+    "instrumentation_scope.name": "scope",
+    "trace_id": "trace_id",
+    "span_id": "span_id",
+    "flags": "flags",
+    "dropped_attributes_count": "dropped_attributes_count",
+    "cache": "cache",
+}
+
+
+class Context:
+    """Binds OTTL paths to physical columns of a specific DataFrame shape.
+
+    ``path_map`` overrides let e.g. the transcripts pipeline map
+    ``body`` → ``text``.
+    """
+
+    def __init__(self, path_map: dict | None = None, error_mode: str = "ignore"):
+        self.path_map = {**DEFAULT_PATH_MAP, **(path_map or {})}
+        if error_mode not in ("ignore", "silent", "propagate"):
+            raise OTTLError(f"unknown error mode {error_mode!r}")
+        self.error_mode = error_mode
+
+    def resolve(self, path: Path) -> tuple[str, list[str]]:
+        """→ (physical column name, residual map keys)."""
+        dotted = ".".join(path.parts)
+        if dotted in self.path_map:
+            return self.path_map[dotted], list(path.keys)
+        # trace_id.string / span_id.string → same physical hex-string col
+        if len(path.parts) == 2 and path.parts[1] == "string":
+            base = ".".join(path.parts[:1])
+            if base in self.path_map:
+                return self.path_map[base], list(path.keys)
+        raise OTTLError(f"unknown path {dotted!r}")
+
+    def getter(self, path: Path) -> Column:
+        col, keys = self.resolve(path)
+        c = F.col(col)
+        for k in keys:
+            c = c.getItem(k)
+        return c
+
+    def setter(self, df: DataFrame, path: Path, value: Column,
+               cond: Column | None) -> DataFrame:
+        """Apply ``target = value [where cond]`` (set editor shape)."""
+        col, keys = self.resolve(path)
+        if not keys:
+            new = value
+            if cond is not None and col in df.columns:
+                new = F.when(cond, value).otherwise(F.col(col))
+            return df.withColumn(col, new)
+        if len(keys) != 1:
+            raise OTTLError("nested map indexing not supported on maps of strings")
+        k = keys[0]
+        base = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
+        upserted = F.map_concat(
+            F.map_filter(base, lambda mk, _: mk != F.lit(k)),
+            F.when(value.isNotNull(),
+                   F.create_map(F.lit(k), value.cast("string")))
+            .otherwise(F.create_map().cast("map<string,string>")),
+        )
+        new = upserted if cond is None else (
+            F.when(cond, upserted).otherwise(F.col(col))
+        )
+        return df.withColumn(col, new)
+
+
+# ---------------------------------------------------------------------------
+# value + boolean compilation
+# ---------------------------------------------------------------------------
+
+def compile_value(node, ctx: Context) -> Column:
+    if isinstance(node, Literal):
+        return F.lit(node.value)
+    if isinstance(node, Path):
+        return ctx.getter(node)
+    if isinstance(node, ListExpr):
+        return F.array(*[compile_value(i, ctx) for i in node.items])
+    if isinstance(node, Call):
+        fn = CONVERTERS.get(node.name)
+        if fn is None:
+            raise OTTLError(f"unknown converter {node.name!r}")
+        return fn(node.args, ctx)
+    if isinstance(node, Binary):
+        l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
+        # LANGUAGE.md:196-226 — int/int stays int (Go division truncates)
+        if node.op == "+":
+            return l + r
+        if node.op == "-":
+            return l - r
+        if node.op == "*":
+            return l * r
+        if node.op == "/":
+            both_int = (
+                isinstance(node.left, Literal) and isinstance(node.left.value, int)
+                and isinstance(node.right, Literal)
+                and isinstance(node.right.value, int)
+            )
+            return (l / r).cast("long") if both_int else l / r
+    raise OTTLError(f"cannot compile value node {node!r}")
+
+
+def compile_bool(node, ctx: Context) -> Column:
+    if isinstance(node, BoolOp):
+        cols = [compile_bool(t, ctx) for t in node.terms]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out | c) if node.op == "or" else (out & c)
+        return out
+    if isinstance(node, Not):
+        return ~_truthy(compile_bool(node.term, ctx))
+    if isinstance(node, Comparison):
+        # nil comparisons (LANGUAGE.md:264-291): x == nil ⇒ IS NULL
+        if isinstance(node.right, Literal) and node.right.value is None:
+            c = compile_value(node.left, ctx)
+            return c.isNull() if node.op == "==" else c.isNotNull()
+        if isinstance(node.left, Literal) and node.left.value is None:
+            c = compile_value(node.right, ctx)
+            return c.isNull() if node.op == "==" else c.isNotNull()
+        l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
+        return {
+            "==": l == r, "!=": l != r, "<": l < r,
+            ">": l > r, "<=": l <= r, ">=": l >= r,
+        }[node.op]
+    if isinstance(node, Literal):
+        return F.lit(bool(node.value))
+    # bare value as condition (e.g. IsMatch(...))
+    return _truthy(compile_value(node, ctx))
+
+
+def _truthy(c: Column) -> Column:
+    return c.cast("boolean")
+
+
+def compile_condition(src: str, ctx: Context | None = None) -> Column:
+    return compile_bool(parse_condition(src), ctx or Context())
+
+
+# ---------------------------------------------------------------------------
+# editors — each returns df → df (registry mirrors ottlfuncs/functions.go:10-30)
+# ---------------------------------------------------------------------------
+
+def _map_target(ctx: Context, path: Path) -> str:
+    col, keys = ctx.resolve(path)
+    if keys:
+        raise OTTLError("editor target must be a whole map column here")
+    return col
+
+
+def _guard_map(col: str, new: Column, cond: Column | None) -> Column:
+    return new if cond is None else F.when(cond, new).otherwise(F.col(col))
+
+
+def _ed_set(stmt, ctx, df, cond):
+    target, value = stmt.editor.args
+    return ctx.setter(df, target, compile_value(value, ctx), cond)
+
+
+def _ed_delete_key(stmt, ctx, df, cond):
+    target, key = stmt.editor.args
+    col = _map_target(ctx, target)
+    k = literal_arg(key)
+    new = F.map_filter(F.col(col), lambda mk, _: mk != F.lit(k))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_delete_matching_keys(stmt, ctx, df, cond):
+    target, pat = stmt.editor.args
+    col = _map_target(ctx, target)
+    p = literal_arg(pat)
+    new = F.map_filter(F.col(col), lambda mk, _: ~mk.rlike(p))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_keep_matching_keys(stmt, ctx, df, cond):
+    target, pat = stmt.editor.args
+    col = _map_target(ctx, target)
+    p = literal_arg(pat)
+    new = F.map_filter(F.col(col), lambda mk, _: mk.rlike(p))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_keep_keys(stmt, ctx, df, cond):
+    target, keys = stmt.editor.args
+    col = _map_target(ctx, target)
+    keep = F.array(*[F.lit(literal_arg(k)) for k in keys.items])
+    new = F.map_filter(F.col(col), lambda mk, _: F.array_contains(keep, mk))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_truncate_all(stmt, ctx, df, cond):
+    target, limit = stmt.editor.args
+    col = _map_target(ctx, target)
+    n = int(literal_arg(limit))
+    new = F.transform_values(F.col(col), lambda _, v: F.substring(v, 1, n))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_limit(stmt, ctx, df, cond):
+    # limit(target, n, priority_keys[]) — keep priority keys first, then
+    # others in sorted-key order up to n total (README.md:232)
+    target, limit, prio = stmt.editor.args
+    col = _map_target(ctx, target)
+    n = int(literal_arg(limit))
+    pk = F.array(*[F.lit(literal_arg(k)) for k in prio.items])
+    ent = F.map_entries(F.col(col))
+    prio_ent = F.filter(ent, lambda e: F.array_contains(pk, e["key"]))
+    rest = F.array_sort(F.filter(ent, lambda e: ~F.array_contains(pk, e["key"])))
+    new = F.map_from_entries(
+        F.slice(F.concat(prio_ent, rest), 1, n)
+    )
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_replace_pattern(stmt, ctx, df, cond):
+    target, pat, repl = stmt.editor.args[:3]
+    c = compile_value(target, ctx)
+    new = F.regexp_replace(c, literal_arg(pat), literal_arg(repl))
+    return ctx.setter(df, target, new, cond)
+
+
+def _ed_replace_match(stmt, ctx, df, cond):
+    # glob match on whole value → replace whole value (README.md:325)
+    target, glob, repl = stmt.editor.args[:3]
+    c = compile_value(target, ctx)
+    rx = _glob_to_rx(literal_arg(glob))
+    new = F.when(c.rlike(rx), F.lit(literal_arg(repl))).otherwise(c)
+    return ctx.setter(df, target, new, cond)
+
+
+def _ed_replace_all_patterns(stmt, ctx, df, cond):
+    # replace_all_patterns(target_map, "key"|"value", regex, replacement)
+    target, mode, pat, repl = stmt.editor.args[:4]
+    col = _map_target(ctx, target)
+    m, p, r = literal_arg(mode), literal_arg(pat), literal_arg(repl)
+    if m == "value":
+        new = F.transform_values(
+            F.col(col), lambda _, v: F.regexp_replace(v, p, r)
+        )
+    else:
+        new = F.map_from_entries(F.transform(
+            F.map_entries(F.col(col)),
+            lambda e: F.struct(
+                F.regexp_replace(e["key"], p, r).alias("key"),
+                e["value"].alias("value"),
+            ),
+        ))
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_replace_all_matches(stmt, ctx, df, cond):
+    target, glob, repl = stmt.editor.args[:3]
+    col = _map_target(ctx, target)
+    rx = _glob_to_rx(literal_arg(glob))
+    r = literal_arg(repl)
+    new = F.transform_values(
+        F.col(col), lambda _, v: F.when(v.rlike(rx), F.lit(r)).otherwise(v)
+    )
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_merge_maps(stmt, ctx, df, cond):
+    # merge_maps(target, source, "insert"|"update"|"upsert") README.md:255
+    target, source, mode = stmt.editor.args
+    col = _map_target(ctx, target)
+    src = compile_value(source, ctx)
+    t = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
+    s = F.coalesce(src, F.create_map().cast("map<string,string>"))
+    m = literal_arg(mode)
+    if m == "upsert":
+        new = F.map_concat(
+            F.map_filter(t, lambda k, _: ~F.array_contains(F.map_keys(s), k)), s
+        )
+    elif m == "insert":
+        new = F.map_concat(
+            t, F.map_filter(s, lambda k, _: ~F.array_contains(F.map_keys(t), k))
+        )
+    elif m == "update":
+        new = F.map_zip_with(
+            t, s, lambda _, tv, sv: F.coalesce(sv, tv)
+        )
+        new = F.map_filter(new, lambda k, _: F.array_contains(F.map_keys(t), k))
+    else:
+        raise OTTLError(f"merge_maps mode {m!r}")
+    return df.withColumn(col, _guard_map(col, new, cond))
+
+
+def _ed_append(stmt, ctx, df, cond):
+    # append(target, value) — string concat for scalar strings (README.md:65)
+    target, value = stmt.editor.args
+    c = compile_value(target, ctx)
+    v = compile_value(value, ctx)
+    return ctx.setter(df, target, F.concat(c, v.cast("string")), cond)
+
+
+def _glob_to_rx(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch in ".^$+?{}[]|()\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
+
+
+EDITORS = {
+    "set": _ed_set,
+    "delete_key": _ed_delete_key,
+    "delete_matching_keys": _ed_delete_matching_keys,
+    "keep_matching_keys": _ed_keep_matching_keys,
+    "keep_keys": _ed_keep_keys,
+    "truncate_all": _ed_truncate_all,
+    "limit": _ed_limit,
+    "replace_pattern": _ed_replace_pattern,
+    "replace_match": _ed_replace_match,
+    "replace_all_patterns": _ed_replace_all_patterns,
+    "replace_all_matches": _ed_replace_all_matches,
+    "merge_maps": _ed_merge_maps,
+    "append": _ed_append,
+}
+
+
+def compile_statement(src: str, ctx: Context | None = None):
+    """OTTL statement string → (DataFrame → DataFrame)."""
+    ctx = ctx or Context()
+    stmt = parse_statement(src)
+    editor = EDITORS.get(stmt.editor.name)
+    if editor is None:
+        raise OTTLError(f"unknown editor {stmt.editor.name!r}")
+    cond = compile_bool(stmt.where, ctx) if stmt.where is not None else None
+
+    def apply(df: DataFrame) -> DataFrame:
+        return editor(stmt, ctx, df, cond)
+
+    return apply
+
+
+class StatementSequence:
+    """Ordered statements over one context — the transformprocessor unit
+    (internal/logs/processor.go:53-66). Optional ``conditions`` guard the
+    whole group (config.go:11-37): if set, statements only apply to rows
+    matching ANY condition (OR, the processor default)."""
+
+    def __init__(
+        self,
+        statements: list[str],
+        conditions: list[str] | None = None,
+        path_map: dict | None = None,
+        error_mode: str = "ignore",
+    ):
+        self.ctx = Context(path_map, error_mode)
+        guard = None
+        if conditions:
+            cols = [compile_condition(c, self.ctx) for c in conditions]
+            guard = cols[0]
+            for c in cols[1:]:
+                guard = guard | c
+        self._fns = []
+        for s in statements:
+            stmt = parse_statement(s)
+            editor = EDITORS.get(stmt.editor.name)
+            if editor is None:
+                raise OTTLError(f"unknown editor {stmt.editor.name!r}")
+            cond = (
+                compile_bool(stmt.where, self.ctx)
+                if stmt.where is not None else None
+            )
+            if guard is not None:
+                cond = guard if cond is None else (guard & cond)
+            self._fns.append((editor, stmt, cond))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for editor, stmt, cond in self._fns:
+            df = editor(stmt, self.ctx, df, cond)
+        return df

@@ -1,0 +1,265 @@
+"""OTTL converter registry → built-in pyspark.sql.functions.
+
+Mirrors pkg/ottl/ottlfuncs/functions.go:36-98 (converter registration);
+per-converter semantics from ottlfuncs/README.md (line refs in SURVEY.md
+§2.4). Every converter is JVM-side / codegen — no Python in the hot path.
+Converters receive raw AST args (so string-literal options like case mode
+or time layout are read at compile time) and return a Column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .parser import Call, ListExpr, Literal, OTTLError
+
+
+def literal_arg(node):
+    if isinstance(node, Literal):
+        return node.value
+    raise OTTLError(f"argument must be a literal, got {node!r}")
+
+
+def _vals(args, ctx):
+    from .compiler import compile_value
+
+    return [compile_value(a, ctx) for a in args]
+
+
+def _one(args, ctx) -> Column:
+    return _vals(args, ctx)[0]
+
+
+# ---- string / encoding ----------------------------------------------------
+
+def _concat(args, ctx):
+    # Concat(values[], delimiter) README.md:503
+    if not isinstance(args[0], ListExpr):
+        raise OTTLError("Concat expects a list first arg")
+    from .compiler import compile_value
+
+    vals = [compile_value(a, ctx) for a in args[0].items]
+    delim = literal_arg(args[1])
+    return F.concat_ws(delim, *[v.cast("string") for v in vals])
+
+
+_SNAKE_RX1, _SNAKE_RX2 = "([a-z0-9])([A-Z])", "$1_$2"
+
+
+def _convert_case(args, ctx):
+    c = _one(args, ctx)
+    mode = literal_arg(args[1])
+    if mode == "upper":
+        return F.upper(c)
+    if mode == "lower":
+        return F.lower(c)
+    if mode == "snake":
+        return F.lower(F.regexp_replace(c, _SNAKE_RX1, _SNAKE_RX2))
+    if mode == "camel":
+        # snake_case → CamelCase (ottlfuncs func_convert_case.go semantics)
+        return F.replace(F.initcap(F.regexp_replace(c, "_", " ")),
+                         F.lit(" "), F.lit(""))
+    raise OTTLError(f"ConvertCase mode {mode!r}")
+
+
+def _substring(args, ctx):
+    # Substring(target, start, length) — 0-based (README.md:1441);
+    # Spark substring is 1-based
+    c = _one(args, ctx)
+    start = int(literal_arg(args[1]))
+    length = int(literal_arg(args[2]))
+    return F.substring(c, start + 1, length)
+
+
+def _split(args, ctx):
+    c = _one(args, ctx)
+    return F.split(c, re.escape(literal_arg(args[1])))
+
+
+def _format(args, ctx):
+    # Format(formatString, [args]) README.md:725
+    fmt = literal_arg(args[0])
+    from .compiler import compile_value
+
+    vals = [compile_value(a, ctx) for a in args[1].items]
+    return F.format_string(fmt.replace("%v", "%s"), *vals)
+
+
+def _extract_patterns(args, ctx):
+    """ExtractPatterns(target, pattern) README.md:599 — named captures →
+    struct. Compiled to one regexp_extract per named group (codegen) —
+    group indices resolved at compile time with Python's re."""
+    c = _one(args, ctx)
+    pat = literal_arg(args[1])
+    rx = re.compile(pat)
+    if not rx.groupindex:
+        raise OTTLError("ExtractPatterns requires named capture groups")
+    # Java regex rejects (?P<name>…) — strip names, extract by group index
+    java_rx = re.sub(r"\(\?P<\w+>", "(", pat)
+    fields = [
+        F.nullif(F.regexp_extract(c, java_rx, idx), F.lit("")).alias(name)
+        for name, idx in rx.groupindex.items()
+    ]
+    return F.struct(*fields)
+
+
+def _extract_grok(args, ctx):
+    """ExtractGrokPatterns(target, pattern) README.md:615-705 — grok
+    compiled to named-capture regex on the driver. Column-level variant:
+    one regexp_extract per group (codegen, no Python); the pandas-UDF
+    single-pass variant lives in functions/grok.py GrokPattern.extract."""
+    from ..functions.grok import GrokPattern
+
+    c = _one(args, ctx)
+    g = GrokPattern(literal_arg(args[1]))
+    # Java regex rejects (?P<name>…) — strip names, extract by group index
+    java_rx = re.sub(r"\(\?P<\w+>", "(", g.regex_str)
+    fields = []
+    for name, idx in g.regex.groupindex.items():
+        col = F.nullif(F.regexp_extract(c, java_rx, idx), F.lit(""))
+        t = g.types.get(name)
+        if t and t != "string":
+            col = col.cast(t)
+        fields.append(col.alias(name))
+    return F.struct(*fields)
+
+
+# ---- time -----------------------------------------------------------------
+
+_GO_DUR_RX = re.compile(r"(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_SECS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+             "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration subset → seconds (float)."""
+    pos, total = 0, 0.0
+    for m in _GO_DUR_RX.finditer(s):
+        if m.start() != pos:
+            raise OTTLError(f"bad duration {s!r}")
+        total += float(m.group(1)) * _DUR_SECS[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise OTTLError(f"bad duration {s!r}")
+    return total
+
+
+def _duration(args, ctx):
+    # Duration("1h30m") → seconds as double (README.md:583); downstream
+    # Hours()/Minutes()/... divide accordingly
+    return F.lit(parse_go_duration(literal_arg(args[0])))
+
+
+def _dur_conv(divisor: float):
+    def fn(args, ctx):
+        return _one(args, ctx) / F.lit(divisor)
+
+    return fn
+
+
+def _time(args, ctx):
+    from ..operators.parse import _strptime_to_spark
+
+    c = _one(args, ctx)
+    return F.to_timestamp(c, _strptime_to_spark(literal_arg(args[1])))
+
+
+_TRUNC_UNIT = {3600.0: "hour", 60.0: "minute", 1.0: "second",
+               86400.0: "day"}
+
+
+def _truncate_time(args, ctx):
+    c = _one(args, ctx)
+    secs = parse_go_duration(literal_arg(args[1]))
+    unit = _TRUNC_UNIT.get(secs)
+    if unit:
+        return F.date_trunc(unit, c)
+    # arbitrary bucket: floor(epoch/secs)*secs
+    e = c.cast("double")
+    return F.timestamp_seconds(F.floor(e / secs) * int(secs))
+
+
+# ---- registry -------------------------------------------------------------
+
+CONVERTERS = {
+    # encoding / hashing
+    "Base64Decode": lambda a, c: F.unbase64(_one(a, c)).cast("string"),
+    "Decode": lambda a, c: F.decode(_one(a, c), literal_arg(a[1])),
+    # Go %x of the 8-byte int64 encoding → lowercase, zero-padded to 16
+    # when the input is integral (func_hex.go); strings hex their bytes
+    "Hex": lambda a, c: F.when(
+        _one(a, c).try_cast("long").isNotNull(),
+        F.lpad(F.lower(F.hex(_one(a, c).try_cast("long"))), 16, "0"),
+    ).otherwise(F.lower(F.hex(_one(a, c)))),
+    "MD5": lambda a, c: F.md5(_one(a, c)),
+    "SHA1": lambda a, c: F.sha1(_one(a, c)),
+    "SHA256": lambda a, c: F.sha2(_one(a, c), 256),
+    "SHA512": lambda a, c: F.sha2(_one(a, c), 512),
+    # FNV substitute, documented deviation (SURVEY.md §2.4): stable 64-bit
+    # hash is what counts, not the exact FNV constants
+    "FNV": lambda a, c: F.xxhash64(_one(a, c)),
+    # strings
+    "Concat": _concat,
+    "ConvertCase": _convert_case,
+    "Format": _format,
+    "Len": lambda a, c: F.length(_one(a, c).cast("string")),
+    "Log": lambda a, c: F.log(_one(a, c)),
+    "Split": _split,
+    "Substring": _substring,
+    "Trim": lambda a, c: F.trim(_one(a, c)),
+    # type conversion / checks
+    "Double": lambda a, c: _one(a, c).try_cast("double"),
+    "Int": lambda a, c: _one(a, c).try_cast("long"),
+    "String": lambda a, c: _one(a, c).cast("string"),
+    "IsBool": lambda a, c: _one(a, c).try_cast("boolean").isNotNull(),
+    "IsDouble": lambda a, c: _one(a, c).try_cast("double").isNotNull(),
+    "IsInt": lambda a, c: _one(a, c).try_cast("long").isNotNull(),
+    "IsString": lambda a, c: _one(a, c).cast("string").isNotNull(),
+    "IsMatch": lambda a, c: _one(a, c).rlike(literal_arg(a[1])),
+    # parsing
+    "ExtractPatterns": _extract_patterns,
+    "ExtractGrokPatterns": _extract_grok,
+    "ParseJSON": lambda a, c: F.from_json(_one(a, c), "map<string,string>"),
+    "ParseKeyValue": lambda a, c: F.str_to_map(
+        _one(a, c),
+        F.lit(literal_arg(a[1]) if len(a) > 1 else " "),
+        F.lit(literal_arg(a[2]) if len(a) > 2 else "="),
+    ),
+    "ParseCSV": lambda a, c: F.split(_one(a, c), ","),
+    "URL": lambda a, c: F.struct(
+        F.parse_url(_one(a, c), F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(_one(a, c), F.lit("HOST")).alias("domain"),
+        F.parse_url(_one(a, c), F.lit("PATH")).alias("path"),
+        F.parse_url(_one(a, c), F.lit("QUERY")).alias("query"),
+    ),
+    # arrays
+    "Sort": lambda a, c: (
+        F.sort_array(_one(a, c), asc=(
+            len(a) < 2 or literal_arg(a[1]) != "desc"))
+    ),
+    # time
+    "Day": lambda a, c: F.dayofmonth(_one(a, c)),
+    "Hour": lambda a, c: F.hour(_one(a, c)),
+    "Minute": lambda a, c: F.minute(_one(a, c)),
+    "Month": lambda a, c: F.month(_one(a, c)),
+    "Year": lambda a, c: F.year(_one(a, c)),
+    "Duration": _duration,
+    "Hours": _dur_conv(3600.0),
+    "Minutes": _dur_conv(60.0),
+    "Seconds": _dur_conv(1.0),
+    "Milliseconds": _dur_conv(1e-3),
+    "Microseconds": _dur_conv(1e-6),
+    "Nanoseconds": _dur_conv(1e-9),
+    "Time": _time,
+    "TruncateTime": _truncate_time,
+    "UnixSeconds": lambda a, c: F.unix_seconds(_one(a, c)),
+    "UnixMilli": lambda a, c: F.unix_millis(_one(a, c)),
+    "UnixMicro": lambda a, c: F.unix_micros(_one(a, c)),
+    "UnixNano": lambda a, c: F.unix_micros(_one(a, c)) * 1000,
+    # nondeterministic (banned in oracle-checked paths, provided for parity)
+    "Now": lambda a, c: F.current_timestamp(),
+    "UUID": lambda a, c: F.expr("uuid()"),
+}

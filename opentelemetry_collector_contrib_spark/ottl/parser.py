@@ -1,0 +1,318 @@
+"""OTTL lexer + recursive-descent parser → AST.
+
+Mirrors the participle grammar of the reference (pkg/ottl/parser.go:231-246,
+grammar.go:14-466) for the subset our engine executes:
+
+  statement  := editor_call ("where" bool_expr)?
+  editor_call:= IDENT "(" args ")"
+  args       := (value ("," value)*)?
+  value      := math_expr
+  math_expr  := term (("+"|"-") term)*          LANGUAGE.md:196-226
+  term       := factor (("*"|"/") factor)*
+  factor     := literal | path | converter_call | "(" math_expr ")" | list
+  bool_expr  := and_expr ("or" and_expr)*       LANGUAGE.md:228-291
+  and_expr   := unary ("and" unary)*
+  unary      := "not" unary | comparison | "(" bool_expr ")" | "true" | "false"
+  comparison := value (("=="|"!="|"<="|">="|"<"|">") value)?
+  path       := IDENT ("." IDENT)* ("[" STRING "]")*
+  list       := "[" (value ("," value)*)? "]"
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class OTTLError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST nodes
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Literal:
+    value: object  # str | int | float | bool | None
+
+
+@dataclass
+class Path:
+    parts: list[str]              # e.g. ["resource", "attributes"]
+    keys: list[str] = field(default_factory=list)  # map index keys
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class ListExpr:
+    items: list
+
+
+@dataclass
+class Binary:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Comparison:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class BoolOp:
+    op: str  # "and" | "or"
+    terms: list
+
+
+@dataclass
+class Not:
+    term: object
+
+
+@dataclass
+class Statement:
+    editor: Call
+    where: object | None
+
+
+# severity enums usable as literals (entry/severity.go:11-52; OTTL exposes
+# SEVERITY_NUMBER_* in conditions)
+_ENUMS = {
+    "SEVERITY_NUMBER_UNSPECIFIED": 0,
+    "SEVERITY_NUMBER_TRACE": 1, "SEVERITY_NUMBER_TRACE2": 2,
+    "SEVERITY_NUMBER_TRACE3": 3, "SEVERITY_NUMBER_TRACE4": 4,
+    "SEVERITY_NUMBER_DEBUG": 5, "SEVERITY_NUMBER_DEBUG2": 6,
+    "SEVERITY_NUMBER_DEBUG3": 7, "SEVERITY_NUMBER_DEBUG4": 8,
+    "SEVERITY_NUMBER_INFO": 9, "SEVERITY_NUMBER_INFO2": 10,
+    "SEVERITY_NUMBER_INFO3": 11, "SEVERITY_NUMBER_INFO4": 12,
+    "SEVERITY_NUMBER_WARN": 13, "SEVERITY_NUMBER_WARN2": 14,
+    "SEVERITY_NUMBER_WARN3": 15, "SEVERITY_NUMBER_WARN4": 16,
+    "SEVERITY_NUMBER_ERROR": 17, "SEVERITY_NUMBER_ERROR2": 18,
+    "SEVERITY_NUMBER_ERROR3": 19, "SEVERITY_NUMBER_ERROR4": 20,
+    "SEVERITY_NUMBER_FATAL": 21, "SEVERITY_NUMBER_FATAL2": 22,
+    "SEVERITY_NUMBER_FATAL3": 23, "SEVERITY_NUMBER_FATAL4": 24,
+}
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<STRING>"(?:\\.|[^"\\])*")
+  | (?P<FLOAT>-?\d+\.\d+)
+  | (?P<INT>-?\d+)
+  | (?P<OP>==|!=|<=|>=|<|>)
+  | (?P<PUNCT>[()\[\],.+\-*/])
+  | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*)
+""",
+    re.VERBOSE,
+)
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RX.match(src, pos)
+        if not m:
+            raise OTTLError(f"lex error at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append((kind, m.group()))
+    toks.append(("EOF", ""))
+    return toks
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _lex(src)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        k, v = self.next()
+        if v != text:
+            raise OTTLError(f"expected {text!r}, got {v!r}")
+        return v
+
+    def at(self, text: str) -> bool:
+        return self.peek()[1] == text
+
+    # ---- values -----------------------------------------------------------
+
+    def value(self):
+        return self.math_expr()
+
+    def math_expr(self):
+        node = self.term()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = Binary(op, node, self.term())
+        return node
+
+    def term(self):
+        node = self.factor()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = Binary(op, node, self.factor())
+        return node
+
+    def factor(self):
+        kind, v = self.peek()
+        if v == "(":
+            self.next()
+            node = self.math_expr()
+            self.expect(")")
+            return node
+        if v == "[":
+            return self.list_expr()
+        if kind == "STRING":
+            self.next()
+            return Literal(_unquote(v))
+        if kind == "FLOAT":
+            self.next()
+            return Literal(float(v))
+        if kind == "INT":
+            self.next()
+            return Literal(int(v))
+        if kind == "IDENT":
+            if v == "nil":
+                self.next()
+                return Literal(None)
+            if v in ("true", "false"):
+                self.next()
+                return Literal(v == "true")
+            if v in _ENUMS:
+                self.next()
+                return Literal(_ENUMS[v])
+            # converter call?  Uppercase first letter = function by OTTL
+            # convention; disambiguate by lookahead for "("
+            if self.toks[self.i + 1][1] == "(":
+                self.next()
+                return self.call(v)
+            return self.path()
+        raise OTTLError(f"unexpected token {v!r}")
+
+    def list_expr(self):
+        self.expect("[")
+        items = []
+        if not self.at("]"):
+            items.append(self.value())
+            while self.at(","):
+                self.next()
+                items.append(self.value())
+        self.expect("]")
+        return ListExpr(items)
+
+    def call(self, name: str) -> Call:
+        self.expect("(")
+        args = []
+        if not self.at(")"):
+            args.append(self.value())
+            while self.at(","):
+                self.next()
+                args.append(self.value())
+        self.expect(")")
+        return Call(name, args)
+
+    def path(self) -> Path:
+        parts = [self.next()[1]]
+        while self.at("."):
+            self.next()
+            parts.append(self.next()[1])
+        keys = []
+        while self.at("["):
+            self.next()
+            kind, v = self.next()
+            if kind != "STRING":
+                raise OTTLError(f"map index must be a string, got {v!r}")
+            keys.append(_unquote(v))
+            self.expect("]")
+        return Path(parts, keys)
+
+    # ---- booleans ---------------------------------------------------------
+
+    def bool_expr(self):
+        terms = [self.and_expr()]
+        while self.at("or"):
+            self.next()
+            terms.append(self.and_expr())
+        return terms[0] if len(terms) == 1 else BoolOp("or", terms)
+
+    def and_expr(self):
+        terms = [self.unary()]
+        while self.at("and"):
+            self.next()
+            terms.append(self.unary())
+        return terms[0] if len(terms) == 1 else BoolOp("and", terms)
+
+    def unary(self):
+        if self.at("not"):
+            self.next()
+            return Not(self.unary())
+        if self.at("("):
+            # could be a parenthesized bool OR a parenthesized math value
+            save = self.i
+            try:
+                self.next()
+                node = self.bool_expr()
+                self.expect(")")
+                return node
+            except OTTLError:
+                self.i = save
+        return self.comparison()
+
+    def comparison(self):
+        left = self.value()
+        if self.peek()[0] == "OP":
+            op = self.next()[1]
+            return Comparison(op, left, self.value())
+        return left  # bare value used as truthy (e.g. IsMatch(...))
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_statement(src: str) -> Statement:
+    """``editor(args...) [where cond]`` → Statement AST
+    (parser.go:137-158 ParseStatement)."""
+    p = _Parser(src)
+    kind, name = p.next()
+    if kind != "IDENT":
+        raise OTTLError(f"statement must start with editor name, got {name!r}")
+    editor = p.call(name)
+    where = None
+    if p.at("where"):
+        p.next()
+        where = p.bool_expr()
+    if p.peek()[0] != "EOF":
+        raise OTTLError(f"trailing tokens at {p.peek()[1]!r}")
+    return Statement(editor, where)
+
+
+def parse_condition(src: str):
+    """Bare boolean expression (filterprocessor conditions,
+    parser.go ParseCondition)."""
+    p = _Parser(src)
+    node = p.bool_expr()
+    if p.peek()[0] != "EOF":
+        raise OTTLError(f"trailing tokens at {p.peek()[1]!r}")
+    return node

@@ -1,0 +1,262 @@
+"""Mini-OTTL statement corpus — mirrors the reference's e2e statement
+tests (pkg/ottl/e2e/e2e_test.go: statement in → full context out).
+
+Each case: input row (canonical log shape) → OTTL statement(s) →
+expected output fields. Run on one small DataFrame in a single pass per
+case; results compared exactly.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_contrib_spark.ottl import (
+    OTTLError,
+    StatementSequence,
+    compile_condition,
+    compile_statement,
+    parse_statement,
+)
+from opentelemetry_collector_contrib_spark.ottl.compiler import Context
+
+LOG_SCHEMA = T.StructType([
+    T.StructField("body", T.StringType()),
+    T.StructField("severity_number", T.IntegerType()),
+    T.StructField("severity_text", T.StringType()),
+    T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("ts", T.TimestampType()),
+])
+
+ROW = {
+    "body": "operationA err=E1234 dur_ms=1500",
+    "severity_number": 17,
+    "severity_text": "ERROR",
+    "attributes": {"http.method": "get", "http.path": "/health", "flags": "A|B|C"},
+    "resource": {"host.name": "localhost"},
+    "ts": datetime.datetime(2025, 1, 1, 10, 30, 45),
+}
+
+
+@pytest.fixture(scope="module")
+def log_df(spark):
+    return spark.createDataFrame([ROW], LOG_SCHEMA)
+
+
+def one(df):
+    return df.collect()[0].asDict(recursive=True)
+
+
+# ---- statement corpus: (statement, field, expected) ----------------------
+CASES = [
+    ('set(attributes["test"], "pass")', None, ("test", "pass")),
+    ('set(attributes["test"], severity_text)', None, ("test", "ERROR")),
+    ('set(attributes["n"], severity_number)', None, ("n", "17")),
+    ('set(attributes["test"], "pass") where severity_number == SEVERITY_NUMBER_ERROR',
+     None, ("test", "pass")),
+    ('set(attributes["test"], "pass") where severity_number < SEVERITY_NUMBER_ERROR',
+     None, ("test", None)),
+    ('set(attributes["test"], "pass") where attributes["http.method"] == "get"',
+     None, ("test", "pass")),
+    ('set(attributes["test"], "pass") where attributes["nope"] == nil',
+     None, ("test", "pass")),
+    ('set(attributes["test"], "pass") where not (severity_text == "INFO")',
+     None, ("test", "pass")),
+    ('set(attributes["test"], "pass") where severity_text == "INFO" or body == "operationA err=E1234 dur_ms=1500"',
+     None, ("test", "pass")),
+    # converters
+    ('set(attributes["c"], Concat(["a", attributes["http.method"]], "-"))',
+     None, ("c", "a-get")),
+    ('set(attributes["c"], ConvertCase(severity_text, "lower"))',
+     None, ("c", "error")),
+    ('set(attributes["c"], ConvertCase(attributes["http.method"], "upper"))',
+     None, ("c", "GET")),
+    ('set(attributes["c"], ConvertCase("http_server_duration", "camel"))',
+     None, ("c", "HttpServerDuration")),
+    ('set(attributes["c"], ConvertCase("fooBarBaz", "snake"))',
+     None, ("c", "foo_bar_baz")),
+    ('set(attributes["c"], Int("42") + 1)', None, ("c", "43")),
+    ('set(attributes["c"], Double("4.5"))', None, ("c", "4.5")),
+    ('set(attributes["c"], Int(4.9))', None, ("c", "4")),
+    ('set(attributes["c"], Len(body))', None, ("c", "32")),
+    ('set(attributes["c"], SHA256("pass"))',
+     None, ("c", "d74ff0ee8da3b9806b18c877dbf29bbde50b5bd8e4dad7a3a725000feb82e8f1")),
+    ('set(attributes["c"], Substring(body, 0, 9))', None, ("c", "operation")),
+    ('set(attributes["c"], Hex(255)) where true', None, ("c", "00000000000000ff")),
+    ('set(attributes["c"], String(severity_number))', None, ("c", "17")),
+    ('set(attributes["c"], Format("%s=%s", ["k", "v"]))', None, ("c", "k=v")),
+    ('set(attributes["c"], Split(attributes["flags"], "|"))',
+     None, ("c", "[A, B, C]")),
+    ('set(attributes["c"], Year(time))', None, ("c", "2025")),
+    ('set(attributes["c"], Hour(time))', None, ("c", "10")),
+    ('set(attributes["c"], UnixSeconds(TruncateTime(time, "1h")))',
+     None, ("c", "1735725600")),
+    ('set(attributes["c"], Seconds(Duration("1h30m")))', None, ("c", "5400.0")),
+    ('set(attributes["c"], IsMatch(body, "err=E\\\\d+"))', None, ("c", "true")),
+    ('set(attributes["c"], "m") where IsMatch(body, "operationA.*")',
+     None, ("c", "m")),
+    # math (LANGUAGE.md:196-226)
+    ('set(attributes["c"], 2 * 3 + 1)', None, ("c", "7")),
+    ('set(attributes["c"], 7 / 2)', None, ("c", "3")),
+    ('set(attributes["c"], 7.0 / 2)', None, ("c", "3.5")),
+    ('set(attributes["c"], (2 + 3) * 2)', None, ("c", "10")),
+]
+
+
+@pytest.mark.parametrize("stmt,_,expect", CASES, ids=[c[0][:60] for c in CASES])
+def test_statement(log_df, stmt, _, expect):
+    fn = compile_statement(stmt)
+    out = one(fn(log_df))
+    key, val = expect
+    got = out["attributes"].get(key)
+    assert got == val, f"{stmt}: attributes[{key}] = {got!r}, want {val!r}"
+
+
+def test_set_scalar_field(log_df):
+    fn = compile_statement('set(severity_text, "SEEN") where severity_number >= 17')
+    assert one(fn(log_df))["severity_text"] == "SEEN"
+
+
+def test_delete_key(log_df):
+    fn = compile_statement('delete_key(attributes, "http.path")')
+    out = one(fn(log_df))
+    assert "http.path" not in out["attributes"]
+    assert "http.method" in out["attributes"]
+
+
+def test_delete_matching_keys(log_df):
+    fn = compile_statement('delete_matching_keys(attributes, "^http.*")')
+    assert set(one(fn(log_df))["attributes"]) == {"flags"}
+
+
+def test_keep_matching_keys(log_df):
+    fn = compile_statement('keep_matching_keys(attributes, "^http.*")')
+    assert set(one(fn(log_df))["attributes"]) == {"http.method", "http.path"}
+
+
+def test_keep_keys(log_df):
+    fn = compile_statement('keep_keys(attributes, ["http.method"])')
+    assert set(one(fn(log_df))["attributes"]) == {"http.method"}
+
+
+def test_truncate_all(log_df):
+    fn = compile_statement("truncate_all(attributes, 3)")
+    out = one(fn(log_df))["attributes"]
+    assert out["http.method"] == "get" and out["http.path"] == "/he"
+
+
+def test_limit_with_priority(log_df):
+    fn = compile_statement('limit(attributes, 2, ["flags"])')
+    out = one(fn(log_df))["attributes"]
+    assert len(out) == 2 and "flags" in out
+
+
+def test_replace_pattern(log_df):
+    fn = compile_statement('replace_pattern(attributes["http.path"], "/health", "/ok")')
+    assert one(fn(log_df))["attributes"]["http.path"] == "/ok"
+
+
+def test_replace_match_glob(log_df):
+    fn = compile_statement('replace_match(attributes["http.path"], "/hea*", "{url}")')
+    assert one(fn(log_df))["attributes"]["http.path"] == "{url}"
+
+
+def test_replace_all_matches(log_df):
+    fn = compile_statement('replace_all_matches(attributes, "get", "GET")')
+    out = one(fn(log_df))["attributes"]
+    assert out["http.method"] == "GET" and out["http.path"] == "/health"
+
+
+def test_replace_all_patterns_keys(log_df):
+    fn = compile_statement('replace_all_patterns(attributes, "key", "^http\\\\.", "h.")')
+    out = one(fn(log_df))["attributes"]
+    assert "h.method" in out and "http.method" not in out
+
+
+def test_merge_maps_upsert(log_df):
+    fn = compile_statement('merge_maps(attributes, resource.attributes, "upsert")')
+    out = one(fn(log_df))["attributes"]
+    assert out["host.name"] == "localhost" and out["http.method"] == "get"
+
+
+def test_merge_maps_insert_keeps_existing(spark):
+    df = spark.createDataFrame(
+        [{"attributes": {"a": "1"}, "resource": {"a": "9", "b": "2"}}],
+        "attributes map<string,string>, resource map<string,string>",
+    )
+    fn = compile_statement('merge_maps(attributes, resource.attributes, "insert")')
+    out = one(fn(df))["attributes"]
+    assert out == {"a": "1", "b": "2"}
+
+
+def test_append(log_df):
+    fn = compile_statement('append(attributes["http.method"], "!")')
+    assert one(fn(log_df))["attributes"]["http.method"] == "get!"
+
+
+def test_extract_patterns(log_df):
+    fn = compile_statement(
+        'set(attributes["code"], ExtractPatterns(body, "err=(?P<code>E\\\\d+)"))'
+    )
+    # struct cast to string — verify the captured piece landed
+    assert "E1234" in one(fn(log_df))["attributes"]["code"]
+
+
+def test_extract_grok(log_df):
+    fn = compile_statement(
+        'set(attributes["g"], ExtractGrokPatterns(body, "err=%{WORD:code} dur_ms=%{INT:dur:int}"))'
+    )
+    got = one(fn(log_df))["attributes"]["g"]
+    assert "E1234" in got and "1500" in got
+
+
+def test_statement_sequence_with_conditions(log_df):
+    seq = StatementSequence(
+        ['set(attributes["seen"], "y")',
+         'delete_key(attributes, "http.path")'],
+        conditions=['severity_number >= SEVERITY_NUMBER_ERROR'],
+    )
+    out = one(seq.apply(log_df))
+    assert out["attributes"]["seen"] == "y"
+    assert "http.path" not in out["attributes"]
+
+    seq2 = StatementSequence(
+        ['set(attributes["seen"], "y")'],
+        conditions=['severity_number >= SEVERITY_NUMBER_FATAL'],
+    )
+    assert "seen" not in one(seq2.apply(log_df))["attributes"]
+
+
+def test_condition_compile(log_df):
+    c = compile_condition('severity_number >= 13 and attributes["http.method"] == "get"')
+    assert log_df.filter(c).count() == 1
+    c2 = compile_condition('IsMatch(body, "nope.*") or severity_text == "ERROR"')
+    assert log_df.filter(c2).count() == 1
+
+
+def test_parse_errors(log_df):
+    with pytest.raises(OTTLError):
+        parse_statement('set(attributes["x"]')  # unbalanced
+    with pytest.raises(OTTLError):
+        compile_statement('frobnicate(attributes)')  # unknown editor
+    with pytest.raises(OTTLError):
+        # unknown paths surface when the statement is bound to a frame
+        compile_statement('set(unknown_path, 1)')(log_df)
+
+
+def test_where_on_missing_guard_keeps_other_rows(spark):
+    df = spark.createDataFrame(
+        [{"attributes": {"k": "1"}, "severity_number": 17},
+         {"attributes": {"k": "2"}, "severity_number": 9}],
+        "attributes map<string,string>, severity_number int",
+    )
+    fn = compile_statement(
+        'set(attributes["hit"], "y") where severity_number >= 17'
+    )
+    rows = {r["attributes"]["k"]: r["attributes"].get("hit")
+            for r in fn(df).collect()}
+    assert rows == {"1": "y", "2": None}
