@@ -51,6 +51,70 @@ def parsed_enriched(
     return enrich_transcripts(df, roles, tools)
 
 
+def flagship_stages(fixture_dir: str, use_pandas_udf: bool = True):
+    """The same DAG as :func:`run_flagship`, expressed as checkpointable
+    runner stages (plans/runner.py) for resumable spark-submit runs.
+
+    Returns (stages, source_fingerprints). Stage graph:
+      enriched ← transcripts scan + parse + broadcast-dim enrich
+      sink_* / metrics_* / conversation_rollup ← enriched checkpoint
+    A restart after e.g. the sinks committed recomputes only the
+    aggregates — the enriched checkpoint is read back, the parse UDF does
+    not run again (the fileconsumer-offset resume analog).
+    """
+    from .runner import Stage, source_fingerprint
+
+    router = build_router()
+
+    def s_enriched(spark, ctx):
+        return parsed_enriched(spark, fixture_dir, use_pandas_udf)
+
+    def sink_fn(name):
+        def fn(spark, ctx):
+            return router.split(ctx["enriched"])[name]
+
+        return fn
+
+    def s_metrics(spark, ctx):
+        tagged = router.tags_multi(ctx["enriched"]).withColumn(
+            "sink", F.explode("routes")
+        )
+        return count_connector(
+            tagged,
+            dims={
+                "sink": None,
+                "severity_text": "DEFAULT",
+                "tool": "<none>",
+                "role": "<none>",
+            },
+        )
+
+    def s_durations(spark, ctx):
+        tagged = router.tags_multi(ctx["enriched"]).withColumn(
+            "sink", F.explode("routes")
+        )
+        return sum_connector(
+            tagged.drop("routes"),
+            source_attribute="dur_ms",
+            dims={"sink": None, "role": "<none>"},
+            metric_name="total_dur_ms",
+        )
+
+    def s_rollup(spark, ctx):
+        return conversation_rollup(ctx["enriched"], salted=True)
+
+    stages = [Stage("enriched", s_enriched, deps=["transcripts"])]
+    for sink in [*[r.route_id for r in router.routes], "default"]:
+        stages.append(Stage(f"sink_{sink}", sink_fn(sink), deps=["enriched"]))
+    stages += [
+        Stage("metrics_counts", s_metrics, deps=["enriched"]),
+        Stage("metrics_durations", s_durations, deps=["enriched"]),
+        Stage("conversation_rollup", s_rollup, deps=["enriched"]),
+    ]
+    fps = {"transcripts": source_fingerprint(fixture_dir)}
+    return stages, fps
+
+
 def run_flagship(
     spark: SparkSession,
     fixture_dir: str,

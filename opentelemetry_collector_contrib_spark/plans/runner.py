@@ -1,0 +1,216 @@
+"""Pipeline runner with per-stage checkpoints, lineage, and resume
+(SURVEY.md §7 Stage 4; north rule: "resumable from checkpoint with
+per-partition lineage + metrics tables").
+
+Reference analog: the collector persists filelog reader offsets through a
+storage extension so a restart resumes where ingest stopped
+(pkg/stanza/fileconsumer/internal/checkpoint/checkpoint.go:20-45,
+pkg/stanza/adapter/storage.go:14-33). Our unit of progress is a *stage*,
+not a byte offset: each stage's output DataFrame is materialized to a
+checkpoint table, and a `_pipeline_state` record commits (stage name,
+input fingerprint, per-output-file row counts = partition lineage, row
+count, wall seconds). A rerun skips every stage whose committed state
+matches the current input fingerprint and replays downstream stages from
+the checkpointed parquet instead of recomputing upstream.
+
+Fingerprints play the role of Iceberg snapshot IDs: a source fingerprint
+hashes the file listing (relative path, size, mtime); a stage fingerprint
+hashes (stage name, its code-version tag, upstream fingerprints). On a
+cluster with an Iceberg catalog the checkpoint format string becomes
+"iceberg" and fingerprints become real snapshot IDs — the control flow is
+unchanged (the state record is engine-agnostic JSON either way).
+
+Atomicity: parquet checkpoint is written first (Spark's own _SUCCESS
+commit protocol), then the state JSON lands via tmp-file + os.replace —
+a crash between the two re-runs the stage, never serves half a table.
+
+Scale notes: state records are O(stages), not O(rows) — driver-side JSON
+is fine at any data scale. Lineage per-file row counts come from Spark's
+own write metrics path (a groupBy over input_file_name() on the
+checkpoint read-back, one cheap metadata-sized job per stage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_DIR = "_pipeline_state"
+
+
+def source_fingerprint(path: str) -> str:
+    """Snapshot-ID analog for a file-based table: hash of the sorted
+    (relpath, size, mtime_ns) listing. Any data change changes it."""
+    h = hashlib.sha256()
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        for root, _dirs, files in sorted(os.walk(path)):
+            for name in sorted(files):
+                if name.startswith((".", "_")):
+                    continue
+                fp = os.path.join(root, name)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class Stage:
+    """One pipeline stage.
+
+    ``fn(spark, ctx) -> DataFrame`` where ctx maps upstream stage names →
+    their (possibly checkpoint-loaded) DataFrames. ``deps`` names the
+    upstream stages whose fingerprints feed this stage's fingerprint.
+    ``version`` bumps the fingerprint when stage code changes semantics.
+    """
+
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    deps: list[str] = field(default_factory=list)
+    version: str = "1"
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str,
+        fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.root = checkpoint_root
+        self.fmt = fmt
+        os.makedirs(os.path.join(self.root, STATE_DIR), exist_ok=True)
+        # observability for tests & logs: which stages actually computed
+        self.computed: list[str] = []
+        self.skipped: list[str] = []
+
+    # -- state records ----------------------------------------------------
+    def _state_path(self, stage: str) -> str:
+        return os.path.join(self.root, STATE_DIR, f"{stage}.json")
+
+    def _load_state(self, stage: str) -> dict | None:
+        try:
+            with open(self._state_path(stage)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _commit_state(self, stage: str, record: dict) -> None:
+        tmp = self._state_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, self._state_path(stage))
+
+    def _ckpt_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    # -- fingerprints ------------------------------------------------------
+    def _stage_fingerprint(
+        self, stage: Stage, fingerprints: dict[str, str]
+    ) -> str:
+        h = hashlib.sha256()
+        h.update(f"{stage.name}@{stage.version}".encode())
+        for dep in stage.deps:
+            h.update(f"|{dep}={fingerprints[dep]}".encode())
+        return h.hexdigest()[:16]
+
+    # -- execution ---------------------------------------------------------
+    def run(
+        self,
+        stages: list[Stage],
+        source_fingerprints: dict[str, str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Run stages in order; resume from committed checkpoints.
+
+        ``source_fingerprints`` seeds the fingerprint map for external
+        inputs referenced in ``deps`` (e.g. {"transcripts": source_fingerprint(dir)}).
+        Returns {stage name: DataFrame} — checkpoint-backed for every stage.
+        """
+        fingerprints = dict(source_fingerprints or {})
+        outputs: dict[str, DataFrame] = {}
+        self.computed, self.skipped = [], []
+
+        for stage in stages:
+            fp = self._stage_fingerprint(stage, fingerprints)
+            fingerprints[stage.name] = fp
+            state = self._load_state(stage.name)
+            ckpt = self._ckpt_path(stage.name)
+
+            if (
+                state is not None
+                and state.get("fingerprint") == fp
+                and state.get("status") == "committed"
+                and os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+            ):
+                outputs[stage.name] = self.spark.read.format(self.fmt).load(ckpt)
+                self.skipped.append(stage.name)
+                continue
+
+            t0 = time.time()
+            df = stage.fn(self.spark, outputs)
+            df.write.format(self.fmt).mode("overwrite").save(ckpt)
+            out = self.spark.read.format(self.fmt).load(ckpt)
+            # per-partition lineage: output file ↔ write task; rows per file
+            lineage_rows = (
+                out.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+            lineage = sorted(
+                ({"file": os.path.basename(r["file"]), "rows": r["rows"]}
+                 for r in lineage_rows),
+                key=lambda p: p["file"],
+            )
+            self._commit_state(
+                stage.name,
+                {
+                    "stage": stage.name,
+                    "fingerprint": fp,
+                    "status": "committed",
+                    "rows_out": int(sum(p["rows"] for p in lineage)),
+                    "n_files": len(lineage),
+                    "partitions": lineage,
+                    "wall_s": round(time.time() - t0, 3),
+                    "deps": {d: fingerprints[d] for d in stage.deps},
+                },
+            )
+            outputs[stage.name] = out
+            self.computed.append(stage.name)
+        return outputs
+
+    def metrics_table(self) -> DataFrame:
+        """The `_pipeline_state` metrics table as a DataFrame (one row per
+        committed stage: rows_out, n_files, wall_s, fingerprint)."""
+        state_dir = os.path.join(self.root, STATE_DIR)
+        recs = []
+        for name in sorted(os.listdir(state_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(state_dir, name)) as f:
+                r = json.load(f)
+            recs.append(
+                (
+                    r["stage"],
+                    r["fingerprint"],
+                    r["status"],
+                    r["rows_out"],
+                    r["n_files"],
+                    float(r["wall_s"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            recs,
+            "stage string, fingerprint string, status string, "
+            "rows_out long, n_files int, wall_s double",
+        )
