@@ -132,7 +132,12 @@ def generate_transcripts(sf: float, out_dir: str) -> dict[str, str]:
             "ts": pa.array([ts[i] for i in perm], pa.timestamp("us")),
         }
     )
-    pq.write_table(table, paths["transcripts"])
+    # 64k-row row groups: a Spark scan can split the file into parallel
+    # tasks only at row-group boundaries — one giant row group would pin
+    # the whole parse stage to a single task (at cluster scale the table
+    # is many files and this is moot, but the invariant is the same:
+    # row-group size bounds scan parallelism).
+    pq.write_table(table, paths["transcripts"], row_group_size=65536)
 
     pq.write_table(
         pa.table(

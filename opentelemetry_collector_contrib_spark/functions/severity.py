@@ -66,6 +66,19 @@ def severity_map_rows() -> list[tuple[str, int, str]]:
     return rows
 
 
+def severity_map_df(spark):
+    """The mapping as a broadcast-able dim DataFrame (token, severity_number,
+    severity_text). Preferred over the CASE-chain columns in any plan where
+    severity feeds further expressions (routing conditions, group keys):
+    a join output is a materialized attribute, while a CASE chain gets
+    re-inlined by projection collapse into every downstream use — fatal
+    when that use is an interpreted higher-order function."""
+    return spark.createDataFrame(
+        severity_map_rows(),
+        "token string, severity_number int, severity_text string",
+    )
+
+
 def severity_text_col(token: Column) -> Column:
     """token (raw string like 'warn', 'WARNING', '503') → canonical
     severity_text; NULL when unmapped (caller decides DEFAULT fallback)."""

@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.severity import severity_number_col, severity_text_col
+from ..functions.severity import (
+    severity_map_df,
+    severity_number_col,
+    severity_text_col,
+)
 
 # ---------------------------------------------------------------------------
 # transcripts parse stage — the tokens FIXTURES.md embeds in `text`
@@ -47,16 +51,29 @@ _PARSE_STRUCT = T.StructType(
 )
 
 
+def _named_group(pattern: str) -> str:
+    """Turn the single positional capture group into the named group RE2's
+    extract_regex requires: first '(' not followed by '?' → '(?P<g>'."""
+    return re.sub(r"\((?!\?)", "(?P<g>", pattern, count=1)
+
+
 def _token_extract_udf():
-    pats = {n: re.compile(p) for n, p in TOKEN_PATTERNS.items()}
+    import pyarrow.compute as pc
+
+    pats = {n: _named_group(p) for n, p in TOKEN_PATTERNS.items()}
 
     @F.pandas_udf(_PARSE_STRUCT)
     def _extract(s: pd.Series) -> pd.DataFrame:
-        # one Arrow batch in, all token columns out in a single pass over
-        # the batch; .str.extract is vectorized C-level regex
+        # one Arrow batch in, all token columns out. The regex engine is
+        # pyarrow's RE2 (C++, vectorized) — ~4× faster than
+        # pandas.str.extract (Python-loop re) on transcript-sized lines.
+        import pyarrow as pa
+
+        arr = pa.Array.from_pandas(s)
         out = {}
         for name, rx in pats.items():
-            out[name] = s.str.extract(rx, expand=False)
+            m = pc.extract_regex(arr, pattern=rx)  # null where no match
+            out[name] = pc.struct_field(m, "g").to_pandas()
         return pd.DataFrame(out)
 
     return _extract
@@ -74,9 +91,14 @@ def parse_transcripts(
     codegen; benchmarked side by side in bench.py).
     Both produce identical results by construction (same regexes).
     """
+    # Built as layered SELECTs, not a withColumn chain: projection collapse
+    # over a withColumn chain that re-references the UDF struct can leave
+    # TWO ArrowEvalPython nodes in the physical plan (the text parsed twice
+    # through Python). One select materializes the struct once; the next
+    # expands its fields; severity layers reference the expanded columns.
     if use_pandas_udf:
         extract = _token_extract_udf()
-        df = df.withColumn("_p", extract(F.col(source)))
+        df = df.select("*", extract(F.col(source)).alias("_p"))
         cols = {n: F.col(f"_p.{n}") for n in TOKEN_PATTERNS}
     else:
         cols = {
@@ -84,19 +106,32 @@ def parse_transcripts(
             for n, p in TOKEN_PATTERNS.items()
         }
 
-    df = (
-        df.withColumn("sev_token", cols["sev_token"])
-        .withColumn("err_code", cols["err_code"])
-        .withColumn("tool_name", cols["tool_name"])
-        .withColumn("call_id", cols["call_id"])
-        .withColumn("dur_ms", cols["dur_ms"].cast("int"))
-        .withColumn("nbytes", cols["nbytes"].cast("long"))
+    df = df.select(
+        "*",
+        cols["sev_token"].alias("sev_token"),
+        cols["err_code"].alias("err_code"),
+        cols["tool_name"].alias("tool_name"),
+        cols["call_id"].alias("call_id"),
+        cols["dur_ms"].cast("int").alias("dur_ms"),
+        cols["nbytes"].cast("long").alias("nbytes"),
     )
     if use_pandas_udf:
         df = df.drop("_p")
-    df = df.withColumn("severity_text", severity_text_col(F.col("sev_token")))
-    df = df.withColumn(
-        "severity_number", severity_number_col(F.col("severity_text"))
+    # severity mapping via broadcast dim join (severity_builder.go presets
+    # as a lookup table). NOT the when-chain columns: those get re-inlined
+    # into every downstream expression by projection collapse — the routing
+    # conditions then carry N copies of the full chain into interpreted
+    # (non-codegen) higher-order functions. A join output is a materialized
+    # attribute; downstream plans reference it, never recompute it.
+    dim = severity_map_df(df.sparkSession)
+    df = (
+        df.join(
+            F.broadcast(dim),
+            F.upper(F.col("sev_token")) == dim["token"],
+            "left",
+        )
+        .drop("token")
+        .withColumn("severity_number", F.coalesce("severity_number", F.lit(0)))
     )
     return df
 

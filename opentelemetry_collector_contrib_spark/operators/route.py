@@ -105,7 +105,7 @@ class Router:
             tagged = self.tag(df)
         else:
             tagged = self.tags_multi(df).withColumn(
-                "route", F.explode("routes")
+                "route", F.explode_outer("routes")
             ).drop("routes")
         (
             tagged.write.mode("overwrite")

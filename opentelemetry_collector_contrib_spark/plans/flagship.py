@@ -77,7 +77,7 @@ def flagship_stages(fixture_dir: str, use_pandas_udf: bool = True):
 
     def s_metrics(spark, ctx):
         tagged = router.tags_multi(ctx["enriched"]).withColumn(
-            "sink", F.explode("routes")
+            "sink", F.explode_outer("routes")
         )
         return count_connector(
             tagged,
@@ -91,7 +91,7 @@ def flagship_stages(fixture_dir: str, use_pandas_udf: bool = True):
 
     def s_durations(spark, ctx):
         tagged = router.tags_multi(ctx["enriched"]).withColumn(
-            "sink", F.explode("routes")
+            "sink", F.explode_outer("routes")
         )
         return sum_connector(
             tagged.drop("routes"),
@@ -128,7 +128,7 @@ def run_flagship(
 
     # countconnector: per-sink × severity × tool × role counts
     tagged = router.tags_multi(enriched).withColumn(
-        "sink", F.explode("routes")
+        "sink", F.explode_outer("routes")
     )
     metrics = count_connector(
         tagged,

@@ -242,7 +242,7 @@ FROM parsed""",
     def t_counts(spark, sf_dir):
         df = _parsed(spark, sf_dir)
         tagged = build_router().tags_multi(df).withColumn(
-            "sink", F.explode("routes")
+            "sink", F.explode_outer("routes")
         )
         return count_connector(
             tagged,
@@ -268,7 +268,7 @@ FROM routed GROUP BY 1, 2, 3, 4""",
     def t_sum_durations(spark, sf_dir):
         df = _parsed(spark, sf_dir)
         tagged = build_router().tags_multi(df).withColumn(
-            "sink", F.explode("routes")
+            "sink", F.explode_outer("routes")
         )
         return sum_connector(
             tagged, "dur_ms", {"sink": None, "role": "<none>"},

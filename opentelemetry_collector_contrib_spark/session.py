@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-bench sizing: our sf tiers are single small parquet files, so
+        # the default 128 MB split would serialize the (UDF-heavy) parse
+        # stage onto one task. 8 MB splits ≈ one row group per task here.
+        # On a cluster at 100 TB the table is thousands of files — leave
+        # this at the 128 MB default there (spark-submit --conf overrides).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
