@@ -177,6 +177,65 @@ def generate_transcripts(sf: float, out_dir: str) -> dict[str, str]:
     return paths
 
 
+def generate_media(sf: float, out_dir: str) -> str:
+    """media.parquet: opaque binary payloads + typed metadata (the
+    multimodal-column substrate — image/audio/video as BINARY with a
+    fixed metadata envelope). Deterministic PCG64(seed+7); payload bytes
+    are entropy, decode is stubbed engine-side."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "media.parquet")
+    if os.path.exists(path):
+        return path
+    n = max(int(2_000 * sf), 24)
+    rng = np.random.default_rng(np.random.PCG64(SEED + 7))
+    kinds = rng.choice(["image", "audio", "video"], n, p=[0.5, 0.3, 0.2])
+    rows = {
+        "media_id": [f"m{i:06d}" for i in range(n)],
+        "media_type": kinds.tolist(),
+        "payload": [],
+        "width": [], "height": [], "sample_rate": [],
+        "duration_ms": [], "n_frames": [],
+    }
+    for i, k in enumerate(kinds):
+        size = int(rng.integers(64, 4096))
+        rows["payload"].append(rng.bytes(size))
+        if k == "image":
+            rows["width"].append(int(rng.choice([320, 640, 1024])))
+            rows["height"].append(int(rng.choice([240, 480, 768])))
+            rows["sample_rate"].append(None)
+            rows["duration_ms"].append(None)
+            rows["n_frames"].append(1)
+        elif k == "audio":
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["sample_rate"].append(int(rng.choice([16000, 44100])))
+            rows["duration_ms"].append(int(rng.integers(500, 60000)))
+            rows["n_frames"].append(None)
+        else:
+            rows["width"].append(int(rng.choice([640, 1280])))
+            rows["height"].append(int(rng.choice([360, 720])))
+            rows["sample_rate"].append(None)
+            rows["duration_ms"].append(int(rng.integers(1000, 120000)))
+            rows["n_frames"].append(int(rng.integers(24, 2400)))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(rows["media_id"], pa.string()),
+                "media_type": pa.array(rows["media_type"], pa.string()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+                "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+                "n_frames": pa.array(rows["n_frames"], pa.int32()),
+            }
+        ),
+        path,
+        row_group_size=65536,
+    )
+    return path
+
+
 def ensure_fixture_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture dir,
     generating it on first use. Accepts either a driver dir or an sf tag."""
@@ -186,4 +245,5 @@ def ensure_fixture_dir(sf_dir: str) -> str:
     sf = float(tag[2:])
     out_dir = os.path.abspath(os.path.join(DATA_ROOT, tag))
     generate_transcripts(sf, out_dir)
+    generate_media(sf, out_dir)
     return out_dir

@@ -511,7 +511,57 @@ FROM parsed""",
     _register_events(reg)
     _register_documents(reg)
     _register_embeddings(reg)
+    _register_media(reg)
     return queries, oracles
+
+
+# ---------------------------------------------------------------------------
+# multimodal: opaque binary payload + typed metadata (multimodal.py)
+# ---------------------------------------------------------------------------
+
+_MEDIA = f"read_parquet('{ORACLE_FX}/media.parquet')"
+
+
+def _register_media(reg) -> None:
+    from .multimodal import frame_offsets, media_features
+
+    def _media(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return spark.read.parquet(os.path.join(fx, "media.parquet"))
+
+    # mapInPandas byte-level feature extraction; hash is md5 over lowercase
+    # hex so DuckDB reproduces it without blob-md5 support
+    def m_features(spark, sf_dir):
+        return media_features(_media(spark, sf_dir)).select(
+            "media_id", "media_type", "n_bytes", "payload_hash"
+        )
+
+    reg(
+        "m_features",
+        m_features,
+        f"""SELECT media_id, media_type,
+       octet_length(payload)::BIGINT AS n_bytes,
+       md5(lower(hex(payload))) AS payload_hash
+FROM {_MEDIA}""",
+    )
+
+    # JVM-side frame-sampling plan (k evenly spaced frames per video)
+    def m_frame_offsets(spark, sf_dir):
+        return frame_offsets(_media(spark, sf_dir), k=4)
+
+    reg(
+        "m_frame_offsets",
+        m_frame_offsets,
+        f"""WITH v AS (
+  SELECT media_id, n_frames, octet_length(payload)::BIGINT AS n_bytes
+  FROM {_MEDIA} WHERE media_type = 'video' AND n_frames >= 1
+)
+SELECT DISTINCT media_id,
+       ((i * n_frames) // 4)::INT AS frame_no,
+       (((i * n_frames) // 4) * (n_bytes // n_frames))::BIGINT AS byte_offset,
+       (n_bytes // n_frames)::BIGINT AS frame_len
+FROM v, UNNEST(generate_series(0, 3)) AS t(i)""",
+    )
 
 
 # ---------------------------------------------------------------------------

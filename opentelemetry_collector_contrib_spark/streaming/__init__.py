@@ -1,0 +1,32 @@
+"""Structured Streaming realization of the logs pipeline.
+
+The reference collector IS a streaming system: receivers tail sources
+continuously and push micro-batches down the processor chain
+(pkg/stanza/adapter/converter.go:227 `Batch`). The batch engine in
+``plans/`` reproduces the per-batch semantics; this package reproduces
+the continuous shape with Spark Structured Streaming:
+
+- file-source readStream ↔ filelog receiver poll loop
+  (pkg/stanza/fileconsumer/file.go:107) — new files are the new-bytes
+  analog, checkpointLocation is the offset store
+  (fileconsumer/internal/checkpoint/checkpoint.go:20-45);
+- watermark + tumbling-window dedup ↔ logdedup processor's interval
+  ticker (processor/logdedupprocessor/processor.go:81-143) re-specified
+  on event time;
+- foreachBatch routed fan-out ↔ routingconnector feeding per-severity /
+  per-tool exporters (connector/routingconnector/logs.go:62-119).
+"""
+
+from .pipeline import (
+    logdedup_stream,
+    read_transcripts_stream,
+    recombine_session_stream,
+    streaming_flagship,
+)
+
+__all__ = [
+    "read_transcripts_stream",
+    "streaming_flagship",
+    "logdedup_stream",
+    "recombine_session_stream",
+]

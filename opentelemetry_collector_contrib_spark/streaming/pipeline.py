@@ -1,0 +1,173 @@
+"""Streaming pipeline stages (see package docstring for reference map).
+
+Everything reuses the batch operators — parse/enrich/route are ordinary
+DataFrame→DataFrame functions, so the same code runs under readStream
+(Catalyst treats them identically; only sinks/triggers differ). That is
+the Spark analog of the reference using the SAME processor chain for
+every receiver type.
+
+Scale notes: the file source lists new files per trigger (cheap against
+an object store with a manifest/Iceberg layout); maxFilesPerTrigger
+bounds micro-batch size like the collector's `batch` processor bounds
+send size. State stores (dedup window, session window) are keyed by
+(window, group) — hot conv_ids salt exactly as in the batch rollup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import enrich_transcripts
+from ..operators.parse import parse_transcripts
+from ..schema import TRANSCRIPT_SCHEMA
+from ..sources.readers import read_dims
+
+
+def read_transcripts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """filelog-receiver analog: stream of transcript parquet files landing
+    in a directory. Schema is fixed (streaming file sources never infer)."""
+    r = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def parsed_enriched_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dims_dir: str,
+    use_pandas_udf: bool = True,
+) -> DataFrame:
+    """parse + broadcast-dim enrich on a stream — identical operator code
+    to the batch path; dims stay batch DataFrames (stream-static join,
+    broadcast on the static side)."""
+    stream = read_transcripts_stream(spark, input_dir)
+    parsed = parse_transcripts(stream, use_pandas_udf=use_pandas_udf)
+    roles, tools = read_dims(spark, dims_dir)
+    return enrich_transcripts(parsed, roles, tools)
+
+
+def streaming_flagship(
+    spark: SparkSession,
+    input_dir: str,
+    dims_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    use_pandas_udf: bool = True,
+):
+    """End-to-end streaming job: parse → enrich → routed fan-out sinks.
+
+    foreachBatch applies the batch Router to every micro-batch — one pass,
+    tag + partitionBy(route) append — so routed-row sets are byte-identical
+    to the batch engine on the same input (verified in tests). Returns the
+    StreamingQuery; with available_now the query drains all current input
+    and stops (deterministic for tests), otherwise it runs continuously.
+    """
+    from ..plans.flagship import build_router
+
+    enriched = parsed_enriched_stream(
+        spark, input_dir, dims_dir, use_pandas_udf
+    )
+    router = build_router()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if router.match_once:
+            tagged = router.tag(batch_df)
+        else:
+            tagged = (
+                router.tags_multi(batch_df)
+                .withColumn("route", F.explode_outer("routes"))
+                .drop("routes")
+            )
+        (
+            tagged.write.mode("append")
+            .partitionBy("route")
+            .parquet(os.path.join(out_dir, "sinks"))
+        )
+
+    writer = (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def logdedup_stream(
+    enriched: DataFrame,
+    interval: str = "1 minute",
+    watermark: str = "2 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """logdedup processor on a stream: watermarked tumbling window, one
+    row per (window, dedup key) with log_count / first_observed /
+    last_observed — processor.go:81-143 & counter.go:45-95 semantics on
+    event time. Late rows beyond the watermark are dropped (the reference
+    ticker would likewise have already exported the interval)."""
+    keys = keys or ["role", "severity_text", "text"]
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min("ts").alias("first_observed_timestamp"),
+            F.max("ts").alias("last_observed_timestamp"),
+        )
+        .select(
+            F.col("w.start").alias("interval_start"),
+            *keys,
+            "log_count",
+            "first_observed_timestamp",
+            "last_observed_timestamp",
+        )
+    )
+
+
+def recombine_session_stream(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    source_col: str = "conv_id",
+    combine_col: str = "text",
+    combine_with: str = "\n",
+) -> DataFrame:
+    """recombine operator (transformer/recombine/transformer.go:97-244) on
+    a stream: session_window sessionization per source id — the streaming
+    analog of force_flush_period closing a stale batch (config.go:59).
+
+    Ordering caveat: collect_list over a stream is arrival-ordered, so the
+    stitched text is ordered by (turn_idx) via array_sort over
+    (turn_idx, text) structs, NOT by arrival — same stable-order contract
+    as the batch recombine."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col(source_col)
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", combine_col))
+            ).alias("_parts"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+        .select(
+            F.col(source_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_entries",
+            F.concat_ws(
+                combine_with,
+                F.transform("_parts", lambda p: p[combine_col]),
+            ).alias("combined"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Structured Streaming pipeline: routed-row equality vs the batch engine.
+
+The invariant under test mirrors the reference's receiver-independence:
+the same processor chain must produce the same records whether fed by a
+one-shot drain or a tailing receiver (testbed correctness harness idea,
+testbed/correctnesstests). Here: streaming flagship (availableNow drain)
+vs batch Router.split on identical input.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.flagship import (
+    build_router,
+    parsed_enriched,
+)
+from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+    logdedup_stream,
+    read_transcripts_stream,
+    recombine_session_stream,
+    streaming_flagship,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(sf_dir, tmp_path_factory):
+    """transcripts.parquet alone in a directory (a streaming file source
+    reads every file in the dir, so the dim tables must not be there)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    shutil.copy(
+        os.path.join(sf_dir, "transcripts.parquet"),
+        d / "transcripts.parquet",
+    )
+    return str(d)
+
+
+def test_streaming_flagship_routed_rows_match_batch(
+    spark, sf_dir, stream_input, tmp_path
+):
+    out_dir = str(tmp_path / "out")
+    q = streaming_flagship(
+        spark,
+        stream_input,
+        sf_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    enriched = parsed_enriched(spark, sf_dir)
+    sinks = build_router().split(enriched)
+
+    key_cols = ["conv_id", "turn_idx"]
+    for route, batch_df in sinks.items():
+        want = sorted(map(tuple, batch_df.select(*key_cols).collect()))
+        have = sorted(
+            map(
+                tuple,
+                got.filter(F.col("route") == route)
+                .select(*key_cols)
+                .collect(),
+            )
+        )
+        assert have == want, f"route {route}: {len(have)} vs {len(want)}"
+
+    # per-turn text byte equality through the streaming path
+    texts_stream = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in got.filter(F.col("route") == "default")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    }
+    texts_batch = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in sinks["default"].select("conv_id", "turn_idx", "text").collect()
+    }
+    assert texts_stream == texts_batch
+
+    # exactly-once resume: restarting the drained query appends nothing
+    n_before = got.count()
+    q2 = streaming_flagship(
+        spark,
+        stream_input,
+        sf_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(os.path.join(out_dir, "sinks")).count() == n_before
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_logdedup_stream_matches_batch_windows(spark, sf_dir, stream_input):
+    stream = read_transcripts_stream(spark, stream_input)
+    dd = logdedup_stream(
+        stream, interval="1 minute", keys=["role"]
+    )
+    _run_to_memory(dd, "dedup_stream", "complete")
+    got = sorted(
+        map(
+            tuple,
+            spark.table("dedup_stream")
+            .select("interval_start", "role", "log_count")
+            .collect(),
+        )
+    )
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(
+                F.window("ts", "1 minute").alias("w"), "role"
+            )
+            .agg(F.count(F.lit(1)).alias("log_count"))
+            .select(
+                F.col("w.start").alias("interval_start"), "role", "log_count"
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_recombine_session_stream(spark, sf_dir, stream_input):
+    stream = read_transcripts_stream(spark, stream_input)
+    rc = recombine_session_stream(stream, gap="24 hours")
+    _run_to_memory(rc, "recombine_stream", "complete")
+    got = spark.table("recombine_stream")
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    # 24h gap >> fixture span ⇒ one session per conversation, so combined
+    # must equal the turn_idx-ordered concat of that conversation's turns
+    want = (
+        batch.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda p: p["text"],
+                ),
+            ).alias("combined"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )
+    g = {r["conv_id"]: (r["combined"], r["n_entries"]) for r in got.collect()}
+    w = {r["conv_id"]: (r["combined"], r["n_entries"]) for r in want.collect()}
+    assert g == w
