@@ -512,6 +512,7 @@ FROM parsed""",
     _register_documents(reg)
     _register_embeddings(reg)
     _register_media(reg)
+    _register_scale_paths(reg)
     return queries, oracles
 
 
@@ -915,4 +916,211 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
 )
 SELECT vec_id, CAST({plane_bits} AS BIGINT) AS bucket
 FROM base""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale paths: full LSH dedup pipeline, ANN pair generation, kNN join,
+# extra parser coverage (csv / syslog shapes)
+# ---------------------------------------------------------------------------
+
+def _register_scale_paths(reg) -> None:
+    from .dedup_text import minhash_dedup_pairs
+    from .operators.parse import csv_parser, regex_parser
+    from .similarity import knn_join_bruteforce, lsh_ann_pairs
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _ev2(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    # ---- d_minhash_pairs: the COMPLETE near-dup pipeline ------------------
+    # shingle → 8 minhashes → 4 bands × 2 rows → bucket join → exact
+    # jaccard verify (computed only on candidates — the LSH point).
+    def d_minhash_pairs(spark, sf_dir):
+        return minhash_dedup_pairs(
+            _docs(spark, sf_dir), num_hashes=8, bands=4, n=3, threshold=0.8
+        )
+
+    sig_cols = ",\n       ".join(
+        f"min(CASE WHEN seed = {i} THEN h END)::BIGINT AS sig_{i}"
+        for i in range(8)
+    )
+    band_arms = " ".join(
+        f"WHEN {b} THEN md5(sig_{2 * b}::VARCHAR || '_' || sig_{2 * b + 1}::VARCHAR)"
+        for b in range(4)
+    )
+    reg(
+        "d_minhash_pairs",
+        d_minhash_pairs,
+        f"""WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 8))::BIGINT AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+), sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, CASE band {band_arms} END AS band_hash
+  FROM sigs, UNNEST(generate_series(0, 3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1
+), common AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8""",
+    )
+
+    # ---- s_ann_pairs: bucketed ANN near-dup pairs -------------------------
+    def s_ann_pairs(spark, sf_dir):
+        return lsh_ann_pairs(_emb(spark, sf_dir), n_planes=8, threshold=0.3)
+
+    plane_bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(embedding, range_idx), "
+        f"t -> CAST(t[1] AS DOUBLE) * (((t[2] - 1) * {p + 3} + {p}) % 7 - 3))), "
+        f"(a, b) -> a + b) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    reg(
+        "s_ann_pairs",
+        s_ann_pairs,
+        f"""WITH base AS (
+  SELECT vec_id, embedding,
+         generate_series(1, len(embedding)) AS range_idx
+  FROM embeddings
+), buckets AS (
+  SELECT vec_id, embedding, CAST({plane_bits} AS BIGINT) AS bucket FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3""",
+    )
+
+    # ---- s_knn_join: brute-force kNN for a small query set ----------------
+    def s_knn_join(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.filter(F.col("vec_id") < 3)
+        return knn_join_bruteforce(emb, queries_df, k=5)
+
+    reg(
+        "s_knn_join",
+        s_knn_join,
+        """WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.q_vec), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rn::INT AS rn FROM ranked WHERE rn <= 5""",
+    )
+
+    # ---- e_csv_parse: csv_parser (parser/csv/config.go:38-43) -------------
+    def e_csv_parse(spark, sf_dir):
+        ev = _ev2(spark, sf_dir).select(
+            "event_id",
+            F.concat_ws(
+                ",",
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("user_id"),
+            ).alias("line"),
+        )
+        parsed = csv_parser(
+            ev, "line", "eid BIGINT, et STRING, uid BIGINT", to="p"
+        )
+        return parsed.select(
+            "event_id",
+            F.col("p.eid").alias("eid"),
+            F.col("p.et").alias("et"),
+            F.col("p.uid").alias("uid"),
+        )
+
+    reg(
+        "e_csv_parse",
+        e_csv_parse,
+        """WITH lines AS (
+  SELECT event_id,
+         event_id::VARCHAR || ',' || event_type || ',' || user_id::VARCHAR AS line
+  FROM events
+)
+SELECT event_id,
+       split_part(line, ',', 1)::BIGINT AS eid,
+       split_part(line, ',', 2) AS et,
+       split_part(line, ',', 3)::BIGINT AS uid
+FROM lines""",
+    )
+
+    # ---- e_syslog_parse: RFC3164 shape via the grok engine ----------------
+    # (parser/syslog/config.go:53-58). The line is constructed from event
+    # fields, then round-tripped through the vectorized grok UDF; the
+    # oracle computes the ground truth directly — value equality proves
+    # the regex extraction.
+    def e_syslog_parse(spark, sf_dir):
+        ev = _ev2(spark, sf_dir)
+        pri = (F.col("user_id") % 8 + 8 * 3).cast("int")
+        pid = (F.col("event_id") % 30000).cast("int")
+        line = F.format_string(
+            "<%d>Jan  1 00:00:00 host%d app[%d]: %s",
+            pri,
+            (F.col("user_id") % 4).cast("int"),
+            pid,
+            F.col("event_type"),
+        )
+        df = ev.select("event_id", line.alias("line"))
+        parsed = regex_parser(
+            df,
+            "line",
+            r"<%{NONNEGINT:pri}>%{DATA:sl_ts} %{HOSTNAME:host} "
+            r"%{WORD:app}\[%{NONNEGINT:procid}\]: %{GREEDYDATA:msg}",
+        )
+        return parsed.select(
+            "event_id",
+            (F.col("pri").cast("int") / 8).cast("int").alias("facility"),
+            (F.col("pri").cast("int") % 8).alias("severity"),
+            F.col("host"),
+            F.col("procid").cast("bigint").alias("procid"),
+            F.col("msg"),
+        )
+
+    reg(
+        "e_syslog_parse",
+        e_syslog_parse,
+        """SELECT event_id,
+       ((user_id % 8 + 24) // 8)::INT AS facility,
+       ((user_id % 8 + 24) % 8)::BIGINT AS severity,
+       'host' || (user_id % 4)::VARCHAR AS host,
+       (event_id % 30000)::BIGINT AS procid,
+       event_type AS msg
+FROM events""",
     )
