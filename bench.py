@@ -65,16 +65,28 @@ def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
     for name in HEADLINE:
         t0 = time.monotonic()
         if name == "flagship":
+            import shutil
+            import tempfile
+
             outs = run_flagship(spark, fx)
-            # enriched feeds 4 sinks + 2 metric tables + rollup; cache it
+            # enriched feeds the sinks + 2 metric tables + rollup; cache it
             # once like routingconnector's route-group batching
             outs["enriched"].persist()
+            sink_dir = tempfile.mkdtemp(prefix="bench_sinks_")
             try:
-                for k, df in outs.items():
-                    if k != "enriched":
-                        _materialize(df)
+                # sinks: ONE pass — multi-match tag, explode, partitioned
+                # parquet write (the actual exporter fan-out, not noop)
+                from opentelemetry_collector_contrib_spark.plans.flagship import (
+                    build_router,
+                )
+
+                build_router().write_routed(outs["enriched"], sink_dir)
+                for k in ("metrics_counts", "metrics_durations",
+                          "conversation_rollup"):
+                    _materialize(outs[k])
             finally:
                 outs["enriched"].unpersist()
+                shutil.rmtree(sink_dir, ignore_errors=True)
             dt = time.monotonic() - t0
             turns_per_sec = n_turns / dt
         else:
@@ -104,15 +116,19 @@ def _flagship_throughput_subprocess(cores: int, sf_dir: str) -> dict:
         f"sys.path.insert(0,{os.path.dirname(os.path.abspath(__file__))!r});"
         "from opentelemetry_collector_contrib_spark.session import get_spark;"
         "from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir;"
-        "from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship;"
+        "from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship,build_router;"
+        "import tempfile,shutil;"
         f"spark=get_spark(app_name='scale{cores}',cores={cores});"
         f"fx=ensure_fixture_dir({sf_dir!r});"
         "n=spark.read.parquet(os.path.join(fx,'transcripts.parquet')).count();"
         "t0=time.monotonic();"
         "outs=run_flagship(spark,fx);"
         "outs['enriched'].persist();"
-        "[df.write.format('noop').mode('overwrite').save() for k,df in outs.items() if k!='enriched'];"
+        "d=tempfile.mkdtemp(prefix='scale_sinks_');"
+        "build_router().write_routed(outs['enriched'],d);"
+        "[outs[k].write.format('noop').mode('overwrite').save() for k in ('metrics_counts','metrics_durations','conversation_rollup')];"
         "dt=time.monotonic()-t0;"
+        "shutil.rmtree(d,ignore_errors=True);"
         f"print('RESULT '+json.dumps({{'cores':{cores},'sec':round(dt,3),'turns':n,'turns_per_sec':round(n/dt,1)}}))"
     )
     out = subprocess.run(

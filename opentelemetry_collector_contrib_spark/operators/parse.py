@@ -76,7 +76,13 @@ def _token_extract_udf():
             out[name] = pc.struct_field(m, "g").to_pandas()
         return pd.DataFrame(out)
 
-    return _extract
+    # The UDF is pure, but marking it nondeterministic stops Catalyst from
+    # substituting it into filters pushed through the projection above it —
+    # which would re-evaluate the whole extraction a second time per route
+    # filter (observed as stacked ArrowEvalPython nodes). Costs nothing:
+    # every downstream predicate depends on the UDF output anyway, so no
+    # useful scan pushdown is lost.
+    return _extract.asNondeterministic()
 
 
 def parse_transcripts(
