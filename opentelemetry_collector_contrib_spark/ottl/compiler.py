@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import CONVERTERS, literal_arg
 from .parser import (
@@ -348,8 +349,64 @@ def _glob_to_rx(glob: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def _ed_flatten(stmt, ctx, df, cond):
+    """flatten editor (ottlfuncs/README.md:129 — flatten(target, prefix,
+    depth)): flatten a nested structure into dotted keys. In this engine's
+    typed model, attributes maps are MAP<STRING,STRING> (flat by
+    construction — flattening is a prefix rename at most); the genuinely
+    nested case is a parsed STRUCT column (e.g. from_json output), which
+    flattens statically from its schema into a MAP of leaf paths —
+    resolved entirely at compile time, zero runtime dispatch."""
+    args = stmt.editor.args
+    target = args[0]
+    prefix = str(literal_arg(args[1])) if len(args) > 1 else ""
+    depth = int(literal_arg(args[2])) if len(args) > 2 else None
+    col = _map_target(ctx, target)
+    dtype = df.schema[col].dataType
+
+    if isinstance(dtype, T.MapType):
+        if not prefix:
+            return df  # already depth-1
+        new = F.transform_keys(
+            F.col(col), lambda k, _: F.concat(F.lit(prefix + "."), k)
+        )
+        return df.withColumn(col, _guard_map(col, new, cond))
+
+    if isinstance(dtype, T.StructType):
+        kv: list[Column] = []
+
+        def walk(st: T.StructType, parts: list[str], d: int) -> None:
+            for fld in st.fields:
+                p = [*parts, fld.name]
+                if isinstance(fld.dataType, T.StructType) and (
+                    depth is None or d <= depth
+                ):
+                    walk(fld.dataType, p, d + 1)
+                else:
+                    name = ".".join(([prefix] if prefix else []) + p)
+                    c = F.col(col)
+                    for part in p:
+                        c = c.getField(part)
+                    kv.extend([F.lit(name), c.cast("string")])
+
+        walk(dtype, [], 1)
+        new = F.create_map(*kv)
+        if cond is not None:
+            # flattening a struct changes the COLUMN TYPE (struct → map);
+            # a per-row `where` can't leave some rows struct-typed in a
+            # relational engine. The reference mutates rows independently
+            # and has no such constraint — documented deviation.
+            raise OTTLError(
+                "flatten on a struct target cannot take a where clause"
+            )
+        return df.withColumn(col, new)
+
+    raise OTTLError("flatten target must be a map or struct column")
+
+
 EDITORS = {
     "set": _ed_set,
+    "flatten": _ed_flatten,
     "delete_key": _ed_delete_key,
     "delete_matching_keys": _ed_delete_matching_keys,
     "keep_matching_keys": _ed_keep_matching_keys,

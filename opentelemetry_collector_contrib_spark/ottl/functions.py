@@ -79,6 +79,24 @@ def _split(args, ctx):
     return F.split(c, re.escape(literal_arg(args[1])))
 
 
+# converters whose results are arrays / maps — Len must count elements
+# (ottlfuncs/README.md:975: Len of a slice/map is its cardinality, not the
+# length of a string rendering). Dispatch is static on the argument AST.
+_ARRAY_FNS = {"Split", "ParseCSV", "Sort"}
+_MAP_FNS = {"ParseJSON", "ParseKeyValue", "ExtractPatterns",
+            "ExtractGrokPatterns"}
+
+
+def _len(args, ctx):
+    node = args[0]
+    fn_name = getattr(node, "name", None)  # set only for Call nodes
+    if fn_name in _ARRAY_FNS:
+        return F.size(_one(args, ctx))
+    if fn_name in _MAP_FNS:
+        return F.size(F.map_keys(_one(args, ctx)))
+    return F.length(_one(args, ctx).cast("string"))
+
+
 def _format(args, ctx):
     # Format(formatString, [args]) README.md:725
     fmt = literal_arg(args[0])
@@ -153,9 +171,14 @@ def _duration(args, ctx):
     return F.lit(parse_go_duration(literal_arg(args[0])))
 
 
-def _dur_conv(divisor: float):
+def _dur_conv(divisor: float, integral: bool = False):
+    """Duration seconds → unit. Go semantics: Duration.Hours/Minutes/
+    Seconds return float64, but Milliseconds/Microseconds/Nanoseconds
+    return int64 — integral units round to long (also avoids float
+    division artifacts like 1e-3/1e-6 = 1000.0000000000001)."""
     def fn(args, ctx):
-        return _one(args, ctx) / F.lit(divisor)
+        out = _one(args, ctx) / F.lit(divisor)
+        return F.round(out).cast("long") if integral else out
 
     return fn
 
@@ -205,7 +228,7 @@ CONVERTERS = {
     "Concat": _concat,
     "ConvertCase": _convert_case,
     "Format": _format,
-    "Len": lambda a, c: F.length(_one(a, c).cast("string")),
+    "Len": lambda a, c: _len(a, c),
     "Log": lambda a, c: F.log(_one(a, c)),
     "Split": _split,
     "Substring": _substring,
@@ -250,9 +273,9 @@ CONVERTERS = {
     "Hours": _dur_conv(3600.0),
     "Minutes": _dur_conv(60.0),
     "Seconds": _dur_conv(1.0),
-    "Milliseconds": _dur_conv(1e-3),
-    "Microseconds": _dur_conv(1e-6),
-    "Nanoseconds": _dur_conv(1e-9),
+    "Milliseconds": _dur_conv(1e-3, integral=True),
+    "Microseconds": _dur_conv(1e-6, integral=True),
+    "Nanoseconds": _dur_conv(1e-9, integral=True),
     "Time": _time,
     "TruncateTime": _truncate_time,
     "UnixSeconds": lambda a, c: F.unix_seconds(_one(a, c)),

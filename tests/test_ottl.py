@@ -104,6 +104,91 @@ CASES = [
     ('set(attributes["c"], 7 / 2)', None, ("c", "3")),
     ('set(attributes["c"], 7.0 / 2)', None, ("c", "3.5")),
     ('set(attributes["c"], (2 + 3) * 2)', None, ("c", "10")),
+    ('set(attributes["c"], 10 - 4)', None, ("c", "6")),
+    ('set(attributes["c"], 1.5 + 2.5)', None, ("c", "4.0")),
+    ('set(attributes["c"], 100 / 7)', None, ("c", "14")),
+    # encoding / hashing converters
+    ('set(attributes["c"], Base64Decode("cGFzcw=="))', None, ("c", "pass")),
+    ('set(attributes["c"], Trim("  x "))', None, ("c", "x")),
+    ('set(attributes["c"], MD5("pass"))',
+     None, ("c", "1a1dc91c907325c69271ddf0c944bc72")),
+    ('set(attributes["c"], SHA1("pass"))',
+     None, ("c", "9d4e1e23bd5b727046a9e3b4b7db57bd8d6ee684")),
+    ('set(attributes["c"], SHA512("pass"))',
+     None, ("c", "5b722b307fce6c944905d132691d5e4a2214b7fe92b738920eb3fce3a90420a19511c3010a0e7712b054daef5b57bad59ecbd93b3280f210578f547f4aed4d25")),
+    ('set(attributes["c"], Hex("ff"))', None, ("c", "6666")),
+    ('set(attributes["c"], Hex(255) )', None, ("c", "00000000000000ff")),
+    # string converters
+    ('set(attributes["c"], ConvertCase("foo_bar", "camel"))',
+     None, ("c", "FooBar")),
+    ('set(attributes["c"], ConvertCase("FooBar", "snake"))',
+     None, ("c", "foo_bar")),
+    ('set(attributes["c"], Substring(body, 10, 8))', None, ("c", " err=E12")),
+    ('set(attributes["c"], Len(Split(attributes["flags"], "|")))',
+     None, ("c", "3")),
+    ('set(attributes["c"], Len(ParseKeyValue("a=1 b=2")))', None, ("c", "2")),
+    ('set(attributes["c"], Len("hello"))', None, ("c", "5")),
+    ('set(attributes["c"], Sort(Split("c|a|b", "|")))',
+     None, ("c", "[a, b, c]")),
+    ('set(attributes["c"], Sort(Split("c|a|b", "|"), "desc"))',
+     None, ("c", "[c, b, a]")),
+    ('set(attributes["c"], ParseCSV("a,b,c"))', None, ("c", "[a, b, c]")),
+    ('set(attributes["c"], Log(1.0))', None, ("c", "0.0")),
+    # type checks
+    ('set(attributes["c"], IsBool("true"))', None, ("c", "true")),
+    ('set(attributes["c"], IsInt("42"))', None, ("c", "true")),
+    ('set(attributes["c"], IsInt("4.2"))', None, ("c", "false")),
+    ('set(attributes["c"], IsDouble("4.2"))', None, ("c", "true")),
+    ('set(attributes["c"], IsDouble("x"))', None, ("c", "false")),
+    ('set(attributes["c"], IsString(body))', None, ("c", "true")),
+    ('set(attributes["c"], String(3.14))', None, ("c", "3.14")),
+    ('set(attributes["c"], Int("oops"))', None, ("c", None)),  # null → no upsert
+    ('set(attributes["c"], Double("1e3"))', None, ("c", "1000.0")),
+    # time converters (ts = 2025-01-01T10:30:45 UTC)
+    ('set(attributes["c"], Day(time))', None, ("c", "1")),
+    ('set(attributes["c"], Month(time))', None, ("c", "1")),
+    ('set(attributes["c"], Minute(time))', None, ("c", "30")),
+    ('set(attributes["c"], UnixSeconds(time))', None, ("c", "1735727445")),
+    ('set(attributes["c"], UnixMilli(time))', None, ("c", "1735727445000")),
+    ('set(attributes["c"], UnixMicro(time))', None, ("c", "1735727445000000")),
+    ('set(attributes["c"], UnixNano(time))', None, ("c", "1735727445000000000")),
+    ('set(attributes["c"], UnixSeconds(TruncateTime(time, "1m")))',
+     None, ("c", "1735727400")),
+    ('set(attributes["c"], UnixSeconds(Time("2025-02-03 04:05:06", "%Y-%m-%d %H:%M:%S")))',
+     None, ("c", "1738555506")),
+    # duration converters
+    ('set(attributes["c"], Seconds(Duration("250ms")))', None, ("c", "0.25")),
+    ('set(attributes["c"], Hours(Duration("90m")))', None, ("c", "1.5")),
+    ('set(attributes["c"], Minutes(Duration("90s")))', None, ("c", "1.5")),
+    ('set(attributes["c"], Milliseconds(Duration("1s")))', None, ("c", "1000")),  # Go Duration.Milliseconds → int64
+    ('set(attributes["c"], Microseconds(Duration("1ms")))', None, ("c", "1000")),
+    ('set(attributes["c"], Nanoseconds(Duration("1us")))', None, ("c", "1000")),
+    # boolean expression semantics (LANGUAGE.md:228-291)
+    ('set(attributes["c"], "y") where 1 == 1.0', None, ("c", "y")),
+    ('set(attributes["c"], "y") where 2 > 1.5', None, ("c", "y")),
+    ('set(attributes["c"], "y") where nil == nil', None, ("c", "y")),
+    ('set(attributes["c"], "y") where attributes["http.method"] != nil',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where false and true or true',
+     None, ("c", "y")),  # OR binds looser than AND
+    ('set(attributes["c"], "y") where false and (true or true)',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where not false', None, ("c", "y")),
+    ('set(attributes["c"], "y") where severity_text > "DEBUG"',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where severity_number >= SEVERITY_NUMBER_WARN',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where severity_number == SEVERITY_NUMBER_FATAL',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where body != nil and Len(body) > 10',
+     None, ("c", "y")),
+    # paths
+    ('set(attributes["c"], resource.attributes["host.name"])',
+     None, ("c", "localhost")),
+    ('set(attributes["c"], body.string)', None,
+     ("c", "operationA err=E1234 dur_ms=1500")),
+    ('set(attributes["c"], attributes["http.method"]) where IsMatch(attributes["http.path"], "^/h")',
+     None, ("c", "get")),
 ]
 
 
@@ -260,3 +345,68 @@ def test_where_on_missing_guard_keeps_other_rows(spark):
     rows = {r["attributes"]["k"]: r["attributes"].get("hit")
             for r in fn(df).collect()}
     assert rows == {"1": "y", "2": None}
+
+
+def test_flatten_map_identity(log_df):
+    fn = compile_statement("flatten(attributes)")
+    assert one(fn(log_df))["attributes"] == ROW["attributes"]
+
+
+def test_flatten_map_prefix(log_df):
+    fn = compile_statement('flatten(attributes, "app")')
+    out = one(fn(log_df))["attributes"]
+    assert out["app.http.method"] == "get" and len(out) == 3
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame(
+        [{"attributes": {"a": "1", "b": {"c": "2", "d": {"e": "3"}}}}],
+        "attributes struct<a:string, b:struct<c:string, d:struct<e:string>>>",
+    )
+    fn = compile_statement("flatten(attributes)")
+    assert one(fn(df))["attributes"] == {"a": "1", "b.c": "2", "b.d.e": "3"}
+
+
+def test_flatten_struct_depth_limited(spark):
+    df = spark.createDataFrame(
+        [{"attributes": {"a": "1", "b": {"c": "2", "d": {"e": "3"}}}}],
+        "attributes struct<a:string, b:struct<c:string, d:struct<e:string>>>",
+    )
+    fn = compile_statement("flatten(attributes, \"\", 1)")
+    out = one(fn(df))["attributes"]
+    assert out["a"] == "1" and out["b.c"] == "2"
+    # depth 1: the inner struct is NOT descended; stringified instead
+    assert "b.d" in out and "3" in out["b.d"]
+
+
+def test_flatten_struct_where_rejected(spark):
+    df = spark.createDataFrame(
+        [{"attributes": {"a": "1"}, "severity_number": 17}],
+        "attributes struct<a:string>, severity_number int",
+    )
+    with pytest.raises(OTTLError):
+        compile_statement("flatten(attributes) where severity_number >= 17")(df)
+
+
+def test_url_converter(log_df):
+    fn = compile_statement(
+        'set(attributes["u"], URL("https://example.com/p?q=1"))'
+    )
+    got = one(fn(log_df))["attributes"]["u"]
+    assert "example.com" in got and "/p" in got and "q=1" in got
+
+
+def test_fnv_stable_int(log_df):
+    fn = compile_statement('set(attributes["h"], FNV(body))')
+    a = one(fn(log_df))["attributes"]["h"]
+    b = one(fn(log_df))["attributes"]["h"]
+    assert a == b and a.lstrip("-").isdigit()
+
+
+def test_parse_json_merge(log_df):
+    fn = compile_statement(
+        'merge_maps(attributes, ParseKeyValue("region=eu zone=a"), "upsert")'
+    )
+    out = one(fn(log_df))["attributes"]
+    assert out["region"] == "eu" and out["zone"] == "a"
+    assert out["http.method"] == "get"
