@@ -23,10 +23,13 @@ from .pipeline import (
     recombine_session_stream,
     streaming_flagship,
 )
+from .stateful import cumulative_stream, last_seen_stream
 
 __all__ = [
     "read_transcripts_stream",
     "streaming_flagship",
     "logdedup_stream",
     "recombine_session_stream",
+    "cumulative_stream",
+    "last_seen_stream",
 ]

@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Reference analogs — the collector's per-stream-state processors:
+- deltatocumulative (processor/deltatocumulativeprocessor/config.go:16-17
+  max_stale/max_streams): accumulate deltas into a running cumulative per
+  stream identity across batches → :func:`cumulative_stream`.
+- interval processor (processor/intervalprocessor/processor.go:97-231:
+  keep the LAST point per stream identity, flush periodically) →
+  :func:`last_seen_stream`.
+
+Both keep O(1) state per key (a few numbers), partitioned by the group
+key across executors — the state store shuffles once per micro-batch on
+the same key the aggregation needs, so adding state costs no extra
+exchange. Timeouts are processing-time in the reference (ticker-driven);
+here state lives until the query ends (NoTimeout) — eviction policy
+(max_stale) maps to GroupStateTimeout.ProcessingTimeTimeout in a
+continuous deployment and is orthogonal to the arithmetic verified here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CUM_OUTPUT_SCHEMA = (
+    "conv_id string, batch_rows long, cum_rows long, cum_bytes long"
+)
+CUM_STATE_SCHEMA = "cum_rows long, cum_bytes long"
+
+
+def cumulative_stream(stream: DataFrame, key: str = "conv_id") -> DataFrame:
+    """deltatocumulative: per key, running totals of rows and text bytes
+    across micro-batches. Emits one row per (key, batch) with the batch
+    delta and the new cumulative — exactly the delta→cumulative lift the
+    reference applies to sum metrics."""
+
+    def fn(
+        key_tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = 0
+        nbytes = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            nbytes += int(pdf["text"].str.len().fillna(0).sum())
+        if rows == 0:
+            return
+        if state.exists:
+            cum_rows, cum_bytes = state.get
+        else:
+            cum_rows, cum_bytes = 0, 0
+        cum_rows += rows
+        cum_bytes += nbytes
+        state.update((cum_rows, cum_bytes))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key_tuple[0]],
+                "batch_rows": [rows],
+                "cum_rows": [cum_rows],
+                "cum_bytes": [cum_bytes],
+            }
+        )
+
+    return (
+        stream.select(key, "text")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            CUM_OUTPUT_SCHEMA,
+            CUM_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+LAST_OUTPUT_SCHEMA = (
+    "conv_id string, last_turn_idx int, last_role string, n_seen long"
+)
+LAST_STATE_SCHEMA = "last_turn_idx int, last_role string, n_seen long"
+
+
+def last_seen_stream(stream: DataFrame, key: str = "conv_id") -> DataFrame:
+    """interval processor: keep the latest (by turn_idx) record per stream
+    identity; each micro-batch emits the current winner + how many records
+    the stream has ever seen (processor.go:97-231 keeps last dp per
+    identity and flushes on interval — here the flush is per-batch)."""
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        best_idx, best_role, seen = (
+            state.get if state.exists else (-1, None, 0)
+        )
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            if len(pdf):
+                i = pdf["turn_idx"].idxmax()
+                if int(pdf["turn_idx"][i]) > best_idx:
+                    best_idx = int(pdf["turn_idx"][i])
+                    best_role = pdf["role"][i]
+        if batch_n == 0:
+            return
+        seen += batch_n
+        state.update((best_idx, best_role, seen))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key_tuple[0]],
+                "last_turn_idx": [best_idx],
+                "last_role": [best_role],
+                "n_seen": [seen],
+            }
+        )
+
+    return (
+        stream.select(key, "turn_idx", "role")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            LAST_OUTPUT_SCHEMA,
+            LAST_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,111 @@
+"""Custom stateful streaming ops (applyInPandasWithState) vs batch truth.
+
+Input is split into two files consumed as two micro-batches
+(maxFilesPerTrigger=1), so per-key state genuinely crosses a batch
+boundary; the final cumulative per key must equal the batch ground truth
+and keys spanning both batches must show monotone accumulation.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.schema import TRANSCRIPT_SCHEMA
+from opentelemetry_collector_contrib_spark.streaming.stateful import (
+    cumulative_stream,
+    last_seen_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def two_batch_input(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stateful_in")
+    t = pq.read_table(os.path.join(sf_dir, "transcripts.parquet"))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part1.parquet"))
+    return str(d)
+
+
+def _drain(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _stream(spark, input_dir):
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def test_cumulative_stream_matches_batch_totals(spark, sf_dir, two_batch_input):
+    out = _drain(
+        spark, cumulative_stream(_stream(spark, two_batch_input)), "cum_stream"
+    ).collect()
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = {
+        r["conv_id"]: (r["n"], r["b"])
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("b"),
+        )
+        .collect()
+    }
+
+    # final (= max cum_rows) emission per key equals batch ground truth
+    final = {}
+    for r in out:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["cum_rows"] > cur[0]:
+            final[r["conv_id"]] = (r["cum_rows"], r["cum_bytes"])
+    assert final == want
+
+    # keys seen in both micro-batches emitted twice, with state carried
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["conv_id"], []).append(r)
+    crossing = [k for k, v in per_key.items() if len(v) == 2]
+    assert crossing, "expected conversations spanning both batches"
+    for k in crossing:
+        a, b = sorted(per_key[k], key=lambda r: r["cum_rows"])
+        assert a["cum_rows"] + b["batch_rows"] == b["cum_rows"]
+        assert b["cum_rows"] == want[k][0]
+
+
+def test_last_seen_stream(spark, sf_dir, two_batch_input):
+    out = _drain(
+        spark, last_seen_stream(_stream(spark, two_batch_input)), "last_stream"
+    ).collect()
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = {
+        r["conv_id"]: (r["last_turn_idx"], r["last_role"], r["n"])
+        for r in batch.groupBy("conv_id")
+        .agg(
+            F.max("turn_idx").alias("last_turn_idx"),
+            F.max_by("role", "turn_idx").alias("last_role"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    final = {}
+    for r in out:
+        cur = final.get(r["conv_id"])
+        if cur is None or r["n_seen"] > cur[2]:
+            final[r["conv_id"]] = (
+                r["last_turn_idx"], r["last_role"], r["n_seen"]
+            )
+    assert final == want
