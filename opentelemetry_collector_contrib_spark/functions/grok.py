@@ -111,16 +111,44 @@ class GrokPattern:
         no match — the OTTL converter returns an empty map then; callers
         get null-safe struct fields which is the flat-schema equivalent)."""
         regex = self.regex  # capture for closure; compiled once per worker
+        regex_str = self.regex_str
         names = self.names
         out_type = self.struct_type()
 
+        # engine choice happens ONCE at compile time on the driver:
+        # pyarrow's RE2 (C++, ~4× pandas) when it accepts the pattern,
+        # else the pandas Python-regex fallback (RE2 lacks backrefs /
+        # lookarounds; none of BASE_PATTERNS need them, custom ones might)
+        use_re2 = True
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            pc.extract_regex(pa.array([], pa.string()), pattern=regex_str)
+        except Exception:
+            use_re2 = False
+
         @F.pandas_udf(out_type)
         def _grok(s: pd.Series) -> pd.DataFrame:
+            if use_re2:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                m = pc.extract_regex(
+                    pa.Array.from_pandas(s), pattern=regex_str
+                )
+                return pd.DataFrame(
+                    {n: pc.struct_field(m, n).to_pandas() for n in names}
+                )
             df = s.str.extract(regex, expand=True)
             df.columns = names
             return df
 
-        return _grok(F.col(col) if isinstance(col, str) else col)
+        # nondeterministic marking: prevents Catalyst from re-evaluating
+        # the extraction inside pushed-down filters (see operators/parse.py)
+        return _grok.asNondeterministic()(
+            F.col(col) if isinstance(col, str) else col
+        )
 
     def apply(self, df: DataFrame, source: str, prefix: str = "") -> DataFrame:
         """Extract + typed casts fanned out to top-level columns."""
