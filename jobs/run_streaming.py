@@ -1,0 +1,59 @@
+"""spark-submit entrypoint for the continuous (Structured Streaming)
+flagship pipeline: tail a transcripts directory, parse → enrich → routed
+fan-out sinks, exactly-once via checkpointLocation.
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_streaming.py --input /landing/transcripts \
+      --dims /dims --out /sinks --checkpoint /ckpt [--continuous]
+
+Without --continuous the query drains currently-available input and
+stops (availableNow) — the batch-equivalent drain used in CI. With it,
+the query keeps tailing new files until killed; restarts resume from the
+checkpoint (the filelog-receiver offset-store analog,
+pkg/stanza/fileconsumer/internal/checkpoint/checkpoint.go:20-45).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcript parquet dir (tailed)")
+    ap.add_argument("--dims", required=True, help="dir with dim_roles/dim_tools parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_flagship,
+    )
+
+    spark = get_spark("otel-flagship-streaming", cores=args.cores)
+    q = streaming_flagship(
+        spark,
+        args.input,
+        args.dims,
+        args.out,
+        args.checkpoint,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    print(f"streaming query finished: {q.lastProgress}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
