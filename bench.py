@@ -138,7 +138,8 @@ def _flagship_throughput_subprocess(cores: int, sf_dir: str) -> dict:
         "from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir;"
         "from opentelemetry_collector_contrib_spark.plans.flagship import run_flagship,build_router;"
         "import tempfile,shutil;"
-        f"spark=get_spark(app_name='scale{cores}',cores={cores});"
+        f"spark=get_spark(app_name='scale{cores}',cores={cores},"
+        "extra_conf={'spark.sql.files.maxPartitionBytes':'33554432'});"
         f"fx=ensure_fixture_dir({sf_dir!r});"
         "n=spark.read.parquet(os.path.join(fx,'transcripts.parquet')).count();"
         "wfx=ensure_fixture_dir('sf0.001');"
