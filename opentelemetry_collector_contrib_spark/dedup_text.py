@@ -81,10 +81,49 @@ def minhash_dedup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full LSH dedup: candidates from banding, verified by exact jaccard
-    (computed only over the candidate set — the whole point of LSH)."""
-    from .textops import ngram_jaccard_pairs
+    computed ONLY over candidate pairs — the whole point of LSH.
 
+    The verify stage never runs a corpus-wide shingle self-join (that
+    would be the quadratic blow-up banding exists to avoid): shingles are
+    first LEFT-SEMI-joined to the candidate doc-id set, and common-shingle
+    counts flow through the candidate-pair join itself, so verify cost is
+    Σ_pairs(shingles per doc) — linear in candidates, independent of
+    corpus². (Round-1 version intersected with a full-corpus
+    ngram_jaccard_pairs; at 100 TB that IS the job.)"""
     sigs = minhash_signatures(docs, num_hashes, n, text_col)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
-    exact = ngram_jaccard_pairs(docs, n, threshold, text_col)
-    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jacc_raw",
+            F.col("n_common") * 1.0
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+        )
+        .filter(F.col("jacc_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jacc_raw", 4).alias("jaccard"))
+    )

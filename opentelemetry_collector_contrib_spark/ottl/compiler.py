@@ -7,23 +7,41 @@ into `withColumn(target, when(cond, new).otherwise(old))` — vectorized,
 whole-stage-codegen'd, and Catalyst collapses adjacent projections so an
 N-statement sequence is still one physical stage.
 
-Error modes (pkg/ottl/config.go:11-27): 'ignore'/'silent' compile to
-null-safe try_* expressions; 'propagate' compiles to raising variants
-(raise_error guarded by the failure predicate).
+Error modes (pkg/ottl/config.go:11-27, applied parser.go:281-298):
+fallible converters register a *failure predicate* alongside their value
+expression. In 'ignore'/'silent' mode the statement is SKIPPED on rows
+where any failure predicate holds (the reference logs-and-continues /
+silently continues — either way the record is left unmodified); in
+'propagate' mode the compiled plan raises via `raise_error` on the first
+failing row, failing the job like StatementSequence.Execute returning err.
+
+Comparison semantics reproduce the cross-type matrix of pkg/ottl/compare.go
+(LANGUAGE.md:228-291): int-vs-float compared as float64; bool ordering
+false < true; nil==nil (and <=, >=) true, nil-vs-anything only `!=` true;
+values of *mismatched types are never equal and never ordered* (`==`
+false, `!=` true, inequalities false) — unlike Spark's cast-based
+comparisons where `"5" == 5` is true. Types are resolved statically at
+compile time (literals, path map, converter return types); map-valued
+attribute accesses are *dynamic* (the reference stores typed pcommon
+values; our MAP<STRING,STRING> erases them) and are compared by try-cast
+with a runtime mismatch guard.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions import CONVERTERS, literal_arg
+from .functions import CONVERTERS, CONVERTER_TYPES, literal_arg
 from .parser import (
     Binary,
     BoolOp,
     Call,
     Comparison,
+    HexBytes,
     ListExpr,
     Literal,
     Not,
@@ -51,19 +69,75 @@ DEFAULT_PATH_MAP = {
     "cache": "cache",
 }
 
+# static OTTL types (compare.go's switch arms)
+INT, FLOAT, STRING, BOOL = "int", "float", "string", "bool"
+TIME, DURATION, ARRAY, MAP = "time", "duration", "array", "map"
+BYTES, NIL, DYNAMIC = "bytes", "nil", "dynamic"
+
+# default OTTL type per *physical* column of the canonical log shape
+DEFAULT_PATH_TYPES = {
+    "severity_number": INT,
+    "flags": INT,
+    "dropped_attributes_count": INT,
+    "ts": TIME,
+    "observed_ts": TIME,
+    "attributes": MAP,
+    "resource": MAP,
+    "cache": MAP,
+}
+
 
 class Context:
     """Binds OTTL paths to physical columns of a specific DataFrame shape.
 
     ``path_map`` overrides let e.g. the transcripts pipeline map
-    ``body`` → ``text``.
+    ``body`` → ``text``; ``path_types`` overrides declare the OTTL type of
+    a physical column (e.g. a typed side-column ``dur_ms`` → "int").
     """
 
-    def __init__(self, path_map: dict | None = None, error_mode: str = "ignore"):
+    def __init__(self, path_map: dict | None = None, error_mode: str = "ignore",
+                 path_types: dict | None = None):
         self.path_map = {**DEFAULT_PATH_MAP, **(path_map or {})}
         if error_mode not in ("ignore", "silent", "propagate"):
             raise OTTLError(f"unknown error mode {error_mode!r}")
         self.error_mode = error_mode
+        self.path_types = {**DEFAULT_PATH_TYPES, **(path_types or {})}
+        self._failures: list[tuple[Column, str]] = []
+
+    # ---- failure bookkeeping (error modes) -------------------------------
+
+    def note_failure(self, pred: Column, msg: str) -> None:
+        """Record 'this row would have errored in the reference'."""
+        self._failures.append((F.coalesce(pred, F.lit(False)), msg))
+
+    def take_failures(self) -> list[tuple[Column, str]]:
+        out, self._failures = self._failures, []
+        return out
+
+    def _fold_failures(self, value: Column | None, cond: Column | None):
+        """Consume pending failures into (value, cond) per error mode."""
+        fails = self.take_failures()
+        if not fails:
+            return value, cond
+        if self.error_mode == "propagate":
+            if value is not None:
+                for pred, msg in fails:
+                    value = F.when(
+                        pred, F.raise_error(F.lit(f"ottl: {msg}"))
+                    ).otherwise(value)
+            else:
+                pred = reduce(lambda a, b: a | b, (p for p, _ in fails))
+                guard = F.when(
+                    pred, F.raise_error(F.lit(f"ottl: {fails[0][1]}"))
+                ).otherwise(F.lit(True))
+                cond = guard if cond is None else (cond & guard)
+            return value, cond
+        # ignore / silent: skip the statement on failing rows
+        any_fail = reduce(lambda a, b: a | b, (p for p, _ in fails))
+        cond = (~any_fail) if cond is None else (cond & ~any_fail)
+        return value, cond
+
+    # ---- path resolution --------------------------------------------------
 
     def resolve(self, path: Path) -> tuple[str, list[str]]:
         """→ (physical column name, residual map keys)."""
@@ -84,9 +158,16 @@ class Context:
             c = c.getItem(k)
         return c
 
+    def path_type(self, path: Path) -> str:
+        col, keys = self.resolve(path)
+        if keys:
+            return DYNAMIC  # map value: type-erased pcommon.Value rendering
+        return self.path_types.get(col, STRING)
+
     def setter(self, df: DataFrame, path: Path, value: Column,
                cond: Column | None) -> DataFrame:
         """Apply ``target = value [where cond]`` (set editor shape)."""
+        value, cond = self._fold_failures(value, cond)
         col, keys = self.resolve(path)
         if not keys:
             new = value
@@ -108,6 +189,52 @@ class Context:
         )
         return df.withColumn(col, new)
 
+    def guard_map(self, df: DataFrame, col: str, new: Column,
+                  cond: Column | None) -> DataFrame:
+        """withColumn(col, new) guarded by cond + pending failures."""
+        new_, cond = self._fold_failures(None, cond)
+        guarded = new if cond is None else F.when(cond, new).otherwise(F.col(col))
+        return df.withColumn(col, guarded)
+
+
+# ---------------------------------------------------------------------------
+# static type inference (drives the compare.go matrix at compile time)
+# ---------------------------------------------------------------------------
+
+def static_type(node, ctx: Context) -> str:
+    if isinstance(node, Literal):
+        v = node.value
+        if v is None:
+            return NIL
+        if isinstance(v, HexBytes):
+            return BYTES
+        if isinstance(v, bool):  # before int — bool is an int subclass
+            return BOOL
+        if isinstance(v, int):
+            return INT
+        if isinstance(v, float):
+            return FLOAT
+        return STRING
+    if isinstance(node, Path):
+        return ctx.path_type(node)
+    if isinstance(node, ListExpr):
+        return ARRAY
+    if isinstance(node, Call):
+        return CONVERTER_TYPES.get(node.name, DYNAMIC)
+    if isinstance(node, Binary):
+        lt_, rt_ = static_type(node.left, ctx), static_type(node.right, ctx)
+        if node.op in ("+", "-"):
+            if lt_ == TIME and rt_ == TIME:
+                return DURATION
+            if TIME in (lt_, rt_):
+                return TIME
+        if lt_ == INT and rt_ == INT:
+            return INT
+        if {lt_, rt_} <= {INT, FLOAT, DURATION, DYNAMIC}:
+            return FLOAT
+        return DYNAMIC
+    return DYNAMIC
+
 
 # ---------------------------------------------------------------------------
 # value + boolean compilation
@@ -115,6 +242,8 @@ class Context:
 
 def compile_value(node, ctx: Context) -> Column:
     if isinstance(node, Literal):
+        if isinstance(node.value, HexBytes):
+            return F.lit(node.value.hex)
         return F.lit(node.value)
     if isinstance(node, Path):
         return ctx.getter(node)
@@ -136,12 +265,111 @@ def compile_value(node, ctx: Context) -> Column:
             return l * r
         if node.op == "/":
             both_int = (
-                isinstance(node.left, Literal) and isinstance(node.left.value, int)
-                and isinstance(node.right, Literal)
-                and isinstance(node.right.value, int)
+                static_type(node.left, ctx) == INT
+                and static_type(node.right, ctx) == INT
             )
             return (l / r).cast("long") if both_int else l / r
     raise OTTLError(f"cannot compile value node {node!r}")
+
+
+_NUMERIC = {INT, FLOAT, DURATION}
+# same-type comparisons that map 1:1 onto Spark's native ordering
+_ORDERED_SAME = {STRING, TIME, DURATION, BYTES, DYNAMIC}
+
+
+def _raw_cmp(op: str, l: Column, r: Column) -> Column:
+    return {
+        "==": l == r, "!=": l != r, "<": l < r,
+        ">": l > r, "<=": l <= r, ">=": l >= r,
+    }[op]
+
+
+def _null_wrap(op: str, l: Column, r: Column, raw: Column) -> Column:
+    """compare.go:173-214 nil rules: both-nil → eq/lte/gte true; one nil →
+    only ne true. Result is never NULL (conditions must be decidable)."""
+    both = l.isNull() & r.isNull()
+    anyn = l.isNull() | r.isNull()
+    if op in ("==", "<=", ">="):
+        return F.when(anyn, both).otherwise(raw)
+    if op == "!=":
+        return F.when(anyn, ~both).otherwise(raw)
+    return F.when(anyn, F.lit(False)).otherwise(raw)
+
+
+def _invalid(op: str) -> Column:
+    """invalidComparison (compare.go:19-21): only ne is true."""
+    return F.lit(op == "!=")
+
+
+def compile_comparison(node: Comparison, ctx: Context) -> Column:
+    op = node.op
+    lt_, rt_ = static_type(node.left, ctx), static_type(node.right, ctx)
+
+    # nil literal on either side (compare.go:173-185)
+    if lt_ == NIL and rt_ == NIL:
+        return F.lit(op in ("==", "<=", ">="))
+    if lt_ == NIL or rt_ == NIL:
+        c = compile_value(node.right if lt_ == NIL else node.left, ctx)
+        if op == "==":
+            return c.isNull()
+        if op == "!=":
+            return c.isNotNull()
+        if op in ("<=", ">="):
+            return c.isNull()  # true only when both sides are nil
+        return F.lit(False)
+
+    l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
+
+    # numeric × numeric: int-vs-float as float64 (compare.go:114-134);
+    # durations are double seconds here so they join the numeric lattice
+    if lt_ in _NUMERIC and rt_ in _NUMERIC:
+        if lt_ != rt_:
+            l, r = l.cast("double"), r.cast("double")
+        return _null_wrap(op, l, r, _raw_cmp(op, l, r))
+
+    # bool × bool: false < true (compareBools, compare.go:44-61)
+    if lt_ == BOOL and rt_ == BOOL:
+        if op in ("==", "!="):
+            return _null_wrap(op, l, r, _raw_cmp(op, l, r))
+        li, ri = l.cast("int"), r.cast("int")
+        return _null_wrap(op, l, r, _raw_cmp(op, li, ri))
+
+    # dynamic (type-erased map value) × typed scalar: emulate the matrix at
+    # runtime — try-cast to the typed side's domain; failure = mismatched
+    # type = invalidComparison. (Documented erasure caveat: a STRING-typed
+    # attr whose text happens to parse numeric compares numerically here.)
+    if DYNAMIC in (lt_, rt_) and lt_ != rt_:
+        dyn, typed, ty = (l, r, rt_) if lt_ == DYNAMIC else (r, l, lt_)
+        if ty in _NUMERIC:
+            d = dyn.try_cast("double")
+            t = typed.cast("double")
+            mism = dyn.isNotNull() & d.isNull()
+            ll, rr = (d, t) if lt_ == DYNAMIC else (t, d)
+            return F.when(mism, _invalid(op)).otherwise(
+                _null_wrap(op, ll, rr, _raw_cmp(op, ll, rr)))
+        if ty == BOOL:
+            valid = dyn.isin("true", "false")
+            mism = dyn.isNotNull() & ~valid
+            d = (dyn == "true").cast("int")
+            t = typed.cast("int")
+            ll, rr = (d, t) if lt_ == DYNAMIC else (t, d)
+            return F.when(mism, _invalid(op)).otherwise(
+                _null_wrap(op, dyn, typed, _raw_cmp(op, ll, rr)))
+        if ty == STRING:
+            return _null_wrap(op, l, r, _raw_cmp(op, l, r))
+        return _invalid(op)
+
+    # same ordered type (string×string, time×time, bytes×bytes, dyn×dyn,
+    # array/map equality via Spark's structural equality)
+    if lt_ == rt_ and lt_ in _ORDERED_SAME:
+        return _null_wrap(op, l, r, _raw_cmp(op, l, r))
+    if lt_ == rt_ and lt_ in (ARRAY, MAP):
+        if op in ("==", "!="):
+            return _null_wrap(op, l, r, _raw_cmp(op, l, r))
+        return _invalid(op)
+
+    # mismatched types: never equal, never ordered (compare.go defaults)
+    return _invalid(op)
 
 
 def compile_bool(node, ctx: Context) -> Column:
@@ -154,18 +382,7 @@ def compile_bool(node, ctx: Context) -> Column:
     if isinstance(node, Not):
         return ~_truthy(compile_bool(node.term, ctx))
     if isinstance(node, Comparison):
-        # nil comparisons (LANGUAGE.md:264-291): x == nil ⇒ IS NULL
-        if isinstance(node.right, Literal) and node.right.value is None:
-            c = compile_value(node.left, ctx)
-            return c.isNull() if node.op == "==" else c.isNotNull()
-        if isinstance(node.left, Literal) and node.left.value is None:
-            c = compile_value(node.right, ctx)
-            return c.isNull() if node.op == "==" else c.isNotNull()
-        l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
-        return {
-            "==": l == r, "!=": l != r, "<": l < r,
-            ">": l > r, "<=": l <= r, ">=": l >= r,
-        }[node.op]
+        return compile_comparison(node, ctx)
     if isinstance(node, Literal):
         return F.lit(bool(node.value))
     # bare value as condition (e.g. IsMatch(...))
@@ -177,7 +394,22 @@ def _truthy(c: Column) -> Column:
 
 
 def compile_condition(src: str, ctx: Context | None = None) -> Column:
-    return compile_bool(parse_condition(src), ctx or Context())
+    """Bare condition → Column. Converter failures inside the condition
+    follow the context's error mode: ignore/silent ⇒ the condition is
+    false for failing rows (record passes through unmodified); propagate
+    ⇒ raise."""
+    ctx = ctx or Context()
+    ctx.take_failures()  # drop stale entries from unrelated compiles
+    col = compile_bool(parse_condition(src), ctx)
+    fails = ctx.take_failures()
+    if not fails:
+        return col
+    pred = reduce(lambda a, b: a | b, (p for p, _ in fails))
+    if ctx.error_mode == "propagate":
+        return F.when(
+            pred, F.raise_error(F.lit(f"ottl: {fails[0][1]}"))
+        ).otherwise(col)
+    return F.when(pred, F.lit(False)).otherwise(col)
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +423,6 @@ def _map_target(ctx: Context, path: Path) -> str:
     return col
 
 
-def _guard_map(col: str, new: Column, cond: Column | None) -> Column:
-    return new if cond is None else F.when(cond, new).otherwise(F.col(col))
-
-
 def _ed_set(stmt, ctx, df, cond):
     target, value = stmt.editor.args
     return ctx.setter(df, target, compile_value(value, ctx), cond)
@@ -205,7 +433,7 @@ def _ed_delete_key(stmt, ctx, df, cond):
     col = _map_target(ctx, target)
     k = literal_arg(key)
     new = F.map_filter(F.col(col), lambda mk, _: mk != F.lit(k))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_delete_matching_keys(stmt, ctx, df, cond):
@@ -213,7 +441,7 @@ def _ed_delete_matching_keys(stmt, ctx, df, cond):
     col = _map_target(ctx, target)
     p = literal_arg(pat)
     new = F.map_filter(F.col(col), lambda mk, _: ~mk.rlike(p))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_keep_matching_keys(stmt, ctx, df, cond):
@@ -221,7 +449,7 @@ def _ed_keep_matching_keys(stmt, ctx, df, cond):
     col = _map_target(ctx, target)
     p = literal_arg(pat)
     new = F.map_filter(F.col(col), lambda mk, _: mk.rlike(p))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_keep_keys(stmt, ctx, df, cond):
@@ -229,7 +457,7 @@ def _ed_keep_keys(stmt, ctx, df, cond):
     col = _map_target(ctx, target)
     keep = F.array(*[F.lit(literal_arg(k)) for k in keys.items])
     new = F.map_filter(F.col(col), lambda mk, _: F.array_contains(keep, mk))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_truncate_all(stmt, ctx, df, cond):
@@ -237,7 +465,7 @@ def _ed_truncate_all(stmt, ctx, df, cond):
     col = _map_target(ctx, target)
     n = int(literal_arg(limit))
     new = F.transform_values(F.col(col), lambda _, v: F.substring(v, 1, n))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_limit(stmt, ctx, df, cond):
@@ -253,7 +481,7 @@ def _ed_limit(stmt, ctx, df, cond):
     new = F.map_from_entries(
         F.slice(F.concat(prio_ent, rest), 1, n)
     )
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_replace_pattern(stmt, ctx, df, cond):
@@ -289,7 +517,7 @@ def _ed_replace_all_patterns(stmt, ctx, df, cond):
                 e["value"].alias("value"),
             ),
         ))
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_replace_all_matches(stmt, ctx, df, cond):
@@ -300,7 +528,7 @@ def _ed_replace_all_matches(stmt, ctx, df, cond):
     new = F.transform_values(
         F.col(col), lambda _, v: F.when(v.rlike(rx), F.lit(r)).otherwise(v)
     )
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_merge_maps(stmt, ctx, df, cond):
@@ -326,15 +554,39 @@ def _ed_merge_maps(stmt, ctx, df, cond):
         new = F.map_filter(new, lambda k, _: F.array_contains(F.map_keys(t), k))
     else:
         raise OTTLError(f"merge_maps mode {m!r}")
-    return df.withColumn(col, _guard_map(col, new, cond))
+    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_append(stmt, ctx, df, cond):
-    # append(target, value) — string concat for scalar strings (README.md:65)
+    """append(target, value|values[]) — slice semantics (README.md:65):
+    appends to a slice, CREATING one from the current scalar if needed.
+    On an array-typed column this is a native array concat; on a
+    type-erased map value the slice is rendered as a JSON array string
+    (round-trippable: repeated appends re-parse it)."""
     target, value = stmt.editor.args
-    c = compile_value(target, ctx)
-    v = compile_value(value, ctx)
-    return ctx.setter(df, target, F.concat(c, v.cast("string")), cond)
+    if isinstance(value, ListExpr):
+        vals = [compile_value(i, ctx).cast("string") for i in value.items]
+    else:
+        vals = [compile_value(value, ctx).cast("string")]
+    appended = F.array(*vals)
+
+    cur = compile_value(target, ctx)
+    if isinstance(target, Path):
+        col, keys = ctx.resolve(target)
+        if not keys and isinstance(df.schema[col].dataType, T.ArrayType):
+            new = F.concat(
+                F.coalesce(F.col(col), F.array().cast("array<string>")),
+                appended.cast(df.schema[col].dataType.simpleString()),
+            )
+            return ctx.setter(df, target, new, cond)
+    parsed = F.from_json(cur.cast("string"), "array<string>")
+    as_slice = (
+        F.when(cur.isNull(), F.array().cast("array<string>"))
+        .when(parsed.isNotNull(), parsed)
+        .otherwise(F.array(cur.cast("string")))
+    )
+    new = F.to_json(F.concat(as_slice, appended))
+    return ctx.setter(df, target, new, cond)
 
 
 def _glob_to_rx(glob: str) -> str:
@@ -370,7 +622,7 @@ def _ed_flatten(stmt, ctx, df, cond):
         new = F.transform_keys(
             F.col(col), lambda k, _: F.concat(F.lit(prefix + "."), k)
         )
-        return df.withColumn(col, _guard_map(col, new, cond))
+        return ctx.guard_map(df, col, new, cond)
 
     if isinstance(dtype, T.StructType):
         kv: list[Column] = []
@@ -422,19 +674,33 @@ EDITORS = {
 }
 
 
-def compile_statement(src: str, ctx: Context | None = None):
-    """OTTL statement string → (DataFrame → DataFrame)."""
-    ctx = ctx or Context()
+def _compile_one(src: str, ctx: Context, group_guard: Column | None = None):
+    """One statement → (DataFrame → DataFrame), with error-mode wiring.
+
+    Failures noted while compiling the WHERE clause are seeded back in at
+    apply time so the editor's _fold_failures sees condition failures too
+    (parser.go:281-298: a condition error is a statement error)."""
     stmt = parse_statement(src)
     editor = EDITORS.get(stmt.editor.name)
     if editor is None:
         raise OTTLError(f"unknown editor {stmt.editor.name!r}")
+    ctx.take_failures()
     cond = compile_bool(stmt.where, ctx) if stmt.where is not None else None
+    where_fails = ctx.take_failures()
+    if group_guard is not None:
+        cond = group_guard if cond is None else (group_guard & cond)
 
     def apply(df: DataFrame) -> DataFrame:
+        ctx.take_failures()
+        ctx._failures.extend(where_fails)
         return editor(stmt, ctx, df, cond)
 
     return apply
+
+
+def compile_statement(src: str, ctx: Context | None = None):
+    """OTTL statement string → (DataFrame → DataFrame)."""
+    return _compile_one(src, ctx or Context())
 
 
 class StatementSequence:
@@ -449,29 +715,18 @@ class StatementSequence:
         conditions: list[str] | None = None,
         path_map: dict | None = None,
         error_mode: str = "ignore",
+        path_types: dict | None = None,
     ):
-        self.ctx = Context(path_map, error_mode)
+        self.ctx = Context(path_map, error_mode, path_types)
         guard = None
         if conditions:
             cols = [compile_condition(c, self.ctx) for c in conditions]
             guard = cols[0]
             for c in cols[1:]:
                 guard = guard | c
-        self._fns = []
-        for s in statements:
-            stmt = parse_statement(s)
-            editor = EDITORS.get(stmt.editor.name)
-            if editor is None:
-                raise OTTLError(f"unknown editor {stmt.editor.name!r}")
-            cond = (
-                compile_bool(stmt.where, self.ctx)
-                if stmt.where is not None else None
-            )
-            if guard is not None:
-                cond = guard if cond is None else (guard & cond)
-            self._fns.append((editor, stmt, cond))
+        self._fns = [_compile_one(s, self.ctx, guard) for s in statements]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        for editor, stmt, cond in self._fns:
-            df = editor(stmt, self.ctx, df, cond)
+        for fn in self._fns:
+            df = fn(df)
         return df

@@ -2,19 +2,26 @@
 
 Mirrors pkg/ottl/ottlfuncs/functions.go:36-98 (converter registration);
 per-converter semantics from ottlfuncs/README.md (line refs in SURVEY.md
-§2.4). Every converter is JVM-side / codegen — no Python in the hot path.
-Converters receive raw AST args (so string-literal options like case mode
-or time layout are read at compile time) and return a Column.
+§2.4). Every converter is JVM-side / codegen except ParseXML (stdlib XML
+has no Column equivalent — Arrow-batched pandas UDF, the sanctioned slow
+path). Converters receive raw AST args (so string-literal options like
+case mode or time layout are read at compile time) and return a Column.
+
+Fallible converters register failure predicates via ``ctx.note_failure``
+so the compiler can realize the reference's error modes (pkg/ottl/
+config.go:11-27): ignore/silent skip the statement on failing rows,
+propagate raises.
 """
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .parser import Call, ListExpr, Literal, OTTLError
+from .parser import Call, HexBytes, ListExpr, Literal, OTTLError, Path
 
 
 def literal_arg(node):
@@ -31,6 +38,12 @@ def _vals(args, ctx):
 
 def _one(args, ctx) -> Column:
     return _vals(args, ctx)[0]
+
+
+def _stype(node, ctx) -> str:
+    from .compiler import static_type
+
+    return static_type(node, ctx)
 
 
 # ---- string / encoding ----------------------------------------------------
@@ -67,10 +80,21 @@ def _convert_case(args, ctx):
 
 def _substring(args, ctx):
     # Substring(target, start, length) — 0-based (README.md:1441);
-    # Spark substring is 1-based
+    # Spark substring is 1-based. The reference errors on start<0,
+    # length<=0 (compile-time here: args are literals) and on
+    # start+length > len(target) (runtime failure predicate,
+    # func_substring.go:34-58) — unlike Spark's silent truncation.
     c = _one(args, ctx)
     start = int(literal_arg(args[1]))
     length = int(literal_arg(args[2]))
+    if start < 0:
+        raise OTTLError(f"Substring: start {start} cannot be negative")
+    if length <= 0:
+        raise OTTLError(f"Substring: length {length} must be positive")
+    ctx.note_failure(
+        c.isNull() | (F.length(c.cast("string")) < F.lit(start + length)),
+        f"Substring: range {start}+{length} exceeds target length",
+    )
     return F.substring(c, start + 1, length)
 
 
@@ -84,7 +108,7 @@ def _split(args, ctx):
 # length of a string rendering). Dispatch is static on the argument AST.
 _ARRAY_FNS = {"Split", "ParseCSV", "Sort"}
 _MAP_FNS = {"ParseJSON", "ParseKeyValue", "ExtractPatterns",
-            "ExtractGrokPatterns"}
+            "ExtractGrokPatterns", "ParseXML", "UserAgent", "URL"}
 
 
 def _len(args, ctx):
@@ -94,6 +118,8 @@ def _len(args, ctx):
         return F.size(_one(args, ctx))
     if fn_name in _MAP_FNS:
         return F.size(F.map_keys(_one(args, ctx)))
+    if isinstance(node, Path) and _stype(node, ctx) in ("map", "array"):
+        return F.size(_one(args, ctx))
     return F.length(_one(args, ctx).cast("string"))
 
 
@@ -145,6 +171,212 @@ def _extract_grok(args, ctx):
     return F.struct(*fields)
 
 
+# ---- type conversion / checks ---------------------------------------------
+
+def _int_conv(args, ctx):
+    # Int(value) README.md:799 — errors on unconvertible input
+    # (ottl.IntLikeGetter); floats truncate like Go's int64(f)
+    c = _one(args, ctx)
+    out = c.try_cast("long")
+    ctx.note_failure(c.isNotNull() & out.isNull(), "Int: unsupported value")
+    return out
+
+
+def _double_conv(args, ctx):
+    c = _one(args, ctx)
+    out = c.try_cast("double")
+    ctx.note_failure(c.isNotNull() & out.isNull(), "Double: unsupported value")
+    return out
+
+
+def _log_conv(args, ctx):
+    # Log(value) — reference errors on nil and on value <= 0
+    # (func_log.go:38-45)
+    c = _one(args, ctx)
+    d = c.try_cast("double")
+    ctx.note_failure(
+        c.isNull() | d.isNull() | (d <= 0),
+        "Log: expected number greater than zero",
+    )
+    return F.log(d)
+
+
+def _typecheck(expect: str):
+    """IsBool/IsInt/IsDouble/IsString (README.md:825-975, 1388): TYPE
+    checks, not parseability checks — `IsInt("42")` is false in the
+    reference because "42" is a string. Static types decide at compile
+    time; type-erased map values (dynamic) fall back to a rendering
+    check, the closest runtime reconstruction of the erased type tag."""
+    dyn_check = {
+        "bool": lambda c: c.isin("true", "false"),
+        "int": lambda c: c.rlike("^-?\\d+$"),
+        "float": lambda c: c.try_cast("double").isNotNull(),
+        "string": lambda c: c.isNotNull(),
+    }[expect]
+
+    def fn(args, ctx):
+        t = _stype(args[0], ctx)
+        if t == "dynamic":
+            c = _one(args, ctx)
+            return F.coalesce(dyn_check(c), F.lit(False))
+        if expect == "float":
+            return F.lit(t == "float")
+        return F.lit(t == expect)
+
+    return fn
+
+
+def _is_map(args, ctx):
+    t = _stype(args[0], ctx)
+    if t == "dynamic":
+        c = _one(args, ctx)
+        return F.coalesce(
+            F.from_json(c, "map<string,string>").isNotNull(), F.lit(False)
+        )
+    return F.lit(t == "map")
+
+
+def _is_list(args, ctx):
+    t = _stype(args[0], ctx)
+    if t == "dynamic":
+        c = _one(args, ctx)
+        return F.coalesce(
+            F.from_json(c, "array<string>").isNotNull(), F.lit(False)
+        )
+    return F.lit(t == "array")
+
+
+def _span_id(args, ctx):
+    # SpanID(bytes) README.md:1388 — exactly 8 bytes; our ids are
+    # lowercase hex-string columns, so the value is the 16-char hex
+    b = literal_arg(args[0])
+    if not isinstance(b, HexBytes) or len(b.hex) != 16:
+        raise OTTLError("SpanID requires an 8-byte 0x literal")
+    return F.lit(b.hex)
+
+
+def _trace_id(args, ctx):
+    # TraceID(bytes) README.md:1522 — exactly 16 bytes
+    b = literal_arg(args[0])
+    if not isinstance(b, HexBytes) or len(b.hex) != 32:
+        raise OTTLError("TraceID requires a 16-byte 0x literal")
+    return F.lit(b.hex)
+
+
+def _unix(args, ctx):
+    # Unix(seconds, Optional[nanoseconds]) README.md:1548 → time.Time
+    sec = _one(args, ctx).cast("long")
+    if len(args) > 1:
+        from .compiler import compile_value
+
+        nanos = compile_value(args[1], ctx).cast("long")
+    else:
+        nanos = F.lit(0).cast("long")
+    return F.timestamp_micros(sec * F.lit(1_000_000)
+                              + (nanos / F.lit(1000)).cast("long"))
+
+
+# ---- UserAgent (README.md:1619) -------------------------------------------
+# The reference delegates to uap-go (the public uap-core regex corpus).
+# Vendoring 1000+ regexes is out of scope; this covers the browser/tool
+# families the corpus itself highlights, entirely JVM-side, and falls back
+# to uap's "Other" family like the reference does for unmatched strings.
+
+_UA_RULES = [
+    # (family, detect regex, version-capture regex)
+    ("Edge", r"Edg(e|A|iOS)?/", r"Edg(?:e|A|iOS)?/([0-9.]+)"),
+    ("Opera", r"OPR/", r"OPR/([0-9.]+)"),
+    ("Chrome Mobile", r"Chrome/[0-9.]+ Mobile", r"Chrome/([0-9.]+)"),
+    ("Chrome", r"Chrome/", r"Chrome/([0-9.]+)"),
+    ("Firefox", r"Firefox/", r"Firefox/([0-9.]+)"),
+    ("Mobile Safari", r"Version/[0-9.]+.*Mobile.*Safari/", r"Version/([0-9.]+)"),
+    ("Safari", r"Version/[0-9.]+.*Safari/", r"Version/([0-9.]+)"),
+    ("IE", r"MSIE [0-9.]+", r"MSIE ([0-9.]+)"),
+    ("curl", r"^curl/", r"^curl/([0-9.]+)"),
+    ("Wget", r"^Wget/", r"^Wget/([0-9.]+)"),
+    ("Python Requests", r"^python-requests/", r"^python-requests/([0-9.]+)"),
+    ("Go-http-client", r"^Go-http-client/", r"^Go-http-client/([0-9.]+)"),
+    ("Apache-HttpClient", r"^Apache-HttpClient/",
+     r"^Apache-HttpClient/([0-9.]+)"),
+    ("okhttp", r"^okhttp/", r"^okhttp/([0-9.]+)"),
+]
+
+
+def _user_agent(args, ctx):
+    c = _one(args, ctx).cast("string")
+    name = F.lit("Other")
+    ver = F.lit(None).cast("string")
+    for family, detect, vrx in reversed(_UA_RULES):
+        hit = c.rlike(detect)
+        name = F.when(hit, F.lit(family)).otherwise(name)
+        ver = F.when(
+            hit, F.nullif(F.regexp_extract(c, vrx, 1), F.lit(""))
+        ).otherwise(ver)
+    m = F.create_map(
+        F.lit("user_agent.name"), name,
+        F.lit("user_agent.version"), ver,
+        F.lit("user_agent.original"), c,
+    )
+    return F.map_filter(m, lambda _, v: v.isNotNull())
+
+
+# ---- ParseXML (README.md:1218) --------------------------------------------
+
+_XML_MAX_DEPTH = 6
+
+
+def _xml_ddl(depth: int) -> str:
+    base = "tag: string, attributes: map<string,string>, content: string"
+    if depth <= 0:
+        return f"struct<{base}>"
+    return f"struct<{base}, children: array<{_xml_ddl(depth - 1)}>>"
+
+
+def _xml_to_dict(el, depth: int):
+    out = {"tag": el.tag.strip()}
+    if el.attrib:
+        out["attributes"] = {k: str(v) for k, v in el.attrib.items()}
+    # rule 1: all character data trimmed, joined → content
+    texts = [el.text or ""] + [(ch.tail or "") for ch in el]
+    content = "".join(t.strip() for t in texts)
+    if content:
+        out["content"] = content
+    if depth > 0 and len(el):
+        out["children"] = [_xml_to_dict(ch, depth - 1) for ch in el]
+    return out
+
+
+def _parse_xml_series(s):
+    import xml.etree.ElementTree as ET
+
+    def parse(v):
+        if v is None:
+            return None
+        try:
+            return json.dumps(_xml_to_dict(ET.fromstring(v), _XML_MAX_DEPTH))
+        except ET.ParseError:
+            return None
+
+    return s.map(parse)
+
+
+def _parse_xml(args, ctx):
+    """ParseXML(target) — tag/attributes/content/children struct
+    (README.md:1218-1260). Rules 1-5 implemented in _xml_to_dict with
+    stdlib ElementTree inside an Arrow-batched pandas UDF (comments/PIs
+    are dropped by ElementTree itself), then lifted to a typed struct via
+    from_json. Depth capped at 6 (static schemas need a bound; reference
+    is unbounded — documented deviation)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = _one(args, ctx)
+    udf = pandas_udf(_parse_xml_series, "string")
+    parsed = F.from_json(udf(c.cast("string")), _xml_ddl(_XML_MAX_DEPTH))
+    ctx.note_failure(c.isNotNull() & parsed.isNull(),
+                     "ParseXML: invalid XML document")
+    return parsed
+
+
 # ---- time -----------------------------------------------------------------
 
 _GO_DUR_RX = re.compile(r"(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
@@ -174,11 +406,16 @@ def _duration(args, ctx):
 def _dur_conv(divisor: float, integral: bool = False):
     """Duration seconds → unit. Go semantics: Duration.Hours/Minutes/
     Seconds return float64, but Milliseconds/Microseconds/Nanoseconds
-    return int64 — integral units round to long (also avoids float
-    division artifacts like 1e-3/1e-6 = 1000.0000000000001)."""
+    return int64 via integer division — i.e. TRUNCATED toward zero
+    (Milliseconds(Duration("1500us")) == 1, not 2). Seconds are lifted
+    to exact nanos first (round absorbs 1e-3/1e-6 float artifacts), then
+    divided and truncated by the long cast."""
     def fn(args, ctx):
-        out = _one(args, ctx) / F.lit(divisor)
-        return F.round(out).cast("long") if integral else out
+        secs = _one(args, ctx)
+        if not integral:
+            return secs / F.lit(divisor)
+        nanos = F.round(secs.cast("double") * F.lit(1e9))
+        return (nanos / F.lit(divisor * 1e9)).cast("long")
 
     return fn
 
@@ -187,7 +424,11 @@ def _time(args, ctx):
     from ..operators.parse import _strptime_to_spark
 
     c = _one(args, ctx)
-    return F.to_timestamp(c, _strptime_to_spark(literal_arg(args[1])))
+    fmt = _strptime_to_spark(literal_arg(args[1]))
+    out = F.try_to_timestamp(c, F.lit(fmt))
+    ctx.note_failure(c.isNotNull() & out.isNull(),
+                     f"Time: cannot parse with layout {fmt!r}")
+    return out
 
 
 _TRUNC_UNIT = {3600.0: "hour", 60.0: "minute", 1.0: "second",
@@ -203,6 +444,13 @@ def _truncate_time(args, ctx):
     # arbitrary bucket: floor(epoch/secs)*secs
     e = c.cast("double")
     return F.timestamp_seconds(F.floor(e / secs) * int(secs))
+
+
+def _parse_json(args, ctx):
+    c = _one(args, ctx)
+    out = F.from_json(c, "map<string,string>")
+    ctx.note_failure(c.isNotNull() & out.isNull(), "ParseJSON: invalid JSON")
+    return out
 
 
 # ---- registry -------------------------------------------------------------
@@ -228,30 +476,37 @@ CONVERTERS = {
     "Concat": _concat,
     "ConvertCase": _convert_case,
     "Format": _format,
-    "Len": lambda a, c: _len(a, c),
-    "Log": lambda a, c: F.log(_one(a, c)),
+    "Len": _len,
+    "Log": _log_conv,
     "Split": _split,
     "Substring": _substring,
     "Trim": lambda a, c: F.trim(_one(a, c)),
     # type conversion / checks
-    "Double": lambda a, c: _one(a, c).try_cast("double"),
-    "Int": lambda a, c: _one(a, c).try_cast("long"),
+    "Double": _double_conv,
+    "Int": _int_conv,
     "String": lambda a, c: _one(a, c).cast("string"),
-    "IsBool": lambda a, c: _one(a, c).try_cast("boolean").isNotNull(),
-    "IsDouble": lambda a, c: _one(a, c).try_cast("double").isNotNull(),
-    "IsInt": lambda a, c: _one(a, c).try_cast("long").isNotNull(),
-    "IsString": lambda a, c: _one(a, c).cast("string").isNotNull(),
+    "IsBool": _typecheck("bool"),
+    "IsDouble": _typecheck("float"),
+    "IsInt": _typecheck("int"),
+    "IsString": _typecheck("string"),
+    "IsMap": _is_map,
+    "IsList": _is_list,
     "IsMatch": lambda a, c: _one(a, c).rlike(literal_arg(a[1])),
+    # ids
+    "SpanID": _span_id,
+    "TraceID": _trace_id,
     # parsing
     "ExtractPatterns": _extract_patterns,
     "ExtractGrokPatterns": _extract_grok,
-    "ParseJSON": lambda a, c: F.from_json(_one(a, c), "map<string,string>"),
+    "ParseJSON": _parse_json,
+    "ParseXML": _parse_xml,
     "ParseKeyValue": lambda a, c: F.str_to_map(
         _one(a, c),
         F.lit(literal_arg(a[1]) if len(a) > 1 else " "),
         F.lit(literal_arg(a[2]) if len(a) > 2 else "="),
     ),
     "ParseCSV": lambda a, c: F.split(_one(a, c), ","),
+    "UserAgent": _user_agent,
     "URL": lambda a, c: F.struct(
         F.parse_url(_one(a, c), F.lit("PROTOCOL")).alias("scheme"),
         F.parse_url(_one(a, c), F.lit("HOST")).alias("domain"),
@@ -278,6 +533,7 @@ CONVERTERS = {
     "Nanoseconds": _dur_conv(1e-9, integral=True),
     "Time": _time,
     "TruncateTime": _truncate_time,
+    "Unix": _unix,
     "UnixSeconds": lambda a, c: F.unix_seconds(_one(a, c)),
     "UnixMilli": lambda a, c: F.unix_millis(_one(a, c)),
     "UnixMicro": lambda a, c: F.unix_micros(_one(a, c)),
@@ -285,4 +541,33 @@ CONVERTERS = {
     # nondeterministic (banned in oracle-checked paths, provided for parity)
     "Now": lambda a, c: F.current_timestamp(),
     "UUID": lambda a, c: F.expr("uuid()"),
+}
+
+# static OTTL return type per converter (drives the compare.go matrix and
+# Len/IsMap/IsList dispatch in the compiler). Values use the compiler's
+# type constants as plain strings to avoid an import cycle.
+CONVERTER_TYPES = {
+    "Base64Decode": "string", "Decode": "string", "Hex": "string",
+    "MD5": "string", "SHA1": "string", "SHA256": "string", "SHA512": "string",
+    "FNV": "int",
+    "Concat": "string", "ConvertCase": "string", "Format": "string",
+    "Len": "int", "Log": "float", "Split": "array", "Substring": "string",
+    "Trim": "string",
+    "Double": "float", "Int": "int", "String": "string",
+    "IsBool": "bool", "IsDouble": "bool", "IsInt": "bool",
+    "IsString": "bool", "IsMap": "bool", "IsList": "bool", "IsMatch": "bool",
+    "SpanID": "bytes", "TraceID": "bytes",
+    "ExtractPatterns": "map", "ExtractGrokPatterns": "map",
+    "ParseJSON": "map", "ParseXML": "map", "ParseKeyValue": "map",
+    "ParseCSV": "array", "UserAgent": "map", "URL": "map",
+    "Sort": "array",
+    "Day": "int", "Hour": "int", "Minute": "int", "Month": "int",
+    "Year": "int",
+    "Duration": "duration", "Hours": "float", "Minutes": "float",
+    "Seconds": "float", "Milliseconds": "int", "Microseconds": "int",
+    "Nanoseconds": "int",
+    "Time": "time", "TruncateTime": "time", "Unix": "time",
+    "UnixSeconds": "int", "UnixMilli": "int", "UnixMicro": "int",
+    "UnixNano": "int",
+    "Now": "time", "UUID": "string",
 }

@@ -32,9 +32,17 @@ class OTTLError(Exception):
 # AST nodes
 # ---------------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class HexBytes:
+    """A 0x… byte-slice literal (grammar.go Bytes). Stored as lowercase hex
+    (our trace/span ids are hex-string columns, not binary)."""
+
+    hex: str
+
+
 @dataclass
 class Literal:
-    value: object  # str | int | float | bool | None
+    value: object  # str | int | float | bool | None | HexBytes
 
 
 @dataclass
@@ -107,6 +115,7 @@ _TOKEN_RX = re.compile(
     r"""
     (?P<WS>\s+)
   | (?P<STRING>"(?:\\.|[^"\\])*")
+  | (?P<BYTES>0x[0-9a-fA-F]+)
   | (?P<FLOAT>-?\d+\.\d+)
   | (?P<INT>-?\d+)
   | (?P<OP>==|!=|<=|>=|<|>)
@@ -185,6 +194,11 @@ class _Parser:
         if kind == "STRING":
             self.next()
             return Literal(_unquote(v))
+        if kind == "BYTES":
+            self.next()
+            if len(v) % 2 != 0:
+                raise OTTLError(f"byte literal {v!r} must have even hex length")
+            return Literal(HexBytes(v[2:].lower()))
         if kind == "FLOAT":
             self.next()
             return Literal(float(v))

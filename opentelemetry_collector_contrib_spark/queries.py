@@ -508,6 +508,67 @@ SELECT conv_id, turn_idx,
 FROM parsed""",
     )
 
+    # ---- t_ottl_transform: a full OTTL StatementSequence over the
+    # canonical log shape (transformprocessor, internal/logs/processor.go:
+    # 53-66) exercising set/ConvertCase/Int + int division, the enum
+    # where-clause, the cross-type comparison matrix (pkg/ottl/compare.go:
+    # dynamic-vs-int mismatch is ne-only), and append's slice semantics
+    # (ottlfuncs/README.md:65) — each reproduced exactly in the SQL oracle.
+    def t_ottl_transform(spark, sf_dir):
+        from .ottl import StatementSequence
+
+        df = _parsed(spark, sf_dir)
+        logdf = df.select(
+            "conv_id", "turn_idx",
+            F.col("text").alias("body"),
+            "severity_text", "severity_number",
+            F.map_filter(
+                F.create_map(
+                    F.lit("role"), F.col("role"),
+                    F.lit("dur"), F.col("dur_ms").cast("string"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ).alias("attributes"),
+        )
+        seq = StatementSequence([
+            'set(attributes["sev"], ConvertCase(severity_text, "lower"))',
+            'set(attributes["dur_s"], Int(attributes["dur"]) / 1000)'
+            ' where attributes["dur"] != nil',
+            'set(attributes["is_err"], "true")'
+            ' where severity_number >= SEVERITY_NUMBER_ERROR',
+            # matrix: non-numeric dynamic vs int ⇒ mismatched types:
+            # == never true, != always true
+            'set(attributes["flag"], "mixed") where attributes["role"] == 5',
+            'set(attributes["flag2"], "neq") where attributes["role"] != 5',
+            'append(attributes["tags"], attributes["role"])',
+            'append(attributes["tags"], "x")',
+        ], error_mode="ignore")
+        out = seq.apply(logdf)
+        a = F.col("attributes")
+        return out.select(
+            "conv_id", "turn_idx",
+            a["sev"].alias("sev"),
+            a["dur_s"].alias("dur_s"),
+            a["is_err"].alias("is_err"),
+            a["flag"].alias("flag"),
+            a["flag2"].alias("flag2"),
+            a["tags"].alias("tags"),
+        )
+
+    reg(
+        "t_ottl_transform",
+        t_ottl_transform,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+  lower(severity_text) AS sev,
+  CASE WHEN dur_ms IS NOT NULL THEN CAST(dur_ms // 1000 AS VARCHAR) END AS dur_s,
+  CASE WHEN coalesce(severity_number >= 17, false) THEN 'true' END AS is_err,
+  CAST(NULL AS VARCHAR) AS flag,
+  'neq' AS flag2,
+  '["' || role || '","x"]' AS tags
+FROM parsed""",
+    )
+
     _register_events(reg)
     _register_documents(reg)
     _register_embeddings(reg)

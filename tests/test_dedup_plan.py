@@ -1,0 +1,61 @@
+"""Scale-shape guards for the LSH dedup pipeline.
+
+The verify stage of minhash_dedup_pairs must be gated on LSH candidates:
+the shingle table that feeds the exact-jaccard join is LEFT-SEMI-joined to
+candidate doc ids, and common-shingle counts flow through the candidate-
+pair join — never a corpus-wide shingle self-join (which would reintroduce
+the quadratic cost banding exists to avoid; reference analog of why
+logdedup/LSH exist at all)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.dedup_text import (
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+)
+from opentelemetry_collector_contrib_spark.textops import ngram_jaccard_pairs
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text about spark physical plans"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "another unrelated document mentioning nothing shared"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_verify_stage_is_candidate_gated(spark):
+    out = minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the shingle scan feeding the jaccard verify is semi-joined to the
+    # candidate id set before any shingle-shingle equi-join
+    assert "LeftSemi" in plan
+
+
+def test_dedup_pairs_match_unoptimized_semantics(spark):
+    docs = _docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    # reference semantics: candidates ∩ full-corpus exact jaccard
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    exact = ngram_jaccard_pairs(docs, threshold=0.5)
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in cand.join(exact, ["doc_a", "doc_b"]).collect()
+    }
+    assert got == want
+    assert (1, 4, 1.0) in got  # identical docs are candidates and verify
+
+
+def test_no_cross_join_in_candidate_generation(spark):
+    sigs = minhash_signatures(_docs(spark))
+    plan = lsh_candidate_pairs(sigs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cross" not in plan  # equi-join on (band, band_hash) only

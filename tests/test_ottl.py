@@ -134,13 +134,26 @@ CASES = [
      None, ("c", "[c, b, a]")),
     ('set(attributes["c"], ParseCSV("a,b,c"))', None, ("c", "[a, b, c]")),
     ('set(attributes["c"], Log(1.0))', None, ("c", "0.0")),
-    # type checks
-    ('set(attributes["c"], IsBool("true"))', None, ("c", "true")),
-    ('set(attributes["c"], IsInt("42"))', None, ("c", "true")),
-    ('set(attributes["c"], IsInt("4.2"))', None, ("c", "false")),
-    ('set(attributes["c"], IsDouble("4.2"))', None, ("c", "true")),
-    ('set(attributes["c"], IsDouble("x"))', None, ("c", "false")),
+    # type checks — TYPE checks, not parseability (README.md:825-975):
+    # a string literal is a string no matter what it spells
+    ('set(attributes["c"], IsBool("true"))', None, ("c", "false")),
+    ('set(attributes["c"], IsBool(true))', None, ("c", "true")),
+    ('set(attributes["c"], IsInt("42"))', None, ("c", "false")),
+    ('set(attributes["c"], IsInt(42))', None, ("c", "true")),
+    ('set(attributes["c"], IsInt(4.2))', None, ("c", "false")),
+    ('set(attributes["c"], IsDouble("4.2"))', None, ("c", "false")),
+    ('set(attributes["c"], IsDouble(4.2))', None, ("c", "true")),
     ('set(attributes["c"], IsString(body))', None, ("c", "true")),
+    ('set(attributes["c"], IsString(severity_number))', None, ("c", "false")),
+    ('set(attributes["c"], IsMap(attributes))', None, ("c", "true")),
+    ('set(attributes["c"], IsMap(body))', None, ("c", "false")),
+    ('set(attributes["c"], IsMap(ParseJSON("{\\"a\\": 1}")))', None, ("c", "true")),
+    ('set(attributes["c"], IsList(Split(body, " ")))', None, ("c", "true")),
+    ('set(attributes["c"], IsList(attributes))', None, ("c", "false")),
+    # dynamic (type-erased map value) fallback: "4.2" renders numeric
+    ('set(attributes["c"], IsDouble(attributes["http.method"]))',
+     None, ("c", "false")),
+    ('set(attributes["c"], Len(attributes))', None, ("c", "3")),
     ('set(attributes["c"], String(3.14))', None, ("c", "3.14")),
     ('set(attributes["c"], Int("oops"))', None, ("c", None)),  # null → no upsert
     ('set(attributes["c"], Double("1e3"))', None, ("c", "1000.0")),
@@ -163,6 +176,20 @@ CASES = [
     ('set(attributes["c"], Milliseconds(Duration("1s")))', None, ("c", "1000")),  # Go Duration.Milliseconds → int64
     ('set(attributes["c"], Microseconds(Duration("1ms")))', None, ("c", "1000")),
     ('set(attributes["c"], Nanoseconds(Duration("1us")))', None, ("c", "1000")),
+    # integral duration units TRUNCATE toward zero like Go's int64
+    # division (Duration.Milliseconds of 1500us is 1, not 2)
+    ('set(attributes["c"], Milliseconds(Duration("1500us")))', None, ("c", "1")),
+    ('set(attributes["c"], Microseconds(Duration("2500ns")))', None, ("c", "2")),
+    ('set(attributes["c"], Milliseconds(Duration("2ms")))', None, ("c", "2")),
+    # ids / epoch constructors
+    ('set(attributes["c"], SpanID(0x0102030405060708))',
+     None, ("c", "0102030405060708")),
+    ('set(attributes["c"], TraceID(0x0102030405060708090a0b0c0d0e0f10))',
+     None, ("c", "0102030405060708090a0b0c0d0e0f10")),
+    ('set(attributes["c"], UnixSeconds(Unix(1672527600)))',
+     None, ("c", "1672527600")),
+    ('set(attributes["c"], UnixMicro(Unix(1672527600, 500000)))',
+     None, ("c", "1672527600000500")),
     # boolean expression semantics (LANGUAGE.md:228-291)
     ('set(attributes["c"], "y") where 1 == 1.0', None, ("c", "y")),
     ('set(attributes["c"], "y") where 2 > 1.5', None, ("c", "y")),
@@ -182,6 +209,39 @@ CASES = [
      None, ("c", None)),
     ('set(attributes["c"], "y") where body != nil and Len(body) > 10',
      None, ("c", "y")),
+    # cross-type comparison matrix (pkg/ottl/compare.go, LANGUAGE.md:228-291)
+    ('set(attributes["c"], "y") where "5" == 5', None, ("c", None)),
+    ('set(attributes["c"], "y") where "5" != 5', None, ("c", "y")),
+    ('set(attributes["c"], "y") where 5 < "6"', None, ("c", None)),
+    ('set(attributes["c"], "y") where severity_number == 17.0',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where severity_number < 17.5',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where severity_number == "17"',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where true > false', None, ("c", "y")),
+    ('set(attributes["c"], "y") where true < false', None, ("c", None)),
+    ('set(attributes["c"], "y") where false <= true', None, ("c", "y")),
+    ('set(attributes["c"], "y") where true == 1', None, ("c", None)),
+    ('set(attributes["c"], "y") where true != 1', None, ("c", "y")),
+    ('set(attributes["c"], "y") where nil != nil', None, ("c", None)),
+    ('set(attributes["c"], "y") where nil <= nil', None, ("c", "y")),
+    ('set(attributes["c"], "y") where attributes["nope"] == "x"',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where attributes["nope"] != "x"',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where attributes["nope"] < "x"',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where attributes["nope"] <= nil',
+     None, ("c", "y")),
+    # dynamic map value vs typed scalar: numeric rendering compares
+    # numerically; non-numeric rendering is a type mismatch (ne-only)
+    ('set(attributes["c"], "y") where attributes["flags"] == 100',
+     None, ("c", None)),
+    ('set(attributes["c"], "y") where attributes["flags"] != 100',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where attributes["flags"] < 100',
+     None, ("c", None)),
     # paths
     ('set(attributes["c"], resource.attributes["host.name"])',
      None, ("c", "localhost")),
@@ -279,8 +339,170 @@ def test_merge_maps_insert_keeps_existing(spark):
 
 
 def test_append(log_df):
+    # append(target, value) has SLICE semantics (ottlfuncs/README.md:65):
+    # a scalar target becomes a slice first. On type-erased map values the
+    # slice is rendered as a JSON array string (round-trippable).
     fn = compile_statement('append(attributes["http.method"], "!")')
-    assert one(fn(log_df))["attributes"]["http.method"] == "get!"
+    out1 = fn(log_df)
+    assert one(out1)["attributes"]["http.method"] == '["get","!"]'
+    # repeated append re-parses the rendered slice and extends it
+    fn2 = compile_statement('append(attributes["http.method"], "?")')
+    assert one(fn2(out1))["attributes"]["http.method"] == '["get","!","?"]'
+    # appending to a missing key creates a fresh slice
+    fn3 = compile_statement('append(attributes["list"], "x")')
+    assert one(fn3(log_df))["attributes"]["list"] == '["x"]'
+    # list-valued second arg appends every element
+    fn4 = compile_statement('append(attributes["list"], ["a", "b"])')
+    assert one(fn4(log_df))["attributes"]["list"] == '["a","b"]'
+
+
+def test_append_array_column(spark):
+    df = spark.createDataFrame(
+        [(["a"],)], T.StructType([T.StructField("tags", T.ArrayType(T.StringType()))])
+    )
+    ctx = Context(path_map={"tags": "tags"})
+    fn = compile_statement('append(tags, "b")', ctx)
+    assert fn(df).collect()[0]["tags"] == ["a", "b"]
+
+
+# ---- error modes (pkg/ottl/config.go:11-27, parser.go:281-298) ------------
+
+def test_error_mode_ignore_skips_statement(log_df):
+    # Int of a non-numeric attr fails in the reference; ignore mode leaves
+    # the record unmodified (statement skipped), not null-poisoned
+    seq = StatementSequence(
+        ['set(attributes["c"], Int(attributes["http.method"]))'],
+        error_mode="ignore",
+    )
+    assert "c" not in one(seq.apply(log_df))["attributes"]
+
+
+def test_error_mode_ignore_where_clause_failure(log_df):
+    seq = StatementSequence(
+        ['set(attributes["c"], "y") where Int(attributes["http.method"]) == 1'],
+        error_mode="ignore",
+    )
+    assert "c" not in one(seq.apply(log_df))["attributes"]
+
+
+def test_error_mode_propagate_raises(log_df):
+    seq = StatementSequence(
+        ['set(attributes["c"], Int(attributes["http.method"]))'],
+        error_mode="propagate",
+    )
+    with pytest.raises(Exception, match="ottl:"):
+        seq.apply(log_df).collect()
+
+
+def test_error_mode_propagate_ok_rows_pass(log_df):
+    seq = StatementSequence(
+        ['set(attributes["c"], Int("42") + 1)'],
+        error_mode="propagate",
+    )
+    assert one(seq.apply(log_df))["attributes"]["c"] == "43"
+
+
+def test_substring_out_of_range(log_df):
+    # reference errors when start+length exceeds the target
+    # (func_substring.go:34-58); Spark alone would silently truncate
+    ign = StatementSequence(
+        ['set(attributes["c"], Substring(body, 0, 100))'], error_mode="ignore"
+    )
+    assert "c" not in one(ign.apply(log_df))["attributes"]
+    prop = StatementSequence(
+        ['set(attributes["c"], Substring(body, 0, 100))'],
+        error_mode="propagate",
+    )
+    with pytest.raises(Exception, match="ottl:"):
+        prop.apply(log_df).collect()
+    # negative start / non-positive length are rejected when the editor
+    # compiles its value expressions (first apply)
+    with pytest.raises(OTTLError):
+        compile_statement('set(attributes["c"], Substring(body, -1, 2))')(log_df)
+    with pytest.raises(OTTLError):
+        compile_statement('set(attributes["c"], Substring(body, 0, 0))')(log_df)
+
+
+def test_log_error_modes(log_df):
+    ign = StatementSequence(
+        ['set(attributes["c"], Log(0))'], error_mode="ignore"
+    )
+    assert "c" not in one(ign.apply(log_df))["attributes"]
+    prop = StatementSequence(
+        ['set(attributes["c"], Log(0))'], error_mode="propagate"
+    )
+    with pytest.raises(Exception, match="ottl:"):
+        prop.apply(log_df).collect()
+
+
+def test_parse_json_error_modes(log_df):
+    ign = StatementSequence(
+        ['set(attributes["c"], Len(ParseJSON("not json")))'],
+        error_mode="ignore",
+    )
+    assert "c" not in one(ign.apply(log_df))["attributes"]
+    prop = StatementSequence(
+        ['set(attributes["c"], Len(ParseJSON("not json")))'],
+        error_mode="propagate",
+    )
+    with pytest.raises(Exception, match="ottl:"):
+        prop.apply(log_df).collect()
+
+
+# ---- new converters -------------------------------------------------------
+
+def test_parse_xml(log_df):
+    xml = ('<Log><User><ID>00001</ID><Name type="first">Joe</Name></User>'
+           "<Text>User fired alert A</Text></Log>")
+    # compile the converter directly to inspect typed fields
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        compile_value, Context as Ctx,
+    )
+    from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+    node = _Parser(f'ParseXML("{_xml_quote(xml)}")').value()
+    col = compile_value(node, Ctx())
+    row = log_df.select(col.alias("x")).collect()[0]["x"]
+    assert row["tag"] == "Log"
+    assert row["children"][0]["tag"] == "User"
+    assert row["children"][0]["children"][0]["content"] == "00001"
+    assert row["children"][0]["children"][1]["attributes"] == {"type": "first"}
+    assert row["children"][1]["content"] == "User fired alert A"
+
+
+def _xml_quote(s):
+    return s.replace('"', '\\"')
+
+
+def test_parse_xml_invalid_error_modes(log_df):
+    ign = StatementSequence(
+        ['set(attributes["c"], String(ParseXML("<unclosed>")))'],
+        error_mode="ignore",
+    )
+    assert "c" not in one(ign.apply(log_df))["attributes"]
+
+
+def test_user_agent(log_df):
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        compile_value, Context as Ctx,
+    )
+    from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+    for ua, want_name, want_ver in [
+        ("curl/7.81.0", "curl", "7.81.0"),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:126.0) Gecko/20100101 "
+         "Firefox/126.0", "Firefox", "126.0"),
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like "
+         "Gecko) Chrome/125.0.0.0 Safari/537.36 Edg/125.0.2535.51",
+         "Edge", "125.0.2535.51"),
+        ("totally-unknown-thing", "Other", None),
+    ]:
+        node = _Parser(f'UserAgent("{ua}")').value()
+        got = log_df.select(
+            compile_value(node, Ctx()).alias("m")).collect()[0]["m"]
+        assert got["user_agent.name"] == want_name, ua
+        assert got.get("user_agent.version") == want_ver, ua
+        assert got["user_agent.original"] == ua
 
 
 def test_extract_patterns(log_df):
