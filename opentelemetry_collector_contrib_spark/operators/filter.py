@@ -30,6 +30,28 @@ def filter_drop(df: DataFrame, drop_cond: Column) -> DataFrame:
     return df.filter(~F.coalesce(drop_cond, F.lit(False)))
 
 
+def filter_ottl(
+    df: DataFrame,
+    conditions: list[str],
+    path_map: dict | None = None,
+    error_mode: str = "ignore",
+    path_types: dict | None = None,
+) -> DataFrame:
+    """filterprocessor OTTL mode (config.go:85-103; parser.go:330-377
+    condition sequences): DROP records matching ANY condition (the
+    processor ORs its log_conditions). Conditions are compiled once into
+    one Column; error modes follow compile_condition (ignore/silent →
+    condition false on failing rows → record kept, logs.go:86-99;
+    propagate → raise)."""
+    from ..ottl.compiler import Context, compile_condition
+
+    ctx = Context(path_map, error_mode, path_types)
+    cond = compile_condition(conditions[0], ctx)
+    for c in conditions[1:]:
+        cond = cond | compile_condition(c, ctx)
+    return filter_drop(df, cond)
+
+
 def filter_include_exclude(
     df: DataFrame,
     include: Column | None = None,

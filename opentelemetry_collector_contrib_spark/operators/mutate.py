@@ -166,3 +166,45 @@ def unquote(df: DataFrame, field_name: str) -> DataFrame:
         F.expr(f"substring({field_name}, 2, length({field_name}) - 2)"),
     ).otherwise(c)
     return df.withColumn(field_name, stripped)
+
+
+def scope_name_parser(df: DataFrame, source: str, to: str = "scope") -> DataFrame:
+    """stanza scope_name_parser (pkg/stanza/operator/helper/scope_name.go):
+    copy a parsed field into the instrumentation scope name."""
+    return df.withColumn(to, F.col(source).cast("string"))
+
+
+def resource_detection(
+    df: DataFrame,
+    detected: dict[str, str],
+    resource_col: str = "resource",
+    override: bool = False,
+) -> DataFrame:
+    """resourcedetection processor (processor/resourcedetectionprocessor):
+    stamp environment-derived resource attributes. `detected` is the
+    already-resolved attribute dict (the detectors run on the DRIVER —
+    env/system lookups are per-job constants, so they compile to literal
+    map entries, zero per-row work). override=False keeps existing keys
+    (the processor's default merge semantics)."""
+    kv = []
+    for k, v in detected.items():
+        kv.extend([F.lit(k), F.lit(v)])
+    det = F.create_map(*kv) if kv else F.create_map().cast("map<string,string>")
+    base = F.coalesce(
+        F.col(resource_col), F.create_map().cast("map<string,string>")
+    ) if resource_col in df.columns else F.create_map().cast("map<string,string>")
+    if override:
+        merged = F.map_concat(
+            F.map_filter(
+                base, lambda k, _: ~F.array_contains(F.map_keys(det), k)
+            ),
+            det,
+        )
+    else:
+        merged = F.map_concat(
+            base,
+            F.map_filter(
+                det, lambda k, _: ~F.array_contains(F.map_keys(base), k)
+            ),
+        )
+    return df.withColumn(resource_col, merged)

@@ -262,13 +262,53 @@ def _strptime_to_spark(layout: str) -> str:
 
 
 def trace_parser(
-    df: DataFrame, trace_col: str, span_col: str | None = None
+    df: DataFrame,
+    trace_col: str,
+    span_col: str | None = None,
+    flags_col: str | None = None,
 ) -> DataFrame:
-    """stanza trace_parser (helper/trace.go): normalize hex ids."""
-    df = df.withColumn("trace_id", F.lower(F.col(trace_col)))
+    """stanza trace_parser (pkg/stanza/operator/helper/trace.go): parse
+    W3C ids. The reference hex-decodes into []byte and errors on invalid
+    input; our ids stay lowercase-hex strings (the `.string` OTTL view),
+    so validation = exact hex-length check, invalid → NULL (on_error=send
+    semantics: record continues, field unset). trace=16 bytes, span=8
+    bytes, flags=1 byte parsed to its int value."""
+    t = F.lower(F.col(trace_col).cast("string"))
+    df = df.withColumn(
+        "trace_id", F.when(t.rlike("^[0-9a-f]{32}$"), t)
+    )
     if span_col:
-        df = df.withColumn("span_id", F.lower(F.col(span_col)))
+        s = F.lower(F.col(span_col).cast("string"))
+        df = df.withColumn(
+            "span_id", F.when(s.rlike("^[0-9a-f]{16}$"), s)
+        )
+    if flags_col:
+        fl = F.lower(F.col(flags_col).cast("string"))
+        df = df.withColumn(
+            "flags",
+            F.when(fl.rlike("^[0-9a-f]{1,2}$"),
+                   F.conv(fl, 16, 10).cast("int")),
+        )
     return df
+
+
+def jsonarray_parser(
+    df: DataFrame,
+    source: str,
+    to: str = "parsed",
+    header: list[str] | None = None,
+) -> DataFrame:
+    """stanza jsonarray_parser (parser/jsonarray/config.go:48): parse a
+    JSON-array string into a slice; with `header` configured, zip values
+    with the header names into a map (assignkeys-style), mirroring the
+    parser's header mode."""
+    arr = F.from_json(F.col(source), "array<string>")
+    if header is None:
+        return df.withColumn(to, arr)
+    keys = F.array(*[F.lit(h) for h in header])
+    vals = F.array(*[F.try_element_at(arr, F.lit(i + 1))
+                     for i in range(len(header))])
+    return df.withColumn(to, F.map_from_arrays(keys, vals))
 
 
 def uri_parser(df: DataFrame, source: str, prefix: str = "uri_") -> DataFrame:
@@ -290,3 +330,224 @@ def severity_parser(
     token → enum via preset aliases + HTTP ranges; codegen CASE chain."""
     df = df.withColumn(to_text, severity_text_col(F.col(source)))
     return df.withColumn(to_num, severity_number_col(F.col(to_text)))
+
+
+# ---------------------------------------------------------------------------
+# container parser (docker / containerd / cri-o)
+# ---------------------------------------------------------------------------
+
+# pkg/stanza/operator/parser/container/parser.go:28-31 — the three
+# envelope patterns and the k8s log-path pattern, verbatim semantics
+_CRIO_RX = r"^([^ Z]+) (stdout|stderr) ([^ ]*) ?(.*)$"
+_CONTAINERD_RX = r"^([^ ^Z]+Z) (stdout|stderr) ([^ ]*) ?(.*)$"
+_LOGPATH_RX = (
+    r"^.*/([^_]+)_([^_]+)_([a-f0-9\-]+)/([^\._]+)/(\d+)\.log$"
+)
+
+
+def container_parser(
+    df: DataFrame,
+    source: str = "text",
+    path_col: str | None = None,
+    fmt: str | None = None,
+    add_metadata_from_filepath: bool = True,
+) -> DataFrame:
+    """stanza `container` parser (pkg/stanza/operator/parser/container/
+    parser.go:70-151, config.go:58-60): parse docker / containerd / cri-o
+    log envelopes, auto-detecting the format per line when `fmt` is None
+    (detectFormat, parser.go:197-217: `^{` → docker, time-without-Z →
+    crio, time-ending-Z → containerd).
+
+    Emits columns:
+      format     detected envelope
+      body       the log content (docker `log` field / CRI log group)
+      attributes map with the reference's exact keys — log.iostream
+                 (stream, logFieldsMapping parser.go:43-46), logtag,
+                 time (original, kept pending the removeOriginalTimeField
+                 feature gate), and k8s.* extracted from `path_col` via
+                 logpathPattern (parser.go:31, k8sMetadataMapping :47-53)
+      ts         parsed event time (docker/containerd goTimeLayout,
+                 crio RFC3339Nano with offset — both ISO, one cast)
+
+    All JVM-side: one from_json for docker + regexp_extract for CRI —
+    no Python in the path (the reference publishes a perf contract for
+    exactly this chain, testbed/tests/log_test.go:70-110).
+
+    CRI partial lines (logtag P/F) are stitched by
+    container_recombine(); docker lines bypass recombine like the
+    reference (Process routes only containerd/crio through the internal
+    recombine operator, parser.go:92-146).
+    """
+    c = F.col(source)
+    if fmt is not None:
+        if fmt not in ("docker", "containerd", "crio"):
+            raise ValueError(f"container format {fmt!r}")
+        detected = F.lit(fmt)
+    else:
+        detected = (
+            F.when(c.rlike(r"^\{"), F.lit("docker"))
+            .when(c.rlike(_CRIO_RX) & ~c.rlike(_CONTAINERD_RX), F.lit("crio"))
+            .when(c.rlike(_CONTAINERD_RX), F.lit("containerd"))
+        )
+
+    docker = F.from_json(c, "log string, stream string, time string")
+    is_docker = detected == "docker"
+    cri_rx = F.when(detected == "crio", F.lit(_CRIO_RX)).otherwise(
+        F.lit(_CONTAINERD_RX)
+    )
+    # regexp_extract needs a literal pattern per call — evaluate both and
+    # select (cheap: both anchored single-pass scans)
+    def _cri(idx: int) -> F.Column:
+        return F.when(
+            detected == "crio",
+            F.nullif(F.regexp_extract(c, _CRIO_RX, idx), F.lit("")),
+        ).otherwise(
+            F.nullif(F.regexp_extract(c, _CONTAINERD_RX, idx), F.lit(""))
+        )
+
+    time_s = F.when(is_docker, docker["time"]).otherwise(_cri(1))
+    stream = F.when(is_docker, docker["stream"]).otherwise(_cri(2))
+    logtag = F.when(is_docker, F.lit(None).cast("string")).otherwise(_cri(3))
+    body = F.when(is_docker, docker["log"]).otherwise(
+        F.coalesce(_cri(4), F.lit(""))
+    )
+
+    kv: list[F.Column] = [
+        F.lit("log.iostream"), stream,
+        F.lit("logtag"), logtag,
+        F.lit("time"), time_s,
+    ]
+    if add_metadata_from_filepath and path_col is not None:
+        p = F.col(path_col)
+        for key, idx in (
+            ("k8s.namespace.name", 1),
+            ("k8s.pod.name", 2),
+            ("k8s.pod.uid", 3),
+            ("k8s.container.name", 4),
+            ("k8s.container.restart_count", 5),
+        ):
+            kv.extend([
+                F.lit(key),
+                F.nullif(F.regexp_extract(p, _LOGPATH_RX, idx), F.lit("")),
+            ])
+    attrs = F.map_filter(F.create_map(*kv), lambda _, v: v.isNotNull())
+
+    return (
+        df.withColumn("format", detected)
+        .withColumn("body", body)
+        .withColumn("attributes", attrs)
+        # goTimeLayout / crioTimeLayout (parser.go:33-34) are both ISO —
+        # Spark's lenient timestamp cast covers millis and nano+offset
+        .withColumn("ts", time_s.cast("timestamp"))
+    )
+
+
+def container_recombine(
+    df: DataFrame, order_by: str, path_col: str = "log_file_path"
+) -> DataFrame:
+    """Stitch CRI partial lines: the reference wires an internal
+    recombine with is_last_entry = `attributes.logtag == 'F'`,
+    source_identifier = log.file.path, combine_with "" (config.go:
+    createRecombine, recombineIsLastEntry). Docker rows bypass it
+    (parser.go Process routes only CRI formats through recombine) —
+    split, stitch, reunite."""
+    from .recombine import recombine
+
+    cri = df.filter(F.col("format") != "docker")
+    docker = df.filter(F.col("format") == "docker")
+    stitched = recombine(
+        cri,
+        path_col,
+        order_by,
+        combine_field="body",
+        combine_with="",
+        is_last_entry=F.col("attributes")["logtag"] == "F",
+    ).select(
+        F.col(path_col),
+        F.col("body"),
+        F.col("n_parts"),
+        F.col("first_" + order_by).alias(order_by),
+    )
+    return stitched.unionByName(
+        docker.select(
+            F.col(path_col), F.col("body"),
+            F.lit(1).cast("long").alias("n_parts"), F.col(order_by),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# syslog RFC5424 (+ octet-counting framing)
+# ---------------------------------------------------------------------------
+
+# RFC5424: <PRI>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP PROCID SP
+# MSGID SP STRUCTURED-DATA [SP MSG]; "-" is the nil value. Reference:
+# pkg/stanza/operator/parser/syslog (config.go:53-58 protocol rfc5424 +
+# enable_octet_counting; parsing delegated to go-syslog/rfc5424 and
+# octetcounting — here a single anchored regex, all JVM-side).
+_RFC5424_RX = (
+    r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[.*?\])+)(?: (.*))?$"
+)
+
+
+def syslog_rfc5424_parser(
+    df: DataFrame,
+    source: str,
+    enable_octet_counting: bool = False,
+    prefix: str = "sl_",
+) -> DataFrame:
+    """Parse RFC5424 syslog lines into typed columns.
+
+    enable_octet_counting: the line is framed as "LEN SP MSG" (RFC6587
+    octet counting, go-syslog/octetcounting). The frame is validated —
+    a LEN that does not match the payload length nulls the record's
+    parsed fields (on_error=send semantics), mirroring the reference
+    erroring on bad frames.
+
+    Emits {prefix}facility/severity/version/ts/hostname/appname/procid/
+    msgid/sd_id/sd (map)/msg. Multiple SD elements: the first element's
+    params are lifted into the map (common path); the raw SD string is
+    kept in {prefix}sd_raw for full fidelity.
+    """
+    line = F.col(source)
+    if enable_octet_counting:
+        octets = F.regexp_extract(line, r"^(\d+) ", 1)
+        payload = F.regexp_replace(line, r"^\d+ ", "")
+        frame_ok = (F.nullif(octets, F.lit("")).isNotNull()
+                    & (F.length(payload) == octets.cast("int")))
+        line = F.when(frame_ok, payload)
+
+    def g(idx: int) -> Column:
+        return F.nullif(
+            F.nullif(F.regexp_extract(line, _RFC5424_RX, idx), F.lit("")),
+            F.lit("-"),
+        )
+
+    pri = g(1).cast("int")
+    sd_raw = g(8)
+    first_sd = F.regexp_extract(sd_raw, r"^\[(\S+)( [^\]]*)?\]", 0)
+    sd_id = F.nullif(F.regexp_extract(first_sd, r"^\[(\S+)", 1), F.lit(""))
+    sd_params = F.nullif(
+        F.trim(F.regexp_extract(first_sd, r"^\[\S+ ([^\]]*)\]", 1)),
+        F.lit(""),
+    )
+    sd_map = F.when(
+        sd_params.isNotNull(),
+        F.str_to_map(F.regexp_replace(sd_params, '"', ""), F.lit(" "),
+                     F.lit("=")),
+    )
+    return (
+        df.withColumn(prefix + "facility", (pri / 8).cast("int"))
+        .withColumn(prefix + "severity", (pri % 8).cast("int"))
+        .withColumn(prefix + "version", g(2).cast("int"))
+        .withColumn(prefix + "ts", g(3).cast("timestamp"))
+        .withColumn(prefix + "hostname", g(4))
+        .withColumn(prefix + "appname", g(5))
+        .withColumn(prefix + "procid", g(6))
+        .withColumn(prefix + "msgid", g(7))
+        .withColumn(prefix + "sd_raw", sd_raw)
+        .withColumn(prefix + "sd_id", sd_id)
+        .withColumn(prefix + "sd", sd_map)
+        .withColumn(prefix + "msg", g(9))
+    )

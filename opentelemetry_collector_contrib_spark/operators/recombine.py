@@ -2,14 +2,20 @@
 
 Reference: pkg/stanza/operator/transformer/recombine (config.go:50-61,
 transformer.go:97-244): group consecutive entries per source into one,
-starting a new group on `is_first_entry` (or ending on `is_last_entry`),
-concatenating `combine_field` with `combine_with`.
+starting a new group on `is_first_entry` OR ending one on
+`is_last_entry`, concatenating `combine_field` with `combine_with`;
+`max_batch_size` force-flushes a group when it reaches that many
+entries. (`force_flush_period` is wall-clock and is re-specified on
+event time by the streaming path — session_window in
+streaming/pipeline.py.)
 
 Spark-first: the classic gaps-and-islands pattern —
 Window.partitionBy(source).orderBy(order) + running sum of the boundary
-marker gives the group id; then groupBy(source, gid) + ordered
-concat. Order comes from an explicit column (turn_idx / ts), NEVER from
-storage order (rows are stored shuffled on purpose).
+marker gives the group id; `is_last_entry` uses the EXCLUSIVE prefix sum
+(rows up to and including the closing row share a group); then
+groupBy(source, gid) + ordered concat. Order comes from an explicit
+column (turn_idx / ts), NEVER from storage order (rows are stored
+shuffled on purpose).
 
 At scale: one shuffle for the window + the aggregation reuses the same
 (source) partitioning, so Catalyst plans a single exchange.
@@ -28,22 +34,52 @@ def recombine(
     combine_field: str = "text",
     combine_with: str = "\n",
     is_first_entry: Column | None = None,
+    is_last_entry: Column | None = None,
+    max_batch_size: int | None = None,
 ) -> DataFrame:
     """Stitch runs of rows into one row per group.
 
-    is_first_entry=None → the whole source is one group (per-conversation
-    transcript reassembly, the flagship t_recombine case).
+    Exactly one of is_first_entry / is_last_entry may be given
+    (transformer/recombine/config.go:119-126 validates the same); with
+    neither, the whole source is one group (per-conversation transcript
+    reassembly, the flagship t_recombine case).
     """
+    if is_first_entry is not None and is_last_entry is not None:
+        raise ValueError(
+            "recombine: only one of is_first_entry / is_last_entry allowed"
+        )
     w = W.partitionBy(source_id).orderBy(order_by)
     if is_first_entry is not None:
         marker = F.coalesce(is_first_entry.cast("int"), F.lit(0))
         df = df.withColumn("_gid", F.sum(marker).over(w))
+    elif is_last_entry is not None:
+        # a closing row TERMINATES its group: exclusive prefix sum keeps
+        # the closer in the group it closes (transformer.go is_last flush)
+        marker = F.coalesce(is_last_entry.cast("int"), F.lit(0))
+        shifted = w.rowsBetween(W.unboundedPreceding, -1)
+        df = df.withColumn(
+            "_gid", F.coalesce(F.sum(marker).over(shifted), F.lit(0))
+        )
     else:
         df = df.withColumn("_gid", F.lit(0))
+
+    group_cols = [source_id, "_gid"]
+    if max_batch_size is not None:
+        if max_batch_size < 1:
+            raise ValueError("recombine: max_batch_size must be >= 1")
+        # force-flush every max_batch_size entries within a group
+        # (transformer.go:  len(batch) >= max_batch_size → flush)
+        sub_w = W.partitionBy(source_id, "_gid").orderBy(order_by)
+        df = df.withColumn(
+            "_sub",
+            F.floor((F.row_number().over(sub_w) - 1) / max_batch_size),
+        )
+        group_cols.append("_sub")
+
     # ordered concat without relying on collect_list order: sort the
     # (order, value) structs inside the aggregate, then join
     agg = (
-        df.groupBy(source_id, "_gid")
+        df.groupBy(*group_cols)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col(order_by), F.col(combine_field)))
@@ -60,6 +96,11 @@ def recombine(
             ),
         )
         .drop("_parts")
-        .withColumnRenamed("_gid", "group_id")
     )
+    if max_batch_size is not None:
+        agg = agg.withColumn(
+            "group_id", F.concat_ws("#", F.col("_gid"), F.col("_sub"))
+        ).drop("_gid", "_sub")
+    else:
+        agg = agg.withColumnRenamed("_gid", "group_id")
     return agg

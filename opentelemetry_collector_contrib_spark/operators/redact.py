@@ -1,13 +1,20 @@
 """redaction processor.
 
-Reference: processor/redactionprocessor (config.go:11-32): allowed_keys
-(drop attrs not listed), ignored_keys, blocked_values (regexes masking
-values), plus summary attrs. Pure map expressions — codegen, no UDF.
+Reference: processor/redactionprocessor (config.go:11-33, processor.go:
+158-241): allowed_keys (attrs not listed are DELETED unless
+allow_all_keys), ignored_keys (pass through untouched), blocked_values
+(regexes whose matches are substring-REPLACED with "****" via
+ReplaceAllString — not whole-value masking), and summary diagnostics
+written into the attribute map itself: `redaction.redacted.keys`/
+`.count`, `redaction.masked.keys`/`.count`, `redaction.ignored.count`
+(keys lists only at summary=debug, counts at info+, nothing at silent;
+a count attr is only added when non-zero, addMetaAttrs processor.go:
+219-238). Pure map expressions — codegen, no UDF.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MASK = "****"
@@ -19,37 +26,82 @@ def redact(
     ignored_keys: list[str] | None = None,
     blocked_value_patterns: list[str] | None = None,
     attrs_col: str = "attributes",
-    summary: bool = True,
+    summary: str | bool = "info",
+    allow_all_keys: bool | None = None,
 ) -> DataFrame:
+    if isinstance(summary, bool):  # round-1 API compat
+        summary = "info" if summary else "silent"
+    if summary not in ("debug", "info", "silent"):
+        raise ValueError(f"redaction summary {summary!r}")
+    if allow_all_keys is None:
+        allow_all_keys = allowed_keys is None
+
     m = F.col(attrs_col)
-    orig_size = F.size(F.map_keys(m))
+    keys = F.map_keys(m)
+    ign = F.array(*[F.lit(k) for k in (ignored_keys or [])])
 
-    if allowed_keys is not None:
-        allow = F.array(*[F.lit(k) for k in allowed_keys])
-        ign = F.array(*[F.lit(k) for k in (ignored_keys or [])])
-        m = F.map_filter(
-            m,
-            lambda k, v: F.array_contains(allow, k) | F.array_contains(ign, k),
+    def is_ign(k: Column) -> Column:
+        return F.array_contains(ign, k)
+
+    if allow_all_keys:
+        def is_del(k: Column) -> Column:
+            return F.lit(False)
+    else:
+        allow = F.array(*[F.lit(k) for k in (allowed_keys or [])])
+
+        def is_del(k: Column) -> Column:
+            return ~F.array_contains(allow, k) & ~is_ign(k)
+
+    pats = blocked_value_patterns or []
+
+    def is_blocked(v: Column) -> Column:
+        out = F.lit(False)
+        for p in pats:
+            out = out | v.rlike(p)
+        return out
+
+    def mask(v: Column) -> Column:
+        # per-regex ReplaceAllString with "****" (processor.go:199-203)
+        for p in pats:
+            v = F.regexp_replace(v, p, MASK)
+        return v
+
+    redacted_arr = F.array_sort(F.filter(keys, is_del))
+    ignored_arr = F.filter(keys, is_ign)
+    masked_arr = F.array_sort(F.map_keys(F.map_filter(
+        m, lambda k, v: ~is_del(k) & ~is_ign(k) & is_blocked(v)
+    )))
+
+    new = F.map_filter(m, lambda k, v: ~is_del(k))
+    if pats:
+        new = F.transform_values(
+            new, lambda k, v: F.when(is_ign(k), v).otherwise(mask(v))
         )
 
-    masked = m
-    if blocked_value_patterns:
-        ign = F.array(*[F.lit(k) for k in (ignored_keys or [])])
+    kv: list[Column] = []
 
-        def _mask(k, v):
-            blocked = F.lit(False)
-            for p in blocked_value_patterns:
-                blocked = blocked | v.rlike(p)
-            return F.when(
-                blocked & ~F.array_contains(ign, k), F.lit(MASK)
-            ).otherwise(v)
+    def _count(name: str, arr: Column) -> None:
+        kv.extend([
+            F.lit(name),
+            F.when(F.size(arr) > 0, F.size(arr).cast("string")),
+        ])
 
-        masked = F.transform_values(m, _mask)
+    def _keys(name: str, arr: Column) -> None:
+        kv.extend([
+            F.lit(name),
+            F.when(F.size(arr) > 0, F.array_join(arr, ",")),
+        ])
 
-    df = df.withColumn(attrs_col, masked)
-    if summary:
-        df = df.withColumn(
-            "redaction_redacted_count",
-            (orig_size - F.size(F.map_keys(F.col(attrs_col)))).cast("int"),
+    if summary == "debug":
+        _keys("redaction.redacted.keys", redacted_arr)
+        _keys("redaction.masked.keys", masked_arr)
+    if summary in ("debug", "info"):
+        _count("redaction.redacted.count", redacted_arr)
+        _count("redaction.masked.count", masked_arr)
+        _count("redaction.ignored.count", ignored_arr)
+    if kv:
+        new = F.map_concat(
+            new,
+            F.map_filter(F.create_map(*kv), lambda _, v: v.isNotNull()),
         )
-    return df
+    return df.withColumn(attrs_col, new)

@@ -451,12 +451,16 @@ FROM parsed""",
                 lambda k, v: v.isNotNull(),
             ),
         )
-        out = redact(df, blocked_value_patterns=["^[0-9a-f]{8}$"])
+        out = redact(
+            df, blocked_value_patterns=["^[0-9a-f]{8}$"], summary="debug"
+        )
         m = F.col("attributes")
         return out.select(
             "conv_id", "turn_idx",
             m.getItem("call_id").alias("call_id_red"),
             m.getItem("role").alias("role_red"),
+            m.getItem("redaction.masked.keys").alias("masked_keys"),
+            m.getItem("redaction.masked.count").alias("masked_count"),
         )
 
     reg(
@@ -467,7 +471,13 @@ SELECT conv_id, turn_idx,
        CASE WHEN call_id IS NULL THEN NULL
             WHEN regexp_matches(call_id, '^[0-9a-f]{{8}}$') THEN '****'
             ELSE call_id END AS call_id_red,
-       role AS role_red
+       role AS role_red,
+       CASE WHEN call_id IS NOT NULL
+             AND regexp_matches(call_id, '^[0-9a-f]{{8}}$')
+            THEN 'call_id' END AS masked_keys,
+       CASE WHEN call_id IS NOT NULL
+             AND regexp_matches(call_id, '^[0-9a-f]{{8}}$')
+            THEN '1' END AS masked_count
 FROM parsed""",
     )
 
@@ -574,7 +584,153 @@ FROM parsed""",
     _register_embeddings(reg)
     _register_media(reg)
     _register_scale_paths(reg)
+    _register_relational(reg)
     return queries, oracles
+
+
+# ---------------------------------------------------------------------------
+# classical relational shapes over the driver's TPC-H-shaped tables
+# (relational.py — operators beyond the reference's lookup-join/hash-agg
+# surface: shuffle joins, star joins, top-k, semi/anti joins)
+# ---------------------------------------------------------------------------
+
+def _register_relational(reg) -> None:
+    from .relational import (
+        customers_without_orders,
+        large_orders,
+        order_priority_check,
+        pricing_summary,
+        region_sales,
+        shipping_priority,
+    )
+
+    def _t(spark, sf_dir, name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    _REV = "sum(l_extendedprice * (1 - l_discount))"
+
+    def q1_pricing_summary(spark, sf_dir):
+        return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+    reg(
+        "q1_pricing_summary",
+        q1_pricing_summary,
+        f"""SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       {_REV} AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    def q3_shipping_priority(spark, sf_dir):
+        return shipping_priority(
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+        )
+
+    reg(
+        "q3_shipping_priority",
+        q3_shipping_priority,
+        f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_REV} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+    )
+
+    def q4_order_priority(spark, sf_dir):
+        return order_priority_check(
+            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+        )
+
+    reg(
+        "q4_order_priority",
+        q4_order_priority,
+        """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY o_orderpriority""",
+    )
+
+    def q5_region_sales(spark, sf_dir):
+        return region_sales(
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "nation"),
+            _t(spark, sf_dir, "region"),
+        )
+
+    reg(
+        "q5_region_sales",
+        q5_region_sales,
+        f"""SELECT n_name, {_REV} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+    )
+
+    def q18_large_orders(spark, sf_dir):
+        return large_orders(
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+        )
+
+    reg(
+        "q18_large_orders",
+        q18_large_orders,
+        """WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100""",
+    )
+
+    def q_customers_no_urgent(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return customers_without_orders(_t(spark, sf_dir, "customer"), orders)
+
+    reg(
+        "q_customers_no_urgent",
+        q_customers_no_urgent,
+        """SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       sum(c_acctbal) AS sum_acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment""",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1182,6 +1338,128 @@ FROM lines""",
        ((user_id % 8 + 24) % 8)::BIGINT AS severity,
        'host' || (user_id % 4)::VARCHAR AS host,
        (event_id % 30000)::BIGINT AS procid,
+       event_type AS msg
+FROM events""",
+    )
+
+    # ---- e_container_parse: container parser (pkg/stanza/operator/parser/
+    # container/parser.go:70-151) — docker/containerd/cri-o envelopes are
+    # constructed from event fields, round-tripped through the parser
+    # (format auto-detection + envelope extraction + k8s metadata from the
+    # log file path), and the oracle computes the ground truth directly.
+    def e_container_parse(spark, sf_dir):
+        from .operators.parse import container_parser
+
+        ev = _ev2(spark, sf_dir)
+        sec = (F.col("event_id") % 60).cast("int")
+        t_z = F.format_string("2024-01-01T00:00:%02d.123Z", sec)
+        t_off = F.format_string("2024-01-01T00:00:%02d.123456789+00:00", sec)
+        stream = F.when(F.col("user_id") % 2 == 0, F.lit("stdout")).otherwise(
+            F.lit("stderr")
+        )
+        msg = F.concat_ws(" #", F.col("event_type"),
+                          F.col("event_id").cast("string"))
+        fmt_idx = F.col("event_id") % 3
+        line = (
+            F.when(fmt_idx == 0, F.format_string(
+                '{"log":"%s","stream":"%s","time":"%s"}', msg, stream, t_z))
+            .when(fmt_idx == 1, F.concat_ws(" ", t_z, stream, F.lit("F"), msg))
+            .otherwise(F.concat_ws(" ", t_off, stream, F.lit("F"), msg))
+        )
+        path = F.format_string(
+            "/var/log/pods/ns%d_pod-%d_aaaa-%d/app%d/%d.log",
+            (F.col("user_id") % 3).cast("int"),
+            (F.col("user_id") % 5).cast("int"),
+            (F.col("user_id") % 10).cast("int"),
+            (F.col("user_id") % 2).cast("int"),
+            (F.col("event_id") % 3).cast("int"),
+        )
+        df = ev.select(
+            "event_id", line.alias("line"), path.alias("log_file_path")
+        )
+        out = container_parser(df, source="line", path_col="log_file_path")
+        a = F.col("attributes")
+        return out.select(
+            "event_id", "format", "body",
+            a["log.iostream"].alias("iostream"),
+            a["logtag"].alias("logtag"),
+            a["k8s.namespace.name"].alias("ns"),
+            a["k8s.pod.name"].alias("pod"),
+            a["k8s.pod.uid"].alias("uid"),
+            a["k8s.container.name"].alias("container"),
+            a["k8s.container.restart_count"].alias("restart_count"),
+            F.floor(F.col("ts").cast("double")).cast("long").alias("ts_sec"),
+        )
+
+    reg(
+        "e_container_parse",
+        e_container_parse,
+        """SELECT event_id,
+       CASE event_id % 3 WHEN 0 THEN 'docker'
+            WHEN 1 THEN 'containerd' ELSE 'crio' END AS format,
+       event_type || ' #' || event_id::VARCHAR AS body,
+       CASE WHEN user_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS iostream,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'F' END AS logtag,
+       'ns' || (user_id % 3)::VARCHAR AS ns,
+       'pod-' || (user_id % 5)::VARCHAR AS pod,
+       'aaaa-' || (user_id % 10)::VARCHAR AS uid,
+       'app' || (user_id % 2)::VARCHAR AS container,
+       (event_id % 3)::VARCHAR AS restart_count,
+       (1704067200 + event_id % 60)::BIGINT AS ts_sec
+FROM events""",
+    )
+
+    # ---- e_syslog5424_parse: RFC5424 + octet-counting framing -------------
+    # (parser/syslog/config.go:53-58: protocol rfc5424, enable_octet_
+    # counting). Lines constructed from events with the RFC6587 length
+    # prefix; the Spark side must strip + VALIDATE the frame and parse the
+    # header, nil-valued fields, structured data, and message.
+    def e_syslog5424_parse(spark, sf_dir):
+        from .operators.parse import syslog_rfc5424_parser
+
+        ev = _ev2(spark, sf_dir)
+        pri = (F.col("user_id") % 8 + 8 * 4).cast("int")
+        body = F.format_string(
+            '<%d>1 2024-01-01T00:00:%02d.123Z host%d app%d %d ID%d '
+            '[meta seq="%d" kind="%s"] %s',
+            pri,
+            (F.col("event_id") % 60).cast("int"),
+            (F.col("user_id") % 4).cast("int"),
+            (F.col("user_id") % 3).cast("int"),
+            (F.col("event_id") % 30000).cast("int"),
+            (F.col("event_id") % 7).cast("int"),
+            (F.col("event_id") % 100).cast("int"),
+            F.col("event_type"),
+            F.col("event_type"),
+        )
+        framed = F.concat_ws(" ", F.length(body).cast("string"), body)
+        df = ev.select("event_id", framed.alias("line"))
+        out = syslog_rfc5424_parser(df, "line", enable_octet_counting=True)
+        return out.select(
+            "event_id", "sl_facility", "sl_severity", "sl_version",
+            F.floor(F.col("sl_ts").cast("double")).cast("long").alias("ts_sec"),
+            "sl_hostname", "sl_appname", "sl_procid", "sl_msgid",
+            "sl_sd_id",
+            F.col("sl_sd")["seq"].alias("sd_seq"),
+            F.col("sl_sd")["kind"].alias("sd_kind"),
+            F.col("sl_msg").alias("msg"),
+        )
+
+    reg(
+        "e_syslog5424_parse",
+        e_syslog5424_parse,
+        """SELECT event_id,
+       ((user_id % 8 + 32) // 8)::INT AS sl_facility,
+       ((user_id % 8 + 32) % 8)::INT AS sl_severity,
+       1 AS sl_version,
+       (1704067200 + event_id % 60)::BIGINT AS ts_sec,
+       'host' || (user_id % 4)::VARCHAR AS sl_hostname,
+       'app' || (user_id % 3)::VARCHAR AS sl_appname,
+       (event_id % 30000)::VARCHAR AS sl_procid,
+       'ID' || (event_id % 7)::VARCHAR AS sl_msgid,
+       'meta' AS sl_sd_id,
+       (event_id % 100)::VARCHAR AS sd_seq,
+       event_type AS sd_kind,
        event_type AS msg
 FROM events""",
     )

@@ -1,0 +1,167 @@
+"""Classical relational operators over the driver's TPC-H-shaped tables.
+
+The reference's log pipeline needs only lookup joins and hash aggregation
+(SURVEY.md §2.8), but the engine this repo builds must also carry the
+classical shapes a 100 TB deployment hits constantly: shuffle (sort-merge)
+joins between fact tables, broadcast star-joins against dimensions,
+grouped top-k with deterministic tie-breaks, semi/anti joins, and
+multi-aggregate rollups. Each function here is one such shape, expressed
+so Catalyst plans it the way a cluster wants it:
+
+- dimension tables (region, nation, supplier, customer-as-dim) are
+  explicitly `F.broadcast`; fact-fact joins (lineitem ⋈ orders) stay
+  shuffle joins so AQE can pick SMJ/shuffled-hash and split skew.
+- top-k is groupBy → window-free `orderBy(...).limit(k)` with a unique
+  tie-break column, which Spark executes as TakeOrderedAndProject — no
+  global sort materialization.
+- all aggregates are algebraic (sum/count/avg) → map-side partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: single-pass multi-aggregate rollup with a pushed
+    scan filter. The filter reaches the parquet scan (PushedFilters) and
+    every aggregate is algebraic — one shuffle of 4-row partials."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_revenue()).alias("sum_disc_price"),
+            F.sum(_revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
+    shuffle join, grouped revenue, deterministic top-k
+    (TakeOrderedAndProject via orderBy+limit with o_orderkey tie-break)."""
+    d = F.lit(date).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < d)
+    li = lineitem.filter(F.col("l_shipdate") > d)
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def order_priority_check(
+    orders: DataFrame, lineitem: DataFrame, min_qty: float = 45.0
+) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT-SEMI join (never a count-distinct
+    or an exploded inner join), then a tiny hash agg per priority."""
+    big = lineitem.filter(F.col("l_quantity") > min_qty).select("l_orderkey")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def region_sales(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: star join — the fact-fact joins shuffle, every
+    dimension arm (supplier, customer, nation, region) broadcasts; the
+    local-supplier constraint (c_nationkey == s_nationkey) rides the
+    joined row, no extra shuffle."""
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+    )
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).alias("revenue"))
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: pre-aggregate the fact table FIRST (sum qty per
+    order, map-side partial), filter on the aggregate, then join the
+    survivors back — the having-clause semi-reduction that keeps the
+    customer join tiny."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"), F.col("o_totalprice"), F.col("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """NOT EXISTS as a LEFT-ANTI join, aggregated per market segment."""
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )

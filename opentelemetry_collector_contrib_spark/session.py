@@ -1,9 +1,9 @@
 """SparkSession builder for the engine.
 
-Local-mode test/bench profile tuned per /opt/skills/guides/pyspark_guide.md;
-on a real cluster the same builder is driven by spark-submit conf. AQE is on
-for runtime skew-join/coalesce re-planning (the reference has no optimizer;
-Catalyst + AQE is our §4 answer).
+Local-mode test/bench profile; on a real cluster the same builder is
+driven by spark-submit conf. AQE is on for runtime skew-join/coalesce
+re-planning (the reference has no optimizer; Catalyst + AQE is our §4
+answer).
 """
 
 from __future__ import annotations

@@ -66,10 +66,17 @@ def streaming_flagship(
     """End-to-end streaming job: parse → enrich → routed fan-out sinks.
 
     foreachBatch applies the batch Router to every micro-batch — one pass,
-    tag + partitionBy(route) append — so routed-row sets are byte-identical
+    tag + partitionBy(route) write — so routed-row sets are byte-identical
     to the batch engine on the same input (verified in tests). Returns the
     StreamingQuery; with available_now the query drains all current input
     and stops (deterministic for tests), otherwise it runs continuously.
+
+    Exactly-once: foreachBatch is at-least-once (a crash between sink
+    write and checkpoint commit replays the micro-batch), so each batch
+    writes to a batch_id-scoped partition directory with mode=overwrite —
+    a replay overwrites its own previous output instead of appending
+    duplicates. checkpointLocation + idempotent per-batch writes is the
+    standard Structured Streaming exactly-once recipe.
     """
     from ..plans.flagship import build_router
 
@@ -88,9 +95,9 @@ def streaming_flagship(
                 .drop("routes")
             )
         (
-            tagged.write.mode("append")
+            tagged.write.mode("overwrite")
             .partitionBy("route")
-            .parquet(os.path.join(out_dir, "sinks"))
+            .parquet(os.path.join(out_dir, "sinks", f"batch_id={batch_id}"))
         )
 
     writer = (

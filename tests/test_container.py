@@ -1,0 +1,133 @@
+"""container parser + recombine is_last_entry / max_batch_size.
+
+Reference: pkg/stanza/operator/parser/container (parser.go:70-151:
+docker/containerd/crio envelopes, k8s path metadata, CRI partial-line
+recombine with is_last_entry `attributes.logtag == 'F'`);
+transformer/recombine/config.go:50-61 (is_last_entry, max_batch_size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parse import (
+    container_parser,
+    container_recombine,
+    jsonarray_parser,
+    trace_parser,
+)
+from opentelemetry_collector_contrib_spark.operators.recombine import recombine
+
+PATH = "/var/log/pods/default_mypod_aaaa-1/app0/2.log"
+
+
+def _lines(spark):
+    rows = [
+        # containerd: two partials + final
+        (1, "2024-01-01T00:00:01.123Z stdout P part1 ", PATH),
+        (2, "2024-01-01T00:00:02.123Z stdout P part2 ", PATH),
+        (3, "2024-01-01T00:00:03.123Z stdout F part3", PATH),
+        # crio single final line
+        (4, "2024-01-01T00:00:04.123456789+00:00 stderr F full line", PATH),
+        # docker
+        (5, '{"log":"docker line","stream":"stdout",'
+            '"time":"2024-01-01T00:00:05.123Z"}', PATH),
+    ]
+    return spark.createDataFrame(rows, ["seq", "text", "log_file_path"])
+
+
+def test_format_detection_and_fields(spark):
+    out = container_parser(_lines(spark), path_col="log_file_path")
+    rows = {r["seq"]: r for r in out.collect()}
+    assert rows[1]["format"] == "containerd"
+    assert rows[4]["format"] == "crio"
+    assert rows[5]["format"] == "docker"
+    assert rows[1]["body"] == "part1 "
+    assert rows[4]["body"] == "full line"
+    assert rows[5]["body"] == "docker line"
+    a1 = rows[1]["attributes"]
+    assert a1["log.iostream"] == "stdout"
+    assert a1["logtag"] == "P"
+    assert a1["k8s.namespace.name"] == "default"
+    assert a1["k8s.pod.name"] == "mypod"
+    assert a1["k8s.pod.uid"] == "aaaa-1"
+    assert a1["k8s.container.name"] == "app0"
+    assert a1["k8s.container.restart_count"] == "2"
+    assert "logtag" not in rows[5]["attributes"]  # docker has none
+    assert rows[4]["attributes"]["log.iostream"] == "stderr"
+    # timestamps parsed from all three layouts
+    assert rows[1]["ts"].second == 1
+    assert rows[4]["ts"].second == 4
+    assert rows[5]["ts"].second == 5
+
+
+def test_cri_partial_recombine(spark):
+    parsed = container_parser(_lines(spark), path_col="log_file_path")
+    out = container_recombine(parsed, order_by="seq")
+    bodies = {r["body"]: r["n_parts"] for r in out.collect()}
+    # P+P+F stitched with "" joiner; F-only and docker pass through
+    assert bodies == {"part1 part2 part3": 3, "full line": 1,
+                      "docker line": 1}
+
+
+def test_explicit_format_override(spark):
+    df = _lines(spark).filter(F.col("seq") == 1)
+    out = container_parser(df, fmt="containerd").collect()[0]
+    assert out["format"] == "containerd" and out["body"] == "part1 "
+
+
+def test_recombine_is_last_entry(spark):
+    rows = [("s", i, t, last) for i, (t, last) in enumerate([
+        ("a", False), ("b", False), ("c", True),
+        ("d", True),
+        ("e", False), ("f", True),
+    ])]
+    df = spark.createDataFrame(rows, ["src", "i", "txt", "last"])
+    out = recombine(df, "src", "i", "txt", "+",
+                    is_last_entry=F.col("last"))
+    got = sorted(r["txt"] for r in out.collect())
+    assert got == ["a+b+c", "d", "e+f"]
+
+
+def test_recombine_max_batch_size(spark):
+    rows = [("s", i, str(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, ["src", "i", "txt"])
+    out = recombine(df, "src", "i", "txt", ",", max_batch_size=3)
+    got = sorted(r["txt"] for r in out.collect())
+    assert got == ["0,1,2", "3,4,5", "6"]
+
+
+def test_recombine_first_and_last_rejected(spark):
+    df = spark.createDataFrame([("s", 1, "a", True)],
+                               ["src", "i", "txt", "m"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        recombine(df, "src", "i", "txt",
+                  is_first_entry=F.col("m"), is_last_entry=F.col("m"))
+
+
+def test_trace_parser_validation(spark):
+    df = spark.createDataFrame(
+        [("ABCDEF00112233445566778899AABBCC", "1122334455667788", "01"),
+         ("not-hex", "short", "zz")],
+        ["t", "s", "f"],
+    )
+    out = trace_parser(df, "t", "s", "f").collect()
+    ok, bad = out[0], out[1]
+    assert ok["trace_id"] == "abcdef00112233445566778899aabbcc"
+    assert ok["span_id"] == "1122334455667788"
+    assert ok["flags"] == 1
+    assert bad["trace_id"] is None and bad["span_id"] is None
+    assert bad["flags"] is None
+
+
+def test_jsonarray_parser(spark):
+    df = spark.createDataFrame(
+        [('["1", "debug", "hello"]',), ('["only-one"]',)], ["line"]
+    )
+    arr = jsonarray_parser(df, "line").collect()
+    assert arr[0]["parsed"] == ["1", "debug", "hello"]
+    hdr = jsonarray_parser(df, "line", header=["id", "sev", "msg"]).collect()
+    assert hdr[0]["parsed"] == {"id": "1", "sev": "debug", "msg": "hello"}
+    assert hdr[1]["parsed"] == {"id": "only-one", "sev": None, "msg": None}

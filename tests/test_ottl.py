@@ -632,3 +632,29 @@ def test_parse_json_merge(log_df):
     out = one(fn(log_df))["attributes"]
     assert out["region"] == "eu" and out["zone"] == "a"
     assert out["http.method"] == "get"
+
+
+def test_filter_ottl_conditions(log_df):
+    from opentelemetry_collector_contrib_spark.operators.filter import (
+        filter_ottl,
+    )
+
+    # matches → dropped (filterprocessor drops matching records)
+    assert filter_ottl(
+        log_df, ['severity_number >= SEVERITY_NUMBER_ERROR']
+    ).count() == 0
+    # no condition matches → kept
+    assert filter_ottl(
+        log_df,
+        ['severity_text == "INFO"', 'attributes["http.method"] == "post"'],
+    ).count() == 1
+    # OR across conditions
+    assert filter_ottl(
+        log_df,
+        ['severity_text == "INFO"', 'IsMatch(body, "operationA.*")'],
+    ).count() == 0
+    # converter failure in a condition under ignore mode → condition
+    # false → record KEPT (logs.go:86-99 error-mode handling)
+    assert filter_ottl(
+        log_df, ['Int(attributes["http.method"]) == 1']
+    ).count() == 1
