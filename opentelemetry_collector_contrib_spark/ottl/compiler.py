@@ -154,7 +154,11 @@ class Context:
     def getter(self, path: Path) -> Column:
         col, keys = self.resolve(path)
         c = F.col(col)
-        for k in keys:
+        for i, k in enumerate(keys):
+            if i > 0:
+                # nested map value: the type-erased rendering is a JSON
+                # object string (see setter) — re-lift before indexing
+                c = F.from_json(c, "map<string,string>")
             c = c.getItem(k)
         return c
 
@@ -174,10 +178,28 @@ class Context:
             if cond is not None and col in df.columns:
                 new = F.when(cond, value).otherwise(F.col(col))
             return df.withColumn(col, new)
-        if len(keys) != 1:
-            raise OTTLError("nested map indexing not supported on maps of strings")
-        k = keys[0]
+        if len(keys) > 2:
+            raise OTTLError("map indexing deeper than 2 keys not supported")
         base = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
+        if len(keys) == 2:
+            # attributes["foo"]["bar"] = v — the inner map is stored as a
+            # JSON object string (same type-erasure convention as append's
+            # slices): lift, upsert, re-serialize, fall through to the
+            # single-key upsert of the rendered value
+            k1, k2 = keys
+            inner = F.coalesce(
+                F.from_json(base.getItem(k1), "map<string,string>"),
+                F.create_map().cast("map<string,string>"),
+            )
+            inner_up = F.map_concat(
+                F.map_filter(inner, lambda mk, _: mk != F.lit(k2)),
+                F.when(value.isNotNull(),
+                       F.create_map(F.lit(k2), value.cast("string")))
+                .otherwise(F.create_map().cast("map<string,string>")),
+            )
+            value = F.to_json(inner_up)
+            keys = [k1]
+        k = keys[0]
         upserted = F.map_concat(
             F.map_filter(base, lambda mk, _: mk != F.lit(k)),
             F.when(value.isNotNull(),
@@ -240,6 +262,14 @@ def static_type(node, ctx: Context) -> str:
 # value + boolean compilation
 # ---------------------------------------------------------------------------
 
+class _CallArgs(list):
+    """Positional args list that also carries the call's named args —
+    converters keep their (args, ctx) signature, kwargs-aware ones read
+    ``args.kwargs`` (OTTL named-argument binding, functions.go:254-338)."""
+
+    kwargs: dict = {}
+
+
 def compile_value(node, ctx: Context) -> Column:
     if isinstance(node, Literal):
         if isinstance(node.value, HexBytes):
@@ -253,7 +283,9 @@ def compile_value(node, ctx: Context) -> Column:
         fn = CONVERTERS.get(node.name)
         if fn is None:
             raise OTTLError(f"unknown converter {node.name!r}")
-        return fn(node.args, ctx)
+        args = _CallArgs(node.args)
+        args.kwargs = node.kwargs
+        return fn(args, ctx)
     if isinstance(node, Binary):
         l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
         # LANGUAGE.md:196-226 — int/int stays int (Go division truncates)
@@ -484,10 +516,38 @@ def _ed_limit(stmt, ctx, df, cond):
     return ctx.guard_map(df, col, new, cond)
 
 
+_HASH_FNS = {
+    "SHA256": lambda c: F.sha2(c, 256),
+    "SHA1": F.sha1,
+    "MD5": F.md5,
+    "FNV": F.xxhash64,  # documented FNV substitution
+}
+
+
 def _ed_replace_pattern(stmt, ctx, df, cond):
-    target, pat, repl = stmt.editor.args[:3]
+    # replace_pattern(target, regex, replacement, Optional[function])
+    # (README.md:343): with a hash function, each match is replaced by
+    # hash(match). Spark's regexp_replace can't invoke per-match exprs, so
+    # the hash of the FIRST match substitutes for all — exact whenever all
+    # matches of the pattern in one value are equal (e.g. literal patterns
+    # like "/"); documented deviation otherwise.
+    args = stmt.editor.args
+    target, pat, repl = args[:3]
     c = compile_value(target, ctx)
-    new = F.regexp_replace(c, literal_arg(pat), literal_arg(repl))
+    p = literal_arg(pat)
+    fn_node = args[3] if len(args) > 3 else stmt.editor.kwargs.get("function")
+    if fn_node is not None:
+        name = fn_node.parts[0] if isinstance(fn_node, Path) else str(
+            literal_arg(fn_node))
+        hash_fn = _HASH_FNS.get(name)
+        if hash_fn is None:
+            raise OTTLError(f"replace_pattern hash function {name!r}")
+        match = F.regexp_extract(c, p, 0)
+        new = F.when(
+            match != "", F.regexp_replace(c, p, hash_fn(match).cast("string"))
+        ).otherwise(c)
+    else:
+        new = F.regexp_replace(c, p, literal_arg(repl))
     return ctx.setter(df, target, new, cond)
 
 
@@ -536,6 +596,9 @@ def _ed_merge_maps(stmt, ctx, df, cond):
     target, source, mode = stmt.editor.args
     col = _map_target(ctx, target)
     src = compile_value(source, ctx)
+    if static_type(source, ctx) == DYNAMIC:
+        # a map stored inside a map value is its JSON rendering — lift it
+        src = F.from_json(src.cast("string"), "map<string,string>")
     t = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
     s = F.coalesce(src, F.create_map().cast("map<string,string>"))
     m = literal_arg(mode)
@@ -563,7 +626,14 @@ def _ed_append(stmt, ctx, df, cond):
     On an array-typed column this is a native array concat; on a
     type-erased map value the slice is rendered as a JSON array string
     (round-trippable: repeated appends re-parse it)."""
-    target, value = stmt.editor.args
+    target = stmt.editor.args[0]
+    if len(stmt.editor.args) > 1:
+        value = stmt.editor.args[1]
+    else:
+        value = (stmt.editor.kwargs.get("value")
+                 or stmt.editor.kwargs.get("values"))
+        if value is None:
+            raise OTTLError("append requires a value or values argument")
     if isinstance(value, ListExpr):
         vals = [compile_value(i, ctx).cast("string") for i in value.items]
     else:
@@ -610,9 +680,12 @@ def _ed_flatten(stmt, ctx, df, cond):
     flattens statically from its schema into a MAP of leaf paths —
     resolved entirely at compile time, zero runtime dispatch."""
     args = stmt.editor.args
+    kw = stmt.editor.kwargs
     target = args[0]
-    prefix = str(literal_arg(args[1])) if len(args) > 1 else ""
-    depth = int(literal_arg(args[2])) if len(args) > 2 else None
+    prefix = str(literal_arg(args[1])) if len(args) > 1 else (
+        str(literal_arg(kw["prefix"])) if "prefix" in kw else "")
+    depth = int(literal_arg(args[2])) if len(args) > 2 else (
+        int(literal_arg(kw["depth"])) if "depth" in kw else None)
     col = _map_target(ctx, target)
     dtype = df.schema[col].dataType
 

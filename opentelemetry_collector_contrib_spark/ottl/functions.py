@@ -114,6 +114,8 @@ _MAP_FNS = {"ParseJSON", "ParseKeyValue", "ExtractPatterns",
 def _len(args, ctx):
     node = args[0]
     fn_name = getattr(node, "name", None)  # set only for Call nodes
+    if fn_name == "ParseCSV" and (len(node.args) > 1 or node.kwargs):
+        return F.size(F.map_keys(_one(args, ctx)))  # header mode → map
     if fn_name in _ARRAY_FNS:
         return F.size(_one(args, ctx))
     if fn_name in _MAP_FNS:
@@ -446,6 +448,46 @@ def _truncate_time(args, ctx):
     return F.timestamp_seconds(F.floor(e / secs) * int(secs))
 
 
+def _decode(args, ctx):
+    # Decode(value, encoding) README.md:487: "base64" → base64 decode;
+    # otherwise a charset decode of the byte content
+    enc = str(literal_arg(args[1])).lower().replace("-", "")
+    c = _one(args, ctx)
+    if enc == "base64":
+        return F.unbase64(c).cast("string")
+    return F.decode(c.cast("binary"), str(literal_arg(args[1])))
+
+
+def _parse_csv(args, ctx):
+    """ParseCSV(target, headers, delimiter=",", headerDelimiter=delim,
+    mode="strict") README.md:1132 — header-keyed map via from_csv (proper
+    quote handling). Bare ParseCSV(target) keeps the round-1 split-to-
+    array behavior (used as an array source by Len/IsList/Sort)."""
+    c = _one(args, ctx)
+    kw = {k: literal_arg(v) for k, v in getattr(args, "kwargs", {}).items()}
+    pos = args[1:] if len(args) > 1 else []
+    if not pos and not kw:
+        return F.split(c, ",")
+    headers = literal_arg(pos[0]) if pos else kw["headers"]
+    delim = (literal_arg(pos[1]) if len(pos) > 1
+             else kw.get("delimiter", ","))
+    hdelim = (literal_arg(pos[2]) if len(pos) > 2
+              else kw.get("headerDelimiter", delim))
+    mode = (literal_arg(pos[3]) if len(pos) > 3 else kw.get("mode", "strict"))
+    if mode not in ("strict", "lazyQuotes", "ignoreQuotes"):
+        raise OTTLError(f"ParseCSV mode {mode!r}")
+    hdrs = str(headers).split(str(hdelim))
+    schema = ", ".join(f"`_c{i}` string" for i in range(len(hdrs)))
+    opts = {"sep": str(delim)}
+    if mode == "ignoreQuotes":
+        opts["quote"] = "\u0000"  # NUL disables quoting
+    parsed = F.from_csv(c, schema, opts)
+    return F.map_from_arrays(
+        F.array(*[F.lit(h) for h in hdrs]),
+        F.array(*[parsed[f"_c{i}"] for i in range(len(hdrs))]),
+    )
+
+
 def _parse_json(args, ctx):
     c = _one(args, ctx)
     out = F.from_json(c, "map<string,string>")
@@ -458,7 +500,7 @@ def _parse_json(args, ctx):
 CONVERTERS = {
     # encoding / hashing
     "Base64Decode": lambda a, c: F.unbase64(_one(a, c)).cast("string"),
-    "Decode": lambda a, c: F.decode(_one(a, c), literal_arg(a[1])),
+    "Decode": _decode,
     # Go %x of the 8-byte int64 encoding → lowercase, zero-padded to 16
     # when the input is integral (func_hex.go); strings hex their bytes
     "Hex": lambda a, c: F.when(
@@ -505,7 +547,7 @@ CONVERTERS = {
         F.lit(literal_arg(a[1]) if len(a) > 1 else " "),
         F.lit(literal_arg(a[2]) if len(a) > 2 else "="),
     ),
-    "ParseCSV": lambda a, c: F.split(_one(a, c), ","),
+    "ParseCSV": _parse_csv,
     "UserAgent": _user_agent,
     "URL": lambda a, c: F.struct(
         F.parse_url(_one(a, c), F.lit("PROTOCOL")).alias("scheme"),

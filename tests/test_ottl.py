@@ -658,3 +658,72 @@ def test_filter_ottl_conditions(log_df):
     assert filter_ottl(
         log_df, ['Int(attributes["http.method"]) == 1']
     ).count() == 1
+
+
+# ---- named arguments, nested map indexing, replace_pattern hash ----------
+
+def test_named_arguments(log_df):
+    # flatten(target, depth=0) parses; on our flat maps it is identity
+    fn = compile_statement('flatten(attributes, depth=0)')
+    assert one(fn(log_df))["attributes"]["http.method"] == "get"
+    # append(target, values=[...])
+    fn2 = compile_statement('append(attributes["list"], values=["a", "b"])')
+    assert one(fn2(log_df))["attributes"]["list"] == '["a","b"]'
+
+
+def test_nested_map_set_and_get(log_df):
+    # set(attributes["foo"]["bar"], v) — inner map stored as JSON object
+    seq = StatementSequence([
+        'set(attributes["foo"]["bar"], "pass")',
+        'set(attributes["foo"]["baz"], "2")',
+        'set(attributes["copy"], attributes["foo"]["bar"])',
+    ])
+    out = one(seq.apply(log_df))["attributes"]
+    import json
+
+    assert json.loads(out["foo"]) == {"bar": "pass", "baz": "2"}
+    assert out["copy"] == "pass"
+
+
+def test_merge_maps_from_dynamic_source(log_df):
+    seq = StatementSequence([
+        'set(attributes["foo"]["extra"], "x")',
+        'merge_maps(attributes, attributes["foo"], "insert")',
+    ])
+    out = one(seq.apply(log_df))["attributes"]
+    assert out["extra"] == "x"
+    assert out["http.method"] == "get"  # insert keeps existing
+
+
+def test_replace_pattern_with_hash_function(log_df):
+    fn = compile_statement(
+        'replace_pattern(attributes["http.path"], "/", "@", SHA256)'
+    )
+    out = one(fn(log_df))["attributes"]["http.path"]
+    import hashlib
+
+    h = hashlib.sha256(b"/").hexdigest()
+    assert out == f"{h}health"
+
+
+def test_parse_csv_headers(log_df):
+    cases = [
+        ('Len(ParseCSV("val1;val2;val3", "h1|h2|h3", ";", "|", "strict"))',
+         "3"),
+        ('ParseCSV("val1,val2,val3", "h1|h2|h3", headerDelimiter="|")', None),
+    ]
+    fn = compile_statement(f'set(attributes["c"], {cases[0][0]})')
+    assert one(fn(log_df))["attributes"]["c"] == "3"
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        compile_value, Context as Ctx,
+    )
+    from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+    node = _Parser('ParseCSV("val1,\\"quo,ted\\",val3", "h1|h2|h3", headerDelimiter="|")').value()
+    got = log_df.select(compile_value(node, Ctx()).alias("m")).collect()[0]["m"]
+    assert got == {"h1": "val1", "h2": "quo,ted", "h3": "val3"}
+
+
+def test_decode_base64(log_df):
+    fn = compile_statement('set(attributes["c"], Decode("cGFzcw==", "base64"))')
+    assert one(fn(log_df))["attributes"]["c"] == "pass"
