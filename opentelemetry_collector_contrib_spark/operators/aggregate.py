@@ -64,3 +64,28 @@ def sum_connector(
     return df.groupBy(*names).agg(
         F.sum(F.col(source_attribute).cast("double")).alias(metric_name)
     )
+
+
+def cumulative_to_delta(
+    df,
+    keys: list[str],
+    value_col: str = "value",
+    order_by: list[str] | None = None,
+    to: str = "delta",
+):
+    """cumulativetodelta processor (processor/cumulativetodeltaprocessor):
+    per stream identity (the key columns), delta = value − previous value
+    in event-time order; the FIRST point of each stream has no reference
+    point and yields NULL (the reference drops it / marks initial).
+
+    One window shuffle on the stream identity — the same partitioning the
+    downstream per-stream aggregation wants, so Catalyst reuses the
+    exchange."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order_by = order_by or ["ts"]
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(
+        to, F.col(value_col) - F.lag(value_col).over(w)
+    )

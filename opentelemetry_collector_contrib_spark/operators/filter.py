@@ -36,19 +36,24 @@ def filter_ottl(
     path_map: dict | None = None,
     error_mode: str = "ignore",
     path_types: dict | None = None,
+    logic_op: str = "or",
 ) -> DataFrame:
     """filterprocessor OTTL mode (config.go:85-103; parser.go:330-377
-    condition sequences): DROP records matching ANY condition (the
-    processor ORs its log_conditions). Conditions are compiled once into
-    one Column; error modes follow compile_condition (ignore/silent →
-    condition false on failing rows → record kept, logs.go:86-99;
-    propagate → raise)."""
+    condition sequences): DROP records matching the condition sequence.
+    logic_op mirrors pkg/ottl/config.go:30-44 ConditionSequence — the
+    filterprocessor default ORs its log_conditions; "and" requires all.
+    Conditions are compiled once into one Column; error modes follow
+    compile_condition (ignore/silent → condition false on failing rows →
+    record kept, logs.go:86-99; propagate → raise)."""
     from ..ottl.compiler import Context, compile_condition
 
+    if logic_op not in ("or", "and"):
+        raise ValueError(f"logic_op {logic_op!r}")
     ctx = Context(path_map, error_mode, path_types)
     cond = compile_condition(conditions[0], ctx)
     for c in conditions[1:]:
-        cond = cond | compile_condition(c, ctx)
+        nxt = compile_condition(c, ctx)
+        cond = (cond | nxt) if logic_op == "or" else (cond & nxt)
     return filter_drop(df, cond)
 
 

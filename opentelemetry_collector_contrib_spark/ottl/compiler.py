@@ -288,7 +288,21 @@ def compile_value(node, ctx: Context) -> Column:
         return fn(args, ctx)
     if isinstance(node, Binary):
         l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
-        # LANGUAGE.md:196-226 — int/int stays int (Go division truncates)
+        # LANGUAGE.md:196-226 — int/int stays int (Go division truncates);
+        # time-time ⇒ duration, time±duration ⇒ time (durations are double
+        # seconds in this engine, so the epoch domain carries them)
+        lt_, rt_ = static_type(node.left, ctx), static_type(node.right, ctx)
+        if node.op in ("+", "-") and TIME in (lt_, rt_):
+            if lt_ == TIME and rt_ == TIME and node.op == "-":
+                return l.cast("double") - r.cast("double")
+            if lt_ == TIME and rt_ == DURATION:
+                secs = r if node.op == "+" else -r
+                return F.timestamp_seconds(l.cast("double") + secs)
+            if lt_ == DURATION and rt_ == TIME and node.op == "+":
+                return F.timestamp_seconds(r.cast("double") + l)
+            raise OTTLError(
+                f"unsupported time arithmetic {lt_} {node.op} {rt_}"
+            )
         if node.op == "+":
             return l + r
         if node.op == "-":

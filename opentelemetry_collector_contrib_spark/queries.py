@@ -1112,6 +1112,46 @@ SELECT vec_id, cos_sim FROM sims
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     )
 
+    # ---- s_ivf_topk: IVF-style ANN (similarity.ivf_topk) ------------------
+    def s_ivf_topk(spark, sf_dir):
+        from .similarity import ivf_topk
+
+        return ivf_topk(_emb(spark, sf_dir), query_vec_ids=[0, 1, 2])
+
+    reg(
+        "s_ivf_topk",
+        s_ivf_topk,
+        """WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cent_id FROM cents c
+          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cent) DESC,
+                   c.cent_id DESC
+          LIMIT 1) AS cell
+  FROM embeddings e
+), queries AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+), probes AS (
+  SELECT q.q_id, q.qv, c.cent_id AS cell FROM queries q, cents c
+  QUALIFY row_number() OVER (PARTITION BY q.q_id
+     ORDER BY list_dot_product(q.qv::DOUBLE[], c.cent) DESC,
+              c.cent_id DESC) <= 2
+), sims AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[],
+                                      a.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id, vec_id, cos_sim, rn::INT AS rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM sims) WHERE rn <= 5""",
+    )
+
     def s_lsh_buckets(spark, sf_dir):
         return lsh_buckets(_emb(spark, sf_dir), n_planes=8)
 
@@ -1339,6 +1379,32 @@ FROM lines""",
        'host' || (user_id % 4)::VARCHAR AS host,
        (event_id % 30000)::BIGINT AS procid,
        event_type AS msg
+FROM events""",
+    )
+
+    # ---- e_cum_to_delta: cumulativetodelta processor ----------------------
+    # (processor/cumulativetodeltaprocessor): per (user_id, event_type)
+    # stream in (ts, event_id) order, delta = value - lag(value); first
+    # point NULL. One window shuffle on the stream identity.
+    def e_cum_to_delta(spark, sf_dir):
+        from .operators.aggregate import cumulative_to_delta
+
+        ev = _ev2(spark, sf_dir)
+        out = cumulative_to_delta(
+            ev, keys=["user_id", "event_type"], value_col="value",
+            order_by=["ts", "event_id"],
+        )
+        return out.select(
+            "event_id",
+            F.round(F.col("delta"), 6).alias("delta"),
+        )
+
+    reg(
+        "e_cum_to_delta",
+        e_cum_to_delta,
+        """SELECT event_id,
+       round(value - lag(value) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id), 6) AS delta
 FROM events""",
     )
 

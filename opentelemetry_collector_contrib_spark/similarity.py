@@ -128,3 +128,78 @@ def lsh_ann_pairs(
         ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN (the inverted-file scale path next to the LSH one).
+
+    Coarse quantizer = deterministic seed centroids (the n_centroids
+    lowest vec_ids — k-means training is an offline batch concern; what
+    matters at serving scale is the PLAN SHAPE, which is exactly real
+    IVF's): centroids are driver-collected and inlined (a broadcast-small
+    table), cell assignment is a single PROJECTION computing
+    argmax-dot-product over the inlined centroids (no join, no shuffle
+    over the corpus), the corpus is then implicitly partitioned by cell,
+    and each query probes only its top n_probe cells — the corpus scan
+    per query is |cell|·n_probe instead of N. Ties on equal dot product
+    resolve to the larger centroid id (array_sort struct ordering; the
+    SQL oracle mirrors with ORDER BY dot DESC, cent_id DESC)."""
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r[vec_col]])
+        for r in emb.orderBy("vec_id").limit(n_centroids)
+        .select("vec_id", vec_col).collect()
+    ]
+
+    def lit_vec(v):
+        return F.array(*[F.lit(x) for x in v])
+
+    def probe_cells(vec, top: int):
+        structs = F.array(*[
+            F.struct(_dot(vec, lit_vec(cv)).alias("d"), F.lit(cid).alias("c"))
+            for cid, cv in cents
+        ])
+        return F.slice(F.reverse(F.array_sort(structs)), 1, top)
+
+    assigned = emb.select(
+        "vec_id", vec_col,
+        probe_cells(F.col(vec_col), 1)[0]["c"].alias("cell"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id").isin([int(q) for q in query_vec_ids]))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                F.transform(
+                    probe_cells(F.col(vec_col), n_probe), lambda s: s["c"]
+                )
+            ).alias("cell"),
+        )
+    )
+    sims = (
+        F.broadcast(queries)
+        .join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(cosine_sim(F.col("qv"), F.col(vec_col)), 4)
+            .alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )

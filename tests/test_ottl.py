@@ -242,6 +242,18 @@ CASES = [
      None, ("c", "y")),
     ('set(attributes["c"], "y") where attributes["flags"] < 100',
      None, ("c", None)),
+    # time arithmetic (LANGUAGE.md:196-226: time-time=duration,
+    # time±duration=time) — the e2e corpus shape
+    ('set(attributes["c"], "y") where Time("10", "%M") - Time("01", "%M") < Duration("10m")',
+     None, ("c", "y")),
+    ('set(attributes["c"], "y") where Time("10", "%M") - Time("01", "%M") > Duration("10m")',
+     None, ("c", None)),
+    ('set(attributes["c"], UnixSeconds(time - Duration("45s")))',
+     None, ("c", "1735727400")),
+    ('set(attributes["c"], UnixSeconds(time + Duration("15s")))',
+     None, ("c", "1735727460")),
+    ('set(attributes["c"], Seconds(time - TruncateTime(time, "1h")))',
+     None, ("c", "1845.0")),
     # paths
     ('set(attributes["c"], resource.attributes["host.name"])',
      None, ("c", "localhost")),
