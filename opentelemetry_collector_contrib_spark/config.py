@@ -1,0 +1,434 @@
+"""Collector-style YAML config → engine pipeline.
+
+The reference is configured declaratively: receivers → processors →
+exporters wired into named service pipelines, with connectors bridging
+pipelines (service config shape used throughout the reference's testbed,
+e.g. testbed/tests/scenarios.go:149 and
+connector/routingconnector/README.md). A user switching from the
+collector keeps that mental model: this module accepts the same
+receivers/processors/connectors/exporters/service.pipelines layout and
+compiles it into composed DataFrame stages.
+
+Supported components (names accept the collector's `type/name` form):
+
+receivers    transcripts {path}        parse_transcripts → canonical log
+                                       shape (body/ts/severity/attributes/
+                                       resource + typed side columns)
+             parquet {path}            raw table scan
+processors   attributes {actions}      attraction.go action list
+             resource {attributes}     resourcedetection-style merge
+             filter {logs.log_conditions, error_mode, logic_op}
+             transform {log_statements, conditions, error_mode}
+             groupbyattrs {keys}
+             redaction {allowed_keys, ignored_keys, blocked_values,
+                        summary, allow_all_keys}
+             probabilistic_sampler {sampling_percentage, attribute_source,
+                                    hash_seed}
+             logdedup {interval, identity_cols}
+             batch                      no-op (partitioning is a sink
+                                        concern in Spark)
+connectors   routing {table: [{condition, pipelines}], default_pipelines,
+                      match_once}
+             count {dims, conditions}
+             sum {source_attribute, dims}
+exporters    file {path, group_by}     partitioned parquet write
+             debug / noop              DataFrame returned, not written
+
+Unknown component types raise ConfigError — silently skipping a stage a
+user configured would corrupt their pipeline semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.aggregate import count_connector, sum_connector
+from .operators.dedup import log_dedup
+from .operators.filter import filter_ottl, probabilistic_sample
+from .operators.group import group_by_attrs
+from .operators.mutate import Action, apply_actions, resource_detection
+from .operators.parse import parse_transcripts
+from .operators.redact import redact
+from .operators.route import Route, Router
+from .ottl.compiler import Context, compile_condition
+from .ottl import StatementSequence
+from .sources.readers import read_transcripts
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# OTTL paths available in conditions/statements over the transcript log
+# shape: the canonical envelope plus the typed side columns the parse
+# stage extracts (path_types drive the compare.go matrix correctly for
+# the int-typed ones).
+TRANSCRIPT_PATH_MAP = {
+    "dur_ms": "dur_ms",
+    "nbytes": "nbytes",
+    "tool_name": "tool_name",
+    "err_code": "err_code",
+    "conv_id": "conv_id",
+    "turn_idx": "turn_idx",
+}
+TRANSCRIPT_PATH_TYPES = {
+    "dur_ms": "int",
+    "nbytes": "int",
+    "turn_idx": "int",
+}
+
+
+def load_config(src: str | dict) -> dict:
+    """Parse a YAML file/string (or accept an already-parsed dict)."""
+    if isinstance(src, dict):
+        return src
+    import yaml
+
+    if os.path.exists(src):
+        with open(src) as f:
+            return yaml.safe_load(f)
+    return yaml.safe_load(src)
+
+
+def _base_type(name: str) -> str:
+    return name.split("/", 1)[0]
+
+
+def _ottl_ctx(error_mode: str = "ignore") -> Context:
+    return Context(TRANSCRIPT_PATH_MAP, error_mode, TRANSCRIPT_PATH_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# receivers
+# ---------------------------------------------------------------------------
+
+def _rx_transcripts(spark: SparkSession, cfg: dict) -> DataFrame:
+    df = parse_transcripts(read_transcripts(spark, cfg["path"]))
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("role"), F.col("role"),
+            F.lit("tool"), F.col("tool"),
+            F.lit("err_code"), F.col("err_code"),
+            F.lit("tool_name"), F.col("tool_name"),
+            F.lit("call_id"), F.col("call_id"),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return df.select(
+        "conv_id", "turn_idx",
+        F.col("text").alias("body"), "ts",
+        "severity_text", "severity_number",
+        "dur_ms", "nbytes", "err_code", "tool_name",
+        attrs.alias("attributes"),
+        F.create_map(F.lit("service.name"), F.lit("transcripts"))
+        .alias("resource"),
+    )
+
+
+def _rx_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
+    return spark.read.parquet(cfg["path"])
+
+
+_RECEIVERS = {"transcripts": _rx_transcripts, "parquet": _rx_parquet}
+
+
+# ---------------------------------------------------------------------------
+# processors
+# ---------------------------------------------------------------------------
+
+def _pr_attributes(df: DataFrame, cfg: dict) -> DataFrame:
+    actions = []
+    for a in cfg.get("actions", []):
+        actions.append(Action(
+            action=a["action"],
+            key=a.get("key"),
+            value=F.lit(str(a["value"])) if "value" in a else None,
+            pattern=a.get("pattern"),
+            converted_type=a.get("converted_type"),
+            groups=a.get("groups", []),
+        ))
+    return apply_actions(df, actions)
+
+
+def _pr_resource(df: DataFrame, cfg: dict) -> DataFrame:
+    if "attributes" in cfg and isinstance(cfg["attributes"], dict):
+        return resource_detection(
+            df, {k: str(v) for k, v in cfg["attributes"].items()},
+            override=bool(cfg.get("override", False)),
+        )
+    return apply_actions(df, [
+        Action(action=a["action"], key=a.get("key"),
+               value=F.lit(str(a["value"])) if "value" in a else None)
+        for a in cfg.get("actions", [])
+    ], attrs_col="resource")
+
+
+def _pr_filter(df: DataFrame, cfg: dict) -> DataFrame:
+    logs = cfg.get("logs", cfg)
+    conds = logs.get("log_conditions") or logs.get("log_record")
+    if not conds:
+        raise ConfigError("filter processor needs logs.log_conditions")
+    return filter_ottl(
+        df, list(conds),
+        path_map=TRANSCRIPT_PATH_MAP,
+        error_mode=cfg.get("error_mode", "ignore"),
+        path_types=TRANSCRIPT_PATH_TYPES,
+        logic_op=cfg.get("logic_op", "or"),
+    )
+
+
+def _pr_transform(df: DataFrame, cfg: dict) -> DataFrame:
+    stmts = cfg.get("log_statements")
+    if not stmts:
+        raise ConfigError("transform processor needs log_statements")
+    # accept both the flat list and the grouped {statements, conditions}
+    if isinstance(stmts[0], dict):
+        out = df
+        for group in stmts:
+            seq = StatementSequence(
+                group["statements"],
+                conditions=group.get("conditions"),
+                path_map=TRANSCRIPT_PATH_MAP,
+                error_mode=cfg.get("error_mode", "ignore"),
+                path_types=TRANSCRIPT_PATH_TYPES,
+            )
+            out = seq.apply(out)
+        return out
+    seq = StatementSequence(
+        list(stmts),
+        path_map=TRANSCRIPT_PATH_MAP,
+        error_mode=cfg.get("error_mode", "ignore"),
+        path_types=TRANSCRIPT_PATH_TYPES,
+    )
+    return seq.apply(df)
+
+
+def _pr_groupbyattrs(df: DataFrame, cfg: dict) -> DataFrame:
+    return group_by_attrs(df, list(cfg.get("keys", [])))
+
+
+def _pr_redaction(df: DataFrame, cfg: dict) -> DataFrame:
+    return redact(
+        df,
+        allowed_keys=cfg.get("allowed_keys"),
+        ignored_keys=cfg.get("ignored_keys"),
+        blocked_value_patterns=cfg.get("blocked_values"),
+        summary=cfg.get("summary", "info"),
+        allow_all_keys=cfg.get("allow_all_keys"),
+    )
+
+
+def _pr_sampler(df: DataFrame, cfg: dict) -> DataFrame:
+    src = cfg.get("attribute_source", "conv_id")
+    col = F.col(src) if src in df.columns else F.col("attributes")[src]
+    return probabilistic_sample(
+        df, float(cfg["sampling_percentage"]), col,
+        hash_seed=int(cfg.get("hash_seed", 22)),
+    )
+
+
+def _pr_logdedup(df: DataFrame, cfg: dict) -> DataFrame:
+    return log_dedup(
+        df,
+        interval=cfg.get("interval", "10 seconds"),
+        identity_cols=cfg.get("identity_cols"),
+    )
+
+
+_PROCESSORS = {
+    "attributes": _pr_attributes,
+    "resource": _pr_resource,
+    "resourcedetection": _pr_resource,
+    "filter": _pr_filter,
+    "transform": _pr_transform,
+    "groupbyattrs": _pr_groupbyattrs,
+    "redaction": _pr_redaction,
+    "probabilistic_sampler": _pr_sampler,
+    "logdedup": _pr_logdedup,
+    "batch": lambda df, cfg: df,
+}
+
+
+# ---------------------------------------------------------------------------
+# pipeline assembly
+# ---------------------------------------------------------------------------
+
+class CollectorConfig:
+    """Compiled collector-style config. ``build(spark)`` returns
+    {exporter_name: DataFrame}; ``run(spark)`` additionally writes the
+    file exporters (one partitioned write each) and returns the same map."""
+
+    def __init__(self, cfg: str | dict):
+        self.cfg = load_config(cfg)
+        for section in ("receivers", "exporters", "service"):
+            if section not in self.cfg:
+                raise ConfigError(f"missing config section {section!r}")
+        self.pipelines: dict[str, dict] = self.cfg["service"]["pipelines"]
+        self._validate()
+
+    def _validate(self) -> None:
+        """Fail fast on unknown component types — a silently skipped
+        stage would corrupt the user's pipeline semantics."""
+        for pname, pcfg in self.pipelines.items():
+            for r in pcfg.get("receivers", []) or []:
+                if not self._is_connector(r) and \
+                        _base_type(r) not in _RECEIVERS:
+                    raise ConfigError(f"unsupported receiver {r!r} in {pname!r}")
+            for p in pcfg.get("processors", []) or []:
+                if _base_type(p) not in _PROCESSORS:
+                    raise ConfigError(f"unsupported processor {p!r} in {pname!r}")
+            for e in pcfg.get("exporters", []) or []:
+                if self._is_connector(e):
+                    continue
+                if _base_type(e) not in ("file", "debug", "noop"):
+                    raise ConfigError(f"unsupported exporter {e!r} in {pname!r}")
+                self._component("exporters", e)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _component(self, section: str, name: str) -> dict:
+        comp = self.cfg.get(section, {}) or {}
+        if name in comp:
+            return comp[name] or {}
+        raise ConfigError(f"{section} component {name!r} not defined")
+
+    def _is_connector(self, name: str) -> bool:
+        return name in (self.cfg.get("connectors") or {})
+
+    # -- build --------------------------------------------------------------
+
+    def build(self, spark: SparkSession) -> dict[str, DataFrame]:
+        # pass 1: run every pipeline whose receivers are all concrete
+        # (non-connector); stash per-connector inputs
+        conn_inputs: dict[str, list[DataFrame]] = {}
+        routed: dict[str, dict[str, DataFrame]] = {}  # conn → pipeline → df
+        outputs: dict[str, DataFrame] = {}
+        pending = dict(self.pipelines)
+
+        def run_pipeline(pname: str, pcfg: dict, source: DataFrame) -> None:
+            df = source
+            for proc in pcfg.get("processors", []) or []:
+                fn = _PROCESSORS.get(_base_type(proc))
+                if fn is None:
+                    raise ConfigError(f"unsupported processor {proc!r}")
+                df = fn(df, self._component("processors", proc))
+            for exp in pcfg.get("exporters", []) or []:
+                if self._is_connector(exp):
+                    conn_inputs.setdefault(exp, []).append(df)
+                else:
+                    self._component("exporters", exp)  # existence check
+                    outputs[exp] = df
+
+        for pname, pcfg in list(pending.items()):
+            rxs = pcfg.get("receivers", []) or []
+            if any(self._is_connector(r) for r in rxs):
+                continue
+            dfs = []
+            for r in rxs:
+                fn = _RECEIVERS.get(_base_type(r))
+                if fn is None:
+                    raise ConfigError(f"unsupported receiver {r!r}")
+                dfs.append(fn(spark, self._component("receivers", r)))
+            src = dfs[0]
+            for d in dfs[1:]:
+                src = src.unionByName(d, allowMissingColumns=True)
+            run_pipeline(pname, pcfg, src)
+            del pending[pname]
+
+        # pass 2: resolve connectors (routing fan-out, count/sum metrics)
+        for conn, inputs in conn_inputs.items():
+            ccfg = self._component("connectors", conn)
+            src = inputs[0]
+            for d in inputs[1:]:
+                src = src.unionByName(d, allowMissingColumns=True)
+            base = _base_type(conn)
+            if base == "routing":
+                routed[conn] = self._route(src, ccfg)
+            elif base == "count":
+                dims = {k: None for k in ccfg.get("dims", ["severity_text"])}
+                conds = [
+                    compile_condition(c, _ottl_ctx())
+                    for c in ccfg.get("conditions", [])
+                ] or None
+                routed[conn] = {"*": count_connector(src, dims, conds)}
+            elif base == "sum":
+                dims = {k: None for k in ccfg.get("dims", ["tool_name"])}
+                routed[conn] = {"*": sum_connector(
+                    src, ccfg["source_attribute"], dims)}
+            else:
+                raise ConfigError(f"unsupported connector {conn!r}")
+
+        # pass 3: pipelines fed by connectors
+        for pname, pcfg in pending.items():
+            dfs = []
+            for r in pcfg.get("receivers", []) or []:
+                if not self._is_connector(r):
+                    raise ConfigError(
+                        f"pipeline {pname!r} mixes connector and concrete "
+                        "receivers — not supported"
+                    )
+                table = routed.get(r, {})
+                if "*" in table:
+                    dfs.append(table["*"])
+                elif pname in table:
+                    dfs.append(table[pname])
+            if not dfs:
+                raise ConfigError(f"pipeline {pname!r} receives nothing")
+            src = dfs[0]
+            for d in dfs[1:]:
+                src = src.unionByName(d, allowMissingColumns=True)
+            run_pipeline(pname, pcfg, src)
+
+        return outputs
+
+    def _route(self, df: DataFrame, ccfg: dict) -> dict[str, DataFrame]:
+        """routingconnector (logs.go:62-119): table of OTTL conditions →
+        target pipelines; match_once / multi-match duplication / default
+        pipelines — split per target pipeline name."""
+        ctx = _ottl_ctx(ccfg.get("error_mode", "ignore"))
+        routes = []
+        entry_pipelines: dict[str, list[str]] = {}
+        for i, entry in enumerate(ccfg.get("table", [])):
+            cond_src = entry.get("condition") or entry.get("statement")
+            if cond_src is None:
+                raise ConfigError("routing table entry needs a condition")
+            rid = f"route_{i}"
+            routes.append(Route(rid, compile_condition(cond_src, ctx)))
+            entry_pipelines[rid] = list(entry.get("pipelines", []))
+        router = Router(routes, match_once=bool(ccfg.get("match_once", False)))
+        split = router.split(df)
+        out: dict[str, DataFrame] = {}
+
+        def feed(pipeline: str, route_df: DataFrame) -> None:
+            out[pipeline] = (
+                route_df if pipeline not in out
+                else out[pipeline].unionByName(route_df)
+            )
+
+        for rid, pipelines in entry_pipelines.items():
+            for p in pipelines:
+                feed(p, split[rid])
+        for p in ccfg.get("default_pipelines", []) or []:
+            feed(p, split["default"])
+        return out
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self, spark: SparkSession) -> dict[str, Any]:
+        outputs = self.build(spark)
+        written = {}
+        for exp, df in outputs.items():
+            ecfg = self._component("exporters", exp)
+            if _base_type(exp) == "file":
+                w = df.write.mode("overwrite")
+                if ecfg.get("group_by"):
+                    w = w.partitionBy(ecfg["group_by"])
+                w.parquet(ecfg["path"])
+                written[exp] = ecfg["path"]
+            else:  # debug / noop → return the DataFrame
+                written[exp] = df
+        return written

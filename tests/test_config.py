@@ -1,0 +1,167 @@
+"""Collector-style YAML config front end (config.py).
+
+A collector user's service layout — receivers → processors → routing
+connector → per-route pipelines → exporters — must run end-to-end and
+agree with the directly-composed operators."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.config import (
+    CollectorConfig,
+    ConfigError,
+)
+from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+
+YAML = """
+receivers:
+  transcripts:
+    path: "{FX}"
+
+processors:
+  attributes/stamp:
+    actions:
+      - {{action: insert, key: env, value: prod}}
+  transform/enrich:
+    error_mode: ignore
+    log_statements:
+      - set(attributes["sev"], ConvertCase(severity_text, "lower"))
+      - set(attributes["slow"], "true") where dur_ms > 4000
+  filter/drop_system:
+    logs:
+      log_conditions:
+        - attributes["role"] == "system"
+  redaction/mask_ids:
+    blocked_values: ["^[0-9a-f]{{8}}$"]
+    summary: silent
+
+connectors:
+  routing:
+    match_once: false
+    default_pipelines: [logs/default]
+    table:
+      - condition: severity_number >= SEVERITY_NUMBER_ERROR
+        pipelines: [logs/errors]
+      - condition: tool_name == "bash"
+        pipelines: [logs/tools]
+  count/by_sev:
+    dims: [severity_text]
+
+exporters:
+  file/errors: {{path: "{OUT}/errors"}}
+  file/tools: {{path: "{OUT}/tools"}}
+  file/default: {{path: "{OUT}/default"}}
+  debug/metrics: {{}}
+
+service:
+  pipelines:
+    logs/in:
+      receivers: [transcripts]
+      processors: [attributes/stamp, transform/enrich, filter/drop_system,
+                   redaction/mask_ids]
+      exporters: [routing, count/by_sev]
+    logs/errors:
+      receivers: [routing]
+      exporters: [file/errors]
+    logs/tools:
+      receivers: [routing]
+      exporters: [file/tools]
+    logs/default:
+      receivers: [routing]
+      exporters: [file/default]
+    logs/metrics:
+      receivers: [count/by_sev]
+      exporters: [debug/metrics]
+"""
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tmp_path_factory):
+    fx = ensure_fixture_dir("sf0.001")
+    out = str(tmp_path_factory.mktemp("cfgout"))
+    cfg = CollectorConfig(YAML.format(FX=fx, OUT=out))
+    written = cfg.run(spark)
+    return spark, out, written
+
+
+def test_routing_fanout_counts(outputs):
+    spark, out, written = outputs
+    errors = spark.read.parquet(os.path.join(out, "errors"))
+    default = spark.read.parquet(os.path.join(out, "default"))
+    tools = spark.read.parquet(os.path.join(out, "tools"))
+    assert errors.count() > 0 and default.count() > 0 and tools.count() > 0
+    # route conditions hold on every routed row
+    assert errors.filter(F.col("severity_number") < 17).count() == 0
+    assert tools.filter(F.col("tool_name") != "bash").count() == 0
+    # default = matched no route
+    assert default.filter(
+        (F.col("severity_number") >= 17) | (F.col("tool_name") == "bash")
+    ).count() == 0
+    # multi-match duplicates: total routed >= filtered input rows
+    n_routed = errors.count() + default.count() + tools.count()
+    assert n_routed >= default.count()
+
+
+def test_processors_applied(outputs):
+    spark, out, _ = outputs
+    errors = spark.read.parquet(os.path.join(out, "errors"))
+    row = errors.select("attributes").head()["attributes"]
+    assert row["env"] == "prod"                      # attributes insert
+    assert row["sev"] == row.get("sev", row["sev"])  # transform ran
+    # filter dropped system rows everywhere
+    for sink in ("errors", "default", "tools"):
+        df = spark.read.parquet(os.path.join(out, sink))
+        assert df.filter(F.col("attributes")["role"] == "system").count() == 0
+    # redaction masked call ids
+    assert errors.filter(
+        F.col("attributes")["call_id"].rlike("^[0-9a-f]{8}$")
+    ).count() == 0
+
+
+def test_count_connector_pipeline(outputs):
+    spark, out, written = outputs
+    metrics = written["debug/metrics"]
+    rows = {r["severity_text"]: r["log_count"] for r in metrics.collect()}
+    assert sum(rows.values()) > 0
+    # metrics count the PRE-routing stream: equals the filtered input size
+    total_default = spark.read.parquet(os.path.join(out, "default")).count()
+    assert sum(rows.values()) >= total_default
+
+
+def test_matches_directly_composed_router(outputs, spark):
+    from opentelemetry_collector_contrib_spark.operators.route import (
+        Route, Router,
+    )
+    from opentelemetry_collector_contrib_spark.config import _rx_transcripts
+    from opentelemetry_collector_contrib_spark.operators.filter import (
+        filter_ottl,
+    )
+
+    _, out, _ = outputs
+    fx = ensure_fixture_dir("sf0.001")
+    df = _rx_transcripts(spark, {"path": fx})
+    df = filter_ottl(df, ['attributes["role"] == "system"'])
+    router = Router([
+        Route("errors", F.col("severity_number") >= 17),
+        Route("tools", F.col("tool_name") == "bash"),
+    ])
+    split = router.split(df)
+    got = spark.read.parquet(os.path.join(out, "errors")).count()
+    assert got == split["errors"].count()
+
+
+def test_unknown_component_rejected():
+    with pytest.raises(ConfigError):
+        CollectorConfig({
+            "receivers": {"transcripts": {"path": "x"}},
+            "exporters": {"file/x": {"path": "y"}},
+            "service": {"pipelines": {"logs": {
+                "receivers": ["transcripts"],
+                "processors": ["frobnicator"],
+                "exporters": ["file/x"],
+            }}},
+        })

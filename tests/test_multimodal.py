@@ -81,3 +81,19 @@ def test_decode_image_stub_gated(media):
         pytest.skip("PIL available; stub path not applicable")
     with pytest.raises(NotImplementedError):
         decode_image(media)
+
+
+def test_decode_audio_gated(spark, media):
+    """decode_audio raises the documented NotImplementedError without
+    librosa; the plumbing (schema resolution on the pruned projection)
+    must still be constructible when gated."""
+    import pytest
+
+    from opentelemetry_collector_contrib_spark import multimodal as M
+
+    if not M._HAS_LIBROSA:
+        with pytest.raises(NotImplementedError, match="librosa"):
+            M.decode_audio(media)
+    else:  # pragma: no cover - environment-dependent
+        out = M.decode_audio(media)
+        assert dict(out.dtypes)["samples"] == "array<float>"
