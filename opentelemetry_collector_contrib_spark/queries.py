@@ -1382,6 +1382,80 @@ FROM lines""",
 FROM events""",
     )
 
+    # ---- e_jsonarray_parse: jsonarray_parser (parser/jsonarray/config.go:
+    # 48) — JSON-array lines constructed from event fields; header mode
+    # zips values with configured key names (assignkeys-style).
+    def e_jsonarray_parse(spark, sf_dir):
+        from .operators.parse import jsonarray_parser
+
+        ev = _ev2(spark, sf_dir)
+        line = F.format_string(
+            '["%s", "%s", "%s"]',
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            (F.col("user_id") % 100).cast("string"),
+        )
+        df = ev.select("event_id", line.alias("line"))
+        arr = jsonarray_parser(df, "line", to="arr")
+        hdr = jsonarray_parser(df, "line", to="m",
+                               header=["id", "etype", "ubucket"])
+        return (
+            arr.join(hdr.select("event_id", "m"), "event_id")
+            .select(
+                "event_id",
+                F.size("arr").alias("n_items"),
+                F.col("arr")[1].alias("second"),
+                F.col("m")["etype"].alias("etype"),
+                F.col("m")["ubucket"].alias("ubucket"),
+            )
+        )
+
+    reg(
+        "e_jsonarray_parse",
+        e_jsonarray_parse,
+        """SELECT event_id,
+       3 AS n_items,
+       event_type AS second,
+       event_type AS etype,
+       (user_id % 100)::VARCHAR AS ubucket
+FROM events""",
+    )
+
+    # ---- t_recombine_last: recombine with is_last_entry boundaries --------
+    # (transformer/recombine/config.go:50-61): groups CLOSE on the marker
+    # row — exclusive-prefix-sum gaps-and-islands, reproduced in SQL with
+    # a shifted window frame.
+    def t_recombine_last(spark, sf_dir):
+        from .operators.recombine import recombine
+
+        fx = ensure_fixture_dir(sf_dir)
+        df = read_transcripts(spark, fx)
+        out = recombine(
+            df, "conv_id", "turn_idx", "text", "\n",
+            is_last_entry=(F.col("turn_idx") % 5 == 4),
+        )
+        return out.select(
+            "conv_id",
+            F.col("group_id").cast("long").alias("group_id"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("text").alias("chunk_text"),
+        )
+
+    reg(
+        "t_recombine_last",
+        t_recombine_last,
+        f"""WITH marked AS (
+  SELECT conv_id, turn_idx, text,
+         coalesce(sum(CASE WHEN turn_idx % 5 = 4 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gid
+  FROM {_TR}
+)
+SELECT conv_id, gid AS group_id, count(*)::BIGINT AS n_parts,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS chunk_text
+FROM marked GROUP BY conv_id, gid""",
+    )
+
     # ---- e_cum_to_delta: cumulativetodelta processor ----------------------
     # (processor/cumulativetodeltaprocessor): per (user_id, event_type)
     # stream in (ts, event_id) order, delta = value - lag(value); first
