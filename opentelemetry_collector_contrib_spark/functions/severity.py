@@ -16,33 +16,46 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# base enum values (severity.go:11-52)
-SEVERITY_NUMBERS: dict[str, int] = {
-    "DEFAULT": 0,
-    "TRACE": 1,
-    "DEBUG": 5,
-    "INFO": 9,
-    "WARN": 13,
-    "ERROR": 17,
-    "FATAL": 21,
-}
+# full enum 0..24 (severity.go:11-52): each named level has 2/3/4 tiers
+SEVERITY_NUMBERS: dict[str, int] = {"DEFAULT": 0}
+for _base, _num in [("TRACE", 1), ("DEBUG", 5), ("INFO", 9),
+                    ("WARN", 13), ("ERROR", 17), ("FATAL", 21)]:
+    SEVERITY_NUMBERS[_base] = _num
+    for _t in (2, 3, 4):
+        SEVERITY_NUMBERS[f"{_base}{_t}"] = _num + _t - 1
 
-_ALIASES: dict[str, str] = {
-    # severity_builder.go presets: common aliases
-    "TRACE": "TRACE",
-    "DEBUG": "DEBUG",
-    "INFO": "INFO",
+
+def _default_preset() -> dict[str, str]:
+    """The reference's default builtin mapping (severity_builder.go:17-86):
+    the 'aliases' preset — every tier name plus its numeric string "1".."24"
+    — extended with warning/warning2-4 -> WARN tiers and err/err2-4 ->
+    ERROR tiers. Tokens are matched case-insensitively (the reference
+    lowercases, we uppercase; equivalent)."""
+    m: dict[str, str] = {}
+    for canon, num in SEVERITY_NUMBERS.items():
+        if canon == "DEFAULT":
+            continue
+        m[canon] = canon
+        m[str(num)] = canon
+    for t in ("", "2", "3", "4"):
+        m[f"WARNING{t}"] = f"WARN{t}" if t else "WARN"
+        m[f"ERR{t}"] = f"ERROR{t}" if t else "ERROR"
+    return m
+
+
+# Extra tokens beyond the builtin preset, supplied the way a collector
+# config would via SeverityConfig.Mapping (severity_builder.go:124-146,
+# parseableValues:199-225 lowercases custom string values). Kept as this
+# pipeline's standing custom mapping so syslog-style tokens resolve.
+_CUSTOM_MAPPING: dict[str, str] = {
     "INFORMATION": "INFO",
     "NOTICE": "INFO",
-    "WARN": "WARN",
-    "WARNING": "WARN",
-    "ERROR": "ERROR",
-    "ERR": "ERROR",
     "CRITICAL": "ERROR",
-    "FATAL": "FATAL",
     "EMERGENCY": "FATAL",
     "PANIC": "FATAL",
 }
+
+_ALIASES: dict[str, str] = {**_default_preset(), **_CUSTOM_MAPPING}
 
 # HTTP status range presets (severity_builder.go:166-197: 2xx/3xx→INFO,
 # 4xx→WARN, 5xx→ERROR)
@@ -83,20 +96,22 @@ def severity_text_col(token: Column) -> Column:
     """token (raw string like 'warn', 'WARNING', '503') → canonical
     severity_text; NULL when unmapped (caller decides DEFAULT fallback)."""
     up = F.upper(token)
-    expr = F.lit(None).cast("string")
-    # CASE chain, generated from the same table the oracle uses
+    # flat CASE chain, generated from the same tables the oracle uses;
+    # HTTP ranges first (same precedence order as _sev_text_sql)
     code = F.when(up.rlike("^[0-9]{3}$"), up.cast("int"))
-    out = expr
-    for alias, canon in _ALIASES.items():
-        out = F.when(up == alias, F.lit(canon)).otherwise(out)
+    out = None
     for lo, hi, canon in _HTTP_RANGES:
-        out = F.when((code >= lo) & (code <= hi), F.lit(canon)).otherwise(out)
-    return out
+        cond = (code >= lo) & (code <= hi)
+        out = F.when(cond, F.lit(canon)) if out is None else out.when(cond, F.lit(canon))
+    for alias, canon in _ALIASES.items():
+        out = out.when(up == alias, F.lit(canon))
+    return out.otherwise(F.lit(None).cast("string"))
 
 
 def severity_number_col(sev_text: Column) -> Column:
     """canonical severity_text → enum number; 0 (DEFAULT) when NULL."""
-    out = F.lit(0)
+    out = None
     for canon, num in SEVERITY_NUMBERS.items():
-        out = F.when(sev_text == canon, F.lit(num)).otherwise(out)
-    return out.cast("int")
+        cond = sev_text == canon
+        out = F.when(cond, F.lit(num)) if out is None else out.when(cond, F.lit(num))
+    return out.otherwise(F.lit(0)).cast("int")

@@ -813,12 +813,15 @@ FROM events GROUP BY event_type""",
     def e_severity_map(spark, sf_dir):
         from .operators.parse import severity_parser
 
-        df = _ev(spark, sf_dir).withColumn(
-            "sev_src",
-            F.when(F.col("event_type") == "error", F.lit("err"))
-            .when(F.col("event_type") == "purchase", F.lit("notice"))
-            .otherwise(F.lit("info")),
+        # token set spans the full default preset: tier names, numeric
+        # enum strings, warning/err aliases, HTTP codes, custom mapping
+        toks = ["err2", "warning3", "trace4", "7", "16", "503", "204",
+                "notice", "critical", "info", "unmapped"]
+        tok_expr = F.element_at(
+            F.array(*[F.lit(t) for t in toks]),
+            (F.col("event_id") % len(toks) + 1).cast("int"),
         )
+        df = _ev(spark, sf_dir).withColumn("sev_src", tok_expr)
         df = severity_parser(df, "sev_src")
         return df.groupBy("severity_text", "severity_number").agg(
             F.count(F.lit(1)).alias("n")
@@ -828,9 +831,9 @@ FROM events GROUP BY event_type""",
         "e_severity_map",
         e_severity_map,
         f"""WITH src AS (
-  SELECT CASE WHEN event_type = 'error' THEN 'err'
-              WHEN event_type = 'purchase' THEN 'notice'
-              ELSE 'info' END AS sev_src
+  SELECT (['err2','warning3','trace4','7','16','503','204',
+           'notice','critical','info','unmapped'])[
+            (event_id % 11 + 1)::INT] AS sev_src
   FROM events
 ), mapped AS (
   SELECT {_sev_text_sql('sev_src')} AS severity_text,

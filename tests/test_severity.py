@@ -1,0 +1,62 @@
+"""Severity preset semantics vs the reference default mapping.
+
+Reference: pkg/stanza/operator/helper/severity_builder.go:17-86 (the
+default preset = 'aliases' tier/numeric tokens + warning*/err* extras),
+pkg/stanza/entry/severity.go:11-52 (enum 0..24).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions.severity import (
+    SEVERITY_NUMBERS,
+    severity_map_rows,
+    severity_number_col,
+    severity_text_col,
+)
+
+
+def test_enum_is_full_0_to_24():
+    assert sorted(SEVERITY_NUMBERS.values()) == list(range(25))
+    assert SEVERITY_NUMBERS["TRACE4"] == 4
+    assert SEVERITY_NUMBERS["DEBUG3"] == 7
+    assert SEVERITY_NUMBERS["WARN2"] == 14
+    assert SEVERITY_NUMBERS["FATAL4"] == 24
+
+
+def test_default_preset_tokens(spark):
+    # (token, expected_text, expected_number) — per severity_builder.go
+    cases = [
+        ("trace", "TRACE", 1),
+        ("trace4", "TRACE4", 4),
+        ("7", "DEBUG3", 7),
+        ("24", "FATAL4", 24),
+        ("warning", "WARN", 13),
+        ("warning3", "WARN3", 15),
+        ("err", "ERROR", 17),
+        ("err2", "ERROR2", 18),
+        ("ERROR4", "ERROR4", 20),
+        ("204", "INFO", 9),     # HTTP 2xx range
+        ("503", "ERROR", 17),   # HTTP 5xx range
+        ("critical", "ERROR", 17),  # custom-mapping extension
+        ("bogus", None, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "tok string")
+    out = (
+        df.withColumn("txt", severity_text_col(F.col("tok")))
+        .withColumn("num", severity_number_col(F.col("txt")))
+        .collect()
+    )
+    got = {r.tok: (r.txt, r.num) for r in out}
+    for tok, txt, num in cases:
+        assert got[tok] == (txt, num), tok
+
+
+def test_map_rows_consistent_with_columns():
+    rows = severity_map_rows()
+    toks = {t for t, _, _ in rows}
+    # numeric enum strings and every tier name present
+    assert {"1", "24", "TRACE2", "INFO4", "WARNING4", "ERR3"} <= toks
+    for tok, num, txt in rows:
+        assert SEVERITY_NUMBERS[txt] == num
