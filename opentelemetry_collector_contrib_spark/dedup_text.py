@@ -136,3 +136,69 @@ def minhash_dedup_pairs(
         .filter(F.col("jacc_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("jacc_raw", 4).alias("jaccard"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, docs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: (doc_id,
+    cluster_id) for EVERY document, cluster_id = min doc_id in the
+    component (singletons cluster to themselves).
+
+    Iterative min-label propagation: each round pushes every node's
+    current label across its (symmetrized) edges and keeps the min.
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow (a dup of a dup of X is usually also a dup of X), so the
+    practical round count is 2-4. Per round: one shuffle join keyed on
+    src + one min-agg, both map-side-combinable; `localCheckpoint`
+    truncates lineage so round k does not recompute rounds 1..k-1 (the
+    classic iterative-algorithm trap). The driver-side loop is control
+    flow only — the convergence probe aggregates a single count, never
+    collects data rows. At larger diameters swap the propagation step for
+    alternating large-star/small-star (Kiveris et al.) — same join
+    primitive, fewer rounds.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        pushed = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Keep one representative per cluster (the min-doc_id member) —
+    the deduped corpus with member counts. Join is on doc_id (the
+    cluster map is corpus-sized, NOT broadcast); the size agg is
+    map-side-combinable."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        docs.join(clusters, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_members")
+    )

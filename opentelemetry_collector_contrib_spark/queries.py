@@ -1214,10 +1214,7 @@ def _register_scale_paths(reg) -> None:
         f"WHEN {b} THEN md5(sig_{2 * b}::VARCHAR || '_' || sig_{2 * b + 1}::VARCHAR)"
         for b in range(4)
     )
-    reg(
-        "d_minhash_pairs",
-        d_minhash_pairs,
-        f"""WITH words AS (
+    _minhash_ctes = f"""words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), shingles AS (
   SELECT DISTINCT doc_id,
@@ -1245,13 +1242,74 @@ def _register_scale_paths(reg) -> None:
   JOIN shingles a ON a.doc_id = c.doc_a
   JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
   GROUP BY 1, 2
+), vpairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8
+)"""
+
+    reg(
+        "d_minhash_pairs",
+        d_minhash_pairs,
+        f"WITH {_minhash_ctes}\nSELECT doc_a, doc_b, jaccard FROM vpairs",
+    )
+
+    # ---- d_dup_clusters: connected components over verified dup pairs -----
+    # (the dedup tail a training pipeline needs: pairs → clusters →
+    # keep-one-representative). Spark side is iterative min-label
+    # propagation; DuckDB oracle is the recursive-CTE transitive closure.
+    def d_dup_clusters(spark, sf_dir):
+        from .dedup_text import dedup_clusters
+
+        docs = _docs(spark, sf_dir)
+        pairs = minhash_dedup_pairs(
+            docs, num_hashes=8, bands=4, n=3, threshold=0.8
+        )
+        return dedup_clusters(pairs, docs).select(
+            "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+        )
+
+    _reach_ctes = f"""{_minhash_ctes}, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+), reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+)"""
+
+    reg(
+        "d_dup_clusters",
+        d_dup_clusters,
+        f"""WITH RECURSIVE {_reach_ctes}
+SELECT doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY doc_id""",
+    )
+
+    # ---- d_dedup_survivors: the deduped corpus (one rep per cluster) ------
+    def d_dedup_survivors(spark, sf_dir):
+        from .dedup_text import dedup_clusters, dedup_survivors
+
+        docs = _docs(spark, sf_dir)
+        pairs = minhash_dedup_pairs(
+            docs, num_hashes=8, bands=4, n=3, threshold=0.8
+        )
+        clusters = dedup_clusters(pairs, docs)
+        return dedup_survivors(docs, clusters).select(
+            "doc_id", F.col("n_members").cast("long").alias("n_members")
+        )
+
+    reg(
+        "d_dedup_survivors",
+        d_dedup_survivors,
+        f"""WITH RECURSIVE {_reach_ctes}, clusters AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8""",
+SELECT cluster_id AS doc_id, count(*)::BIGINT AS n_members
+FROM clusters GROUP BY cluster_id""",
     )
 
     # ---- s_ann_pairs: bucketed ANN near-dup pairs -------------------------

@@ -75,3 +75,25 @@ def test_xxhash64_production_path_same_verified_pairs(spark):
         docs, threshold=0.5, hash_fn="xxhash64"
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from opentelemetry_collector_contrib_spark.dedup_text import (
+        dedup_clusters,
+        dedup_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 5-6,
+    # singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    surv = {r.doc_id: r.n_members
+            for r in dedup_survivors(docs, dedup_clusters(pairs, docs)).collect()}
+    assert surv == {1: 4, 5: 2, 7: 1}
