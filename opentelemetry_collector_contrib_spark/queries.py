@@ -732,6 +732,131 @@ WHERE c_custkey NOT IN (
 GROUP BY c_mktsegment""",
     )
 
+    from .relational import (
+        disjunctive_part_revenue,
+        priority_shipping_split,
+        promo_revenue_ratio,
+        small_quantity_revenue,
+        supplier_part_variety,
+        top_customers_per_nation,
+    )
+
+    def q12_priority_split(spark, sf_dir):
+        return priority_shipping_split(
+            _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+        )
+
+    reg(
+        "q12_priority_split",
+        q12_priority_split,
+        """SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag""",
+    )
+
+    def q14_promo_revenue(spark, sf_dir):
+        return promo_revenue_ratio(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+        )
+
+    reg(
+        "q14_promo_revenue",
+        q14_promo_revenue,
+        """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    )
+
+    def q16_part_variety(spark, sf_dir):
+        return supplier_part_variety(
+            _t(spark, sf_dir, "part"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "supplier"),
+        )
+
+    reg(
+        "q16_part_variety",
+        q16_part_variety,
+        """SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size""",
+    )
+
+    def q17_small_qty_revenue(spark, sf_dir):
+        return small_quantity_revenue(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+        )
+
+    reg(
+        "q17_small_qty_revenue",
+        q17_small_qty_revenue,
+        """WITH li AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+), cut AS (
+  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM li JOIN cut ON l_partkey = t_partkey
+WHERE l_quantity < qty_cut""",
+    )
+
+    def q19_disjunctive_revenue(spark, sf_dir):
+        return disjunctive_part_revenue(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+        )
+
+    reg(
+        "q19_disjunctive_revenue",
+        q19_disjunctive_revenue,
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+    )
+
+    def q10_top_customers(spark, sf_dir):
+        return top_customers_per_nation(
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "nation"),
+        )
+
+    reg(
+        "q10_top_customers",
+        q10_top_customers,
+        """WITH rev AS (
+  SELECT n_name, c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY n_name, c_custkey, c_name
+)
+SELECT n_name, c_custkey, c_name, revenue, rk::INT AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM rev) WHERE rk <= 3""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload + typed metadata (multimodal.py)

@@ -149,6 +149,144 @@ def large_orders(
     )
 
 
+def priority_shipping_split(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_start: str = "1996-01-01",
+    date_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + CONDITIONAL aggregation — the
+    CASE lives inside the sum so the split needs no second scan or join;
+    one shuffle on the group key, map-side partials."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_end).cast("timestamp"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_ratio(
+    lineitem: DataFrame, part: DataFrame,
+    date_start: str = "1996-01-01", date_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + ratio of conditional sums in
+    a single global aggregate (one partial-agg shuffle to one row)."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_end).cast("timestamp"))
+    )
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0 / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def supplier_part_variety(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT-count aggregation fed through an
+    ANTI join (excluded suppliers never reach the agg). countDistinct
+    expands to a two-phase agg (distinct partial then count) — no
+    driver-side dedup."""
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(
+            excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_size").isin(1, 5, 9, 13))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: the correlated-scalar-subquery pattern done the
+    cluster way — pre-aggregate avg(qty) per part (map-side partial),
+    broadcast the tiny per-part threshold back onto the fact scan, filter,
+    one global sum. Never a per-row subquery, never a window over the
+    whole fact table."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+                F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive join predicates — equi-join on
+    partkey carries the OR-of-ANDs as a post-join filter, so Catalyst
+    still plans a broadcast HASH join (never a cross/theta join); the
+    common conjunct is what keeps it an equi-join."""
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+
+
+def top_customers_per_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """TPC-H Q10 shape + per-group top-k: revenue from returned items per
+    customer, then rank WITHIN each nation via a window partitioned on
+    the group key — the partitioned window shuffles once on n_name and
+    never sorts globally (contrast orderBy().limit() which is global
+    top-k)."""
+    from pyspark.sql.window import Window
+
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("n_name", "c_custkey", "c_name", "revenue", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def customers_without_orders(
     customer: DataFrame, orders: DataFrame
 ) -> DataFrame:

@@ -127,3 +127,61 @@ def test_topk_is_take_ordered(spark):
 
     q = shipping_priority(t("customer"), t("orders"), t("lineitem"))
     assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_q19_disjunctive_stays_hash_join(spark):
+    """The OR-of-ANDs must ride the partkey equi-join as a post-join
+    filter — a BroadcastHashJoin, never BroadcastNestedLoopJoin/Cartesian
+    (the theta-join trap that explodes at scale)."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        disjunctive_part_revenue,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    plan = _plan(disjunctive_part_revenue(t("lineitem"), t("part")))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q10_window_partitioned_not_global(spark):
+    """Per-nation top-k ranks inside a window PARTITIONED on n_name —
+    the plan must contain a partial sort under the Window, not a global
+    Sort over an empty partition spec (the single-partition bottleneck)."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        top_customers_per_nation,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = top_customers_per_nation(
+        t("customer"), t("orders"), t("lineitem"), t("nation")
+    )
+    plan = _plan(q, mode="simple")
+    assert "Window" in plan
+    assert "partitionBy=[n_name" in plan.replace(" ", "").replace(
+        "partitionBy=[n_name#", "partitionBy=[n_name"
+    ) or "n_name" in plan.split("Window")[1].split("\n")[0]
+
+
+def test_q17_threshold_join_broadcasts(spark):
+    """The per-part avg-qty thresholds are a tiny aggregate — they must
+    broadcast back onto the fact scan, not trigger a second fact
+    shuffle."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        small_quantity_revenue,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    plan = _plan(small_quantity_revenue(t("lineitem"), t("part")))
+    assert plan.count("BroadcastHashJoin") >= 2
