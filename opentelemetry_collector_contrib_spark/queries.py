@@ -1437,6 +1437,75 @@ SELECT cluster_id AS doc_id, count(*)::BIGINT AS n_members
 FROM clusters GROUP BY cluster_id""",
     )
 
+    # ---- d_contamination: train/eval decontamination ----------------------
+    # shingle-overlap inverted-index join with a train-side document-
+    # frequency cap (max_df) — the standard eval-set leak check.
+    def d_contamination(spark, sf_dir):
+        from .textops import contamination_check
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 50 == 0)
+        tr = docs.filter(F.col("doc_id") % 50 != 0)
+        return contamination_check(tr, ev, n=3, max_df=20)
+
+    reg(
+        "d_contamination",
+        d_contamination,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), tsh AS (
+  SELECT doc_id AS train_doc_id, sh FROM shingles WHERE doc_id % 50 != 0
+), keep AS (
+  SELECT sh FROM tsh GROUP BY sh HAVING count(*) <= 20
+), tshk AS (
+  SELECT train_doc_id, sh FROM tsh WHERE sh IN (SELECT sh FROM keep)
+), esh AS (
+  SELECT doc_id AS eval_doc_id, sh FROM shingles WHERE doc_id % 50 = 0
+), esizes AS (
+  SELECT eval_doc_id, count(*) AS n_eval_sh FROM esh GROUP BY 1
+), ov AS (
+  SELECT train_doc_id, eval_doc_id, count(*)::BIGINT AS n_overlap
+  FROM tshk JOIN esh USING (sh) GROUP BY 1, 2
+)
+SELECT train_doc_id, eval_doc_id, n_overlap,
+       round(n_overlap * 1.0 / n_eval_sh, 4) AS contamination
+FROM ov JOIN esizes USING (eval_doc_id)""",
+    )
+
+    # ---- d_stratified_sample: deterministic per-source downsampling -------
+    def d_stratified_sample(spark, sf_dir):
+        from .textops import stratified_sample
+
+        out = stratified_sample(
+            _docs(spark, sf_dir),
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            key_col="doc_id",
+            default_rate=0.1,
+        )
+        return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+    reg(
+        "d_stratified_sample",
+        d_stratified_sample,
+        """WITH gated AS (
+  SELECT source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_kept
+FROM gated
+WHERE (source = 'src0' AND b < 10000)
+   OR (source = 'src1' AND b < 5000)
+   OR (source = 'src2' AND b < 2500)
+   OR (source NOT IN ('src0','src1','src2') AND b < 1000)
+GROUP BY source""",
+    )
+
     # ---- s_ann_pairs: bucketed ANN near-dup pairs -------------------------
     def s_ann_pairs(spark, sf_dir):
         return lsh_ann_pairs(_emb(spark, sf_dir), n_planes=8, threshold=0.3)

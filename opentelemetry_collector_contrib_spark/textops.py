@@ -173,3 +173,82 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: (acc * 32769 + x) % 2147483647,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: word n-gram shingle overlap between two
+    corpora. Returns (train_doc_id, eval_doc_id, n_overlap, contamination)
+    where contamination = overlap / eval doc's shingle count.
+
+    Scale shape: explode both sides to (doc, shingle), inner-join ON THE
+    SHINGLE (an inverted-index equi-join co-partitioned by shingle — never
+    a doc×doc cross join), then count per pair. ``max_df`` drops shingles
+    appearing in more than that many TRAIN docs before the join — the
+    ubiquitous-phrase hot keys that would otherwise dominate the shuffle
+    (and that carry no contamination signal); the cap is the standard
+    decontam df-filter, computed with one map-side-combinable agg."""
+    tsh = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    esh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if max_df is not None:
+        keep = (
+            tsh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        tsh = tsh.join(keep, "sh", "left_semi")
+    esizes = esh.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_eval_sh"))
+    return (
+        tsh.join(esh, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(esizes, "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(F.col("n_overlap") * 1.0 / F.col("n_eval_sh"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its key's
+    hash bucket falls under the stratum's rate. Pure Column gate — no
+    shuffle, no RNG state, reproducible across engines and retries (the
+    property Bernoulli df.sampleBy loses on task re-execution: a retried
+    partition re-draws, a hash gate re-derives)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10000
+    )
+    gate = None
+    for stratum, rate in rates.items():
+        cond = (F.col(strata_col) == stratum) & (bucket < int(rate * 10000))
+        gate = cond if gate is None else gate | cond
+    other = ~F.col(strata_col).isin(*rates.keys()) & (
+        bucket < int(default_rate * 10000)
+    )
+    return df.filter(gate | other)

@@ -97,3 +97,41 @@ def test_dedup_clusters_transitive_chain(spark):
     surv = {r.doc_id: r.n_members
             for r in dedup_survivors(docs, dedup_clusters(pairs, docs)).collect()}
     assert surv == {1: 4, 5: 2, 7: 1}
+
+
+def test_contamination_is_inverted_index_join(spark):
+    """The train×eval comparison must ride the shingle equi-join —
+    never a doc×doc cross join — and the max_df cap must be a semi join."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        contamination_check,
+    )
+
+    docs = _docs(spark)
+    q = contamination_check(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        n=2, max_df=5,
+    )
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cross" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """The hash gate is a narrow filter: no shuffle, no sample operator,
+    and deterministic (same rows on re-run)."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        stratified_sample,
+    )
+
+    docs = _docs(spark).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+    )
+    q = stratified_sample(docs, "source", {"s0": 1.0, "s1": 0.5}, "doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sample" not in plan
+    a = {r.doc_id for r in q.collect()}
+    b = {r.doc_id for r in q.collect()}
+    assert a == b
+    # s0 kept fully; unlisted stratum s2 dropped at default_rate=0
+    assert {d for d in a if d % 3 == 2} == set()
+    assert {r.doc_id for r in docs.filter("source='s0'").collect()} <= a
