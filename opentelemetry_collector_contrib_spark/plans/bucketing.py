@@ -1,0 +1,57 @@
+"""Bucketed-table layout: the shuffle-elimination lever for repeated
+keyed work at 100 TB.
+
+The flagship pipeline touches conv_id three times (recombine window,
+conversation rollup, conversation-level joins). Unbucketed, each is its
+own hash-partitioning Exchange of the full fact table. Writing the
+parsed-stage checkpoint BUCKETED BY conv_id pays that shuffle once, at
+write time, and every downstream conv_id aggregation/join reads the
+bucketing from the catalog and plans with NO Exchange — the same
+contract Iceberg's bucket partition transform provides on a real
+deployment (this local layer is the Spark-catalog parquet analog; the
+checkpoint/lineage story lives in plans/runner.py).
+
+Rules that make it work (all asserted in tests/test_bucketing.py):
+- groupBy(conv_id …) over a table bucketed by conv_id → zero Exchange
+  (bucket distribution satisfies the agg's required distribution).
+- two tables bucketed by the same key with the SAME bucket count join
+  with zero Exchange on either side.
+- sortBy within buckets additionally removes the Sort under window
+  functions ordered by (conv_id, turn_idx).
+- bucket count is a capacity decision: at 100 TB target ~128-256 MB per
+  bucket file per final partition — thousands of buckets; locally 8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    key: str | list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as an external parquet table bucketed (and optionally
+    sorted) by ``key``. Overwrites the table if it exists."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back THROUGH THE CATALOG — a plain
+    spark.read.parquet(path) would lose the bucketing metadata and
+    reintroduce the shuffle."""
+    return spark.table(table)

@@ -78,6 +78,12 @@ class Stage:
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
     deps: list[str] = field(default_factory=list)
     version: str = "1"
+    # (key, n_buckets): checkpoint this stage BUCKETED by key — pays the
+    # key's shuffle once at write time so every downstream consumer
+    # (rollup, recombine, conv-level joins) reads it Exchange-free. See
+    # plans/bucketing.py for the layout contract.
+    bucket_by: tuple[str, int] | None = None
+    sort_by: list[str] | None = None
 
 
 class PipelineRunner:
@@ -114,6 +120,31 @@ class PipelineRunner:
 
     def _ckpt_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def _ckpt_table(self, stage: str) -> str:
+        return f"ckpt_{stage}"
+
+    def _load_ckpt(self, stage: Stage, ckpt: str) -> DataFrame:
+        """Read a stage checkpoint back. Bucketed checkpoints MUST come
+        through the catalog (a bare read.parquet(path) loses the bucket
+        metadata and reintroduces the shuffle); after a restart the
+        in-memory catalog is empty, so re-register the external table
+        from the checkpoint's own schema first."""
+        if stage.bucket_by is None:
+            return self.spark.read.format(self.fmt).load(ckpt)
+        tbl = self._ckpt_table(stage.name)
+        if not self.spark.catalog.tableExists(tbl):
+            key, n = stage.bucket_by
+            ddl = self.spark.read.format(self.fmt).load(ckpt).schema.toDDL()
+            sorted_by = (
+                f"SORTED BY ({', '.join(stage.sort_by)}) " if stage.sort_by else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING {self.fmt} "
+                f"CLUSTERED BY ({key}) {sorted_by}INTO {n} BUCKETS "
+                f"LOCATION '{os.path.abspath(ckpt)}'"
+            )
+        return self.spark.table(tbl)
 
     # -- fingerprints ------------------------------------------------------
     def _stage_fingerprint(
@@ -153,14 +184,23 @@ class PipelineRunner:
                 and state.get("status") == "committed"
                 and os.path.exists(os.path.join(ckpt, "_SUCCESS"))
             ):
-                outputs[stage.name] = self.spark.read.format(self.fmt).load(ckpt)
+                outputs[stage.name] = self._load_ckpt(stage, ckpt)
                 self.skipped.append(stage.name)
                 continue
 
             t0 = time.time()
             df = stage.fn(self.spark, outputs)
-            df.write.format(self.fmt).mode("overwrite").save(ckpt)
-            out = self.spark.read.format(self.fmt).load(ckpt)
+            if stage.bucket_by is not None:
+                from .bucketing import write_bucketed
+
+                key, n = stage.bucket_by
+                write_bucketed(
+                    df, self._ckpt_table(stage.name), ckpt, n, key,
+                    sort_cols=stage.sort_by,
+                )
+            else:
+                df.write.format(self.fmt).mode("overwrite").save(ckpt)
+            out = self._load_ckpt(stage, ckpt)
             # per-partition lineage: output file ↔ write task; rows per file
             lineage_rows = (
                 out.groupBy(F.input_file_name().alias("file"))
