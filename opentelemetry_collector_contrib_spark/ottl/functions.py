@@ -362,6 +362,33 @@ def _parse_xml_series(s):
     return s.map(parse)
 
 
+_FNV_UDF = None
+
+
+def _fnv64a():
+    """Lazily-built Arrow-batched FNV-1a 64 UDF (cached: pandas_udf
+    construction is not free and converters compile per statement)."""
+    global _FNV_UDF
+    if _FNV_UDF is None:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        def _series(s):
+            mask = (1 << 64) - 1
+
+            def h(x):
+                if x is None:
+                    return None
+                acc = 0xCBF29CE484222325
+                for b in x.encode("utf-8"):
+                    acc = ((acc ^ b) * 0x100000001B3) & mask
+                return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+            return s.map(h)
+
+        _FNV_UDF = pandas_udf(_series, "long")
+    return _FNV_UDF
+
+
 def _parse_xml(args, ctx):
     """ParseXML(target) — tag/attributes/content/children struct
     (README.md:1218-1260). Rules 1-5 implemented in _xml_to_dict with
@@ -511,9 +538,10 @@ CONVERTERS = {
     "SHA1": lambda a, c: F.sha1(_one(a, c)),
     "SHA256": lambda a, c: F.sha2(_one(a, c), 256),
     "SHA512": lambda a, c: F.sha2(_one(a, c), 512),
-    # FNV substitute, documented deviation (SURVEY.md §2.4): stable 64-bit
-    # hash is what counts, not the exact FNV constants
-    "FNV": lambda a, c: F.xxhash64(_one(a, c)),
+    # exact FNV-1a 64 (func_fnv.go: hash/fnv New64a over UTF-8 bytes,
+    # returned as signed int64). Needs mod-2^64 wraparound, which ANSI-mode
+    # long arithmetic forbids JVM-side → Arrow-batched pandas UDF.
+    "FNV": lambda a, c: _fnv64a()(_one(a, c).cast("string")),
     # strings
     "Concat": _concat,
     "ConvertCase": _convert_case,

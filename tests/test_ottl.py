@@ -637,6 +637,19 @@ def test_fnv_stable_int(log_df):
     assert a == b and a.lstrip("-").isdigit()
 
 
+def test_fnv_matches_go_hash_fnv_vectors(log_df):
+    # published FNV-1a 64 vectors — bit-for-bit vs Go's hash/fnv
+    # (func_fnv.go returns the unsigned sum reinterpreted as int64)
+    for s, want in [
+        ("", 0xCBF29CE484222325),
+        ("a", 0xAF63DC4C8601EC8C),
+        ("foobar", 0x85944171F73967E8),
+    ]:
+        signed = want - (1 << 64) if want >= (1 << 63) else want
+        fn = compile_statement(f'set(attributes["h"], FNV("{s}"))')
+        assert one(fn(log_df))["attributes"]["h"] == str(signed), s
+
+
 def test_parse_json_merge(log_df):
     fn = compile_statement(
         'merge_maps(attributes, ParseKeyValue("region=eu zone=a"), "upsert")'
