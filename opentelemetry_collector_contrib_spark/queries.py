@@ -1711,6 +1711,85 @@ SELECT conv_id, gid AS group_id, count(*)::BIGINT AS n_parts,
 FROM marked GROUP BY conv_id, gid""",
     )
 
+    # ---- e_trace_parse: stanza trace_parser (helper/trace.go) -------------
+    # hex-length validation (32/16), invalid → NULL, flags hex → int.
+    def e_trace_parse(spark, sf_dir):
+        from .operators.parse import trace_parser
+
+        ev = _ev2(spark, sf_dir)
+        h = F.md5(F.col("event_id").cast("string"))
+        df = ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 3 == 0, h)
+            .when(F.col("event_id") % 3 == 1, F.substring(h, 1, 10))
+            .otherwise(F.lit("not-hex-at-all-wrong-length-zz"))
+            .alias("trace_src"),
+            F.when(F.col("event_id") % 2 == 0, F.substring(h, 1, 16))
+            .otherwise(F.substring(h, 1, 5))
+            .alias("span_src"),
+            F.element_at(
+                F.array(F.lit("ff"), F.lit("1"), F.lit("zz"), F.lit("0a")),
+                (F.col("event_id") % 4 + 1).cast("int"),
+            ).alias("flags_src"),
+        )
+        out = trace_parser(df, "trace_src", span_col="span_src",
+                           flags_col="flags_src")
+        return out.select("event_id", "trace_id", "span_id",
+                          F.col("flags").cast("int").alias("flags"))
+
+    reg(
+        "e_trace_parse",
+        e_trace_parse,
+        """WITH src AS (
+  SELECT event_id, md5(event_id::VARCHAR) AS h FROM events
+)
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN h END AS trace_id,
+       CASE WHEN event_id % 2 = 0 THEN substr(h, 1, 16) END AS span_id,
+       (CASE event_id % 4 WHEN 0 THEN 255 WHEN 1 THEN 1
+                          WHEN 3 THEN 10 END)::INT AS flags
+FROM src""",
+    )
+
+    # ---- t_recombine_maxbatch: recombine force-flush at batch cap ---------
+    # (transformer/recombine/config.go:50-61 max_batch_size): groups open
+    # on the is_first_entry marker and additionally flush every 3 rows.
+    def t_recombine_maxbatch(spark, sf_dir):
+        from .operators.recombine import recombine
+
+        fx = ensure_fixture_dir(sf_dir)
+        df = read_transcripts(spark, fx)
+        out = recombine(
+            df, "conv_id", "turn_idx", "text", "\n",
+            is_first_entry=(F.col("turn_idx") % 7 == 0),
+            max_batch_size=3,
+        )
+        return out.select(
+            "conv_id", "group_id",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("text").alias("chunk_text"),
+        )
+
+    reg(
+        "t_recombine_maxbatch",
+        t_recombine_maxbatch,
+        f"""WITH marked AS (
+  SELECT conv_id, turn_idx, text,
+         sum(CASE WHEN turn_idx % 7 = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS gid
+  FROM {_TR}
+), sub AS (
+  SELECT conv_id, turn_idx, text, gid,
+         (row_number() OVER (PARTITION BY conv_id, gid ORDER BY turn_idx)
+          - 1) // 3 AS sb
+  FROM marked
+)
+SELECT conv_id, gid::VARCHAR || '#' || sb::VARCHAR AS group_id,
+       count(*)::BIGINT AS n_parts,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS chunk_text
+FROM sub GROUP BY conv_id, gid, sb""",
+    )
+
     # ---- e_cum_to_delta: cumulativetodelta processor ----------------------
     # (processor/cumulativetodeltaprocessor): per (user_id, event_type)
     # stream in (ts, event_id) order, delta = value - lag(value); first
