@@ -178,3 +178,53 @@ def recombine_session_stream(
             ).alias("combined"),
         )
     )
+
+
+def count_connector_stream(
+    enriched: DataFrame,
+    dims: list[str] | None = None,
+    interval: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """count connector (connector/countconnector/counter.go:38-128) on a
+    stream: per-dimension log counts emitted per watermarked tumbling
+    window — the streaming analog of the batch `count_connector`
+    (operators/aggregate.py). Append mode: a window's counts emit exactly
+    once, when the watermark passes its end (the reference's
+    export-on-interval tick). State is bounded by (windows in flight ×
+    dim cardinality) — the watermark evicts closed windows."""
+    dims = dims or ["severity_text", "tool"]
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), *dims)
+        .agg(F.count(F.lit(1)).alias("log_count"))
+        .select(
+            F.col("w.start").alias("interval_start"),
+            *dims,
+            "log_count",
+        )
+    )
+
+
+def sum_connector_stream(
+    enriched: DataFrame,
+    value_col: str,
+    dims: list[str] | None = None,
+    interval: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """sum connector (connector/sumconnector) on a stream: watermarked
+    per-window numeric attribute totals, same emission contract as
+    count_connector_stream."""
+    dims = dims or ["tool"]
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), *dims)
+        .agg(
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("interval_start"), *dims, "total", "n"
+        )
+    )

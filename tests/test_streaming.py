@@ -164,3 +164,52 @@ def test_recombine_session_stream(spark, sf_dir, stream_input):
     g = {r["conv_id"]: (r["combined"], r["n_entries"]) for r in got.collect()}
     w = {r["conv_id"]: (r["combined"], r["n_entries"]) for r in want.collect()}
     assert g == w
+
+
+def test_count_and_sum_connector_streams_match_batch(
+    spark, sf_dir, stream_input
+):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        count_connector_stream,
+        sum_connector_stream,
+    )
+
+    stream = read_transcripts_stream(spark, stream_input)
+    cc = count_connector_stream(stream, dims=["role"], interval="1 minute")
+    _run_to_memory(cc, "count_stream", "complete")
+    got = sorted(
+        map(tuple, spark.table("count_stream").collect())
+    )
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(F.window("ts", "1 minute").alias("w"), "role")
+            .agg(F.count(F.lit(1)).alias("log_count"))
+            .select(F.col("w.start").alias("interval_start"), "role",
+                    "log_count")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    sc = sum_connector_stream(
+        stream, "turn_idx", dims=["role"], interval="1 minute"
+    )
+    _run_to_memory(sc, "sum_stream", "complete")
+    got_sum = sorted(map(tuple, spark.table("sum_stream").collect()))
+    want_sum = sorted(
+        map(
+            tuple,
+            batch.groupBy(F.window("ts", "1 minute").alias("w"), "role")
+            .agg(
+                F.sum(F.col("turn_idx").cast("double")).alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(F.col("w.start").alias("interval_start"), "role",
+                    "total", "n")
+            .collect(),
+        )
+    )
+    assert got_sum == want_sum
