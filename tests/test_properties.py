@@ -1,0 +1,138 @@
+"""Property-based invariants (hypothesis): laws that must hold for ANY
+input, not just the fixture corpus.
+
+Each property runs a handful of generated examples through real Spark
+plans on tiny DataFrames — the law, not the throughput, is under test.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _turn_rows(draw):
+    n_convs = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 12))
+        for t in range(n_turns):
+            rows.append((f"c{c}", t, draw(st.text("abXY ", max_size=6))))
+    return rows
+
+
+@given(rows=_turn_rows(), period=st.integers(2, 5), cap=st.integers(1, 4))
+@_SET
+def test_recombine_conserves_rows_and_order(spark, rows, period, cap):
+    """Conservation law: however the group boundaries fall (any marker
+    period, any max_batch_size), recombine must neither lose nor
+    duplicate rows, and each chunk's text must be the order-preserving
+    concatenation of its members."""
+    from opentelemetry_collector_contrib_spark.operators.recombine import (
+        recombine,
+    )
+
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = recombine(
+        df, "conv_id", "turn_idx", "text", "|",
+        is_first_entry=(F.col("turn_idx") % period == 0),
+        max_batch_size=cap,
+    ).collect()
+
+    assert sum(r.n_parts for r in out) == len(rows)
+    by_conv: dict[str, list[tuple[int, str]]] = {}
+    for conv, idx, txt in rows:
+        by_conv.setdefault(conv, []).append((idx, txt))
+    for conv, turns in by_conv.items():
+        turns.sort()
+        chunks = sorted(
+            (r for r in out if r.conv_id == conv),
+            key=lambda r: r.first_turn_idx,
+        )
+        rebuilt = "|".join(c.text for c in chunks)
+        assert rebuilt == "|".join(t for _, t in turns)
+        for c in chunks:
+            assert c.n_parts <= cap
+
+
+@given(tokens=st.lists(
+    st.one_of(
+        st.text("abcdefWARNERO0123456789", max_size=8),
+        st.integers(0, 1100).map(str),
+    ),
+    min_size=1, max_size=20,
+))
+@_SET
+def test_severity_mapping_is_total_and_consistent(spark, tokens):
+    """Totality: EVERY string maps to (NULL, 0) or to a canonical text
+    whose number matches the enum — no crash, no orphan text/number."""
+    from opentelemetry_collector_contrib_spark.functions.severity import (
+        SEVERITY_NUMBERS,
+        severity_number_col,
+        severity_text_col,
+    )
+
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    got = (
+        df.withColumn("txt", severity_text_col(F.col("tok")))
+        .withColumn("num", severity_number_col(F.col("txt")))
+        .collect()
+    )
+    for r in got:
+        if r.txt is None:
+            assert r.num == 0
+        else:
+            assert SEVERITY_NUMBERS[r.txt] == r.num
+
+
+@given(lo=st.floats(0.05, 0.45), delta=st.floats(0.05, 0.5))
+@_SET
+def test_stratified_sample_is_monotone_in_rate(spark, lo, delta):
+    """Raising a stratum's rate must only ADD rows (the hash gate is a
+    fixed threshold test, so samples are nested) — the property that
+    makes rate sweeps reproducible."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        stratified_sample,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("src")
+    )
+    a = {r.doc_id for r in
+         stratified_sample(docs, "src", {"s": lo}, "doc_id").collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs, "src", {"s": min(lo + delta, 1.0)},
+                           "doc_id").collect()}
+    assert a <= b
+
+
+@given(texts=st.lists(st.text("ab cd", min_size=0, max_size=30),
+                      min_size=2, max_size=6))
+@_SET
+def test_jaccard_bounds_and_identity(spark, texts):
+    """0 <= jaccard <= 1 for every verified pair, and a doc duplicated
+    verbatim always verifies at 1.0 (when it has any shingle)."""
+    from opentelemetry_collector_contrib_spark.dedup_text import (
+        minhash_dedup_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), texts[0]))  # verbatim dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(docs, n=2, threshold=0.0,
+                                hash_fn="xxhash64").collect()
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+    if len(texts[0].split()) >= 2:
+        assert any(
+            p.doc_a == 0 and p.doc_b == len(texts) and p.jaccard == 1.0
+            for p in pairs
+        )
