@@ -1,0 +1,126 @@
+"""spark-submit entrypoint for the corpus dedup pipeline with resumable
+checkpoints: signatures → LSH candidate/verified pairs → connected-
+component clusters → keep-one-representative survivors.
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_dedup.py --input /path/to/documents_dir \
+      --checkpoint-dir /path/to/ckpt [--threshold 0.8] [--hash xxhash64]
+
+Local smoke:
+  python jobs/run_dedup.py --input /root/testdata/sf0.01 \
+      --checkpoint-dir /tmp/dedup_ckpt --cores 8
+
+Stages checkpoint independently: a restart after the (expensive) pair
+stage replays clusters/survivors from parquet without re-shingling the
+corpus. The survivors checkpoint is bucketed by doc_id so downstream
+training-data readers join it shuffle-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir containing documents.parquet")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--hash", default="xxhash64", choices=["xxhash64", "md5"])
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.dedup_text import (
+        dedup_clusters,
+        dedup_survivors,
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from opentelemetry_collector_contrib_spark.plans.runner import (
+        PipelineRunner,
+        Stage,
+        source_fingerprint,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    if args.force and os.path.isdir(args.checkpoint_dir):
+        shutil.rmtree(args.checkpoint_dir)
+
+    docs_path = os.path.join(args.input, "documents.parquet")
+    spark = get_spark("otel-dedup-pipeline", cores=args.cores)
+
+    def _docs(sp):
+        return sp.read.parquet(docs_path)
+
+    stages = [
+        Stage(
+            "signatures",
+            lambda sp, ctx: minhash_signatures(
+                _docs(sp), args.num_hashes, hash_fn=args.hash
+            ),
+            deps=["documents"],
+            version=f"k{args.num_hashes}-{args.hash}",
+        ),
+        Stage(
+            "pairs",
+            lambda sp, ctx: minhash_dedup_pairs(
+                _docs(sp),
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                threshold=args.threshold,
+                hash_fn=args.hash,
+            ),
+            deps=["documents"],
+            version=f"b{args.bands}-t{args.threshold}-{args.hash}",
+        ),
+        Stage(
+            "clusters",
+            lambda sp, ctx: dedup_clusters(ctx["pairs"], _docs(sp)),
+            deps=["pairs"],
+        ),
+        Stage(
+            "survivors",
+            lambda sp, ctx: dedup_survivors(_docs(sp), ctx["clusters"]),
+            deps=["clusters"],
+            bucket_by=("doc_id", 8),
+        ),
+    ]
+    fps = {"documents": source_fingerprint(docs_path)}
+
+    runner = PipelineRunner(spark, args.checkpoint_dir)
+    t0 = time.time()
+    outs = runner.run(stages, fps)
+    wall = time.time() - t0
+
+    n_docs = _docs(spark).count()
+    n_pairs = outs["pairs"].count()
+    n_surv = outs["survivors"].count()
+    print(f"computed: {runner.computed}")
+    print(f"skipped:  {runner.skipped}")
+    print(
+        f"docs={n_docs} verified_pairs={n_pairs} survivors={n_surv} "
+        f"removed={n_docs - n_surv} wall={wall:.1f}s"
+    )
+    runner.metrics_table().show(truncate=False)
+    # silence the unused-import guard: candidate stage is folded into
+    # minhash_dedup_pairs; exposed here for ad-hoc inspection
+    _ = lsh_candidate_pairs
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
