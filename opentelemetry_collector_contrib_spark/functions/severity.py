@@ -92,14 +92,56 @@ def severity_map_df(spark):
     )
 
 
-def severity_text_col(token: Column) -> Column:
+def expand_mapping(mapping: dict) -> dict[str, str]:
+    """SeverityConfig.Mapping → {TOKEN: canonical severity_text}, with the
+    reference's parseableValues expansion (severity_builder.go:199-225):
+    ints stringify, '2xx'..'5xx' expand to their hundred tokens,
+    {'min': a, 'max': b} dicts expand to each integer's string — ALL
+    matching stays exact-token (the reference compares strings, so '007'
+    never matches a 7..9 range)."""
+    ranges = {"2xx": (200, 299), "3xx": (300, 399),
+              "4xx": (400, 499), "5xx": (500, 599)}
+    out: dict[str, str] = {}
+    for sev, vals in mapping.items():
+        canon = _ALIASES.get(str(sev).upper())
+        if canon is None:
+            raise ValueError(f"unrecognized severity {sev!r}")
+        for v in vals if isinstance(vals, list) else [vals]:
+            if isinstance(v, bool):
+                raise ValueError(f"type bool cannot be parsed as a severity")
+            if isinstance(v, int):
+                out[str(v)] = canon
+            elif isinstance(v, str) and v in ranges:
+                lo, hi = ranges[v]
+                for i in range(lo, hi + 1):
+                    out[str(i)] = canon
+            elif isinstance(v, str):
+                out[v.upper()] = canon
+            elif isinstance(v, dict) and {"min", "max"} <= v.keys():
+                lo, hi = sorted((int(v["min"]), int(v["max"])))
+                for i in range(lo, hi + 1):
+                    out[str(i)] = canon
+            else:
+                raise ValueError(f"type {type(v)} cannot be parsed as a severity")
+    return out
+
+
+def severity_text_col(token: Column, mapping: dict | None = None) -> Column:
     """token (raw string like 'warn', 'WARNING', '503') → canonical
-    severity_text; NULL when unmapped (caller decides DEFAULT fallback)."""
+    severity_text; NULL when unmapped (caller decides DEFAULT fallback).
+    ``mapping`` adds config-supplied tokens (SeverityConfig.Mapping,
+    severity_builder.go:124-146) which OVERRIDE builtin entries for the
+    same token (map assignment semantics)."""
     up = F.upper(token)
+    overrides = expand_mapping(mapping) if mapping else {}
     # flat CASE chain, generated from the same tables the oracle uses;
-    # HTTP ranges first (same precedence order as _sev_text_sql)
+    # custom tokens first (they shadow builtins), then HTTP ranges, then
+    # the builtin preset (same precedence order as _sev_text_sql)
     code = F.when(up.rlike("^[0-9]{3}$"), up.cast("int"))
     out = None
+    for tok, canon in overrides.items():
+        cond = up == tok
+        out = F.when(cond, F.lit(canon)) if out is None else out.when(cond, F.lit(canon))
     for lo, hi, canon in _HTTP_RANGES:
         cond = (code >= lo) & (code <= hi)
         out = F.when(cond, F.lit(canon)) if out is None else out.when(cond, F.lit(canon))

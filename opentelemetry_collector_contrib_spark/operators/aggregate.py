@@ -89,3 +89,28 @@ def cumulative_to_delta(
     return df.withColumn(
         to, F.col(value_col) - F.lag(value_col).over(w)
     )
+
+
+def delta_to_cumulative(
+    df,
+    keys: list[str],
+    value_col: str = "value",
+    order_by: list[str] | None = None,
+    to: str = "cumulative",
+):
+    """deltatocumulative processor (processor/deltatocumulativeprocessor,
+    batch form; the streaming per-key state variant is
+    streaming/stateful.cumulative_stream): running sum of deltas per
+    stream identity in event-time order. Same single window shuffle on
+    the stream key as cumulative_to_delta — the two are inverses over a
+    stream (asserted in tests)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order_by = order_by or ["ts"]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(to, F.sum(value_col).over(w))

@@ -324,11 +324,13 @@ def uri_parser(df: DataFrame, source: str, prefix: str = "uri_") -> DataFrame:
 
 def severity_parser(
     df: DataFrame, source: str, to_text: str = "severity_text",
-    to_num: str = "severity_number",
+    to_num: str = "severity_number", mapping: dict | None = None,
 ) -> DataFrame:
     """stanza severity_parser (helper/severity_builder.go:17-225):
-    token → enum via preset aliases + HTTP ranges; codegen CASE chain."""
-    df = df.withColumn(to_text, severity_text_col(F.col(source)))
+    token → enum via the default preset + HTTP ranges; ``mapping`` adds
+    SeverityConfig.Mapping custom tokens/ranges (config-supplied values
+    override builtins for the same token). Codegen CASE chain."""
+    df = df.withColumn(to_text, severity_text_col(F.col(source), mapping))
     return df.withColumn(to_num, severity_number_col(F.col(to_text)))
 
 

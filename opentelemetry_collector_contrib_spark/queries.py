@@ -1816,6 +1816,32 @@ FROM sub GROUP BY conv_id, gid, sb""",
 FROM events""",
     )
 
+    # ---- e_delta_to_cum: deltatocumulative processor (batch form) ---------
+    # running sum per (user_id, event_type) stream — inverse of
+    # e_cum_to_delta over the same stream identity and ordering.
+    def e_delta_to_cum(spark, sf_dir):
+        from .operators.aggregate import delta_to_cumulative
+
+        ev = _ev2(spark, sf_dir)
+        out = delta_to_cumulative(
+            ev, keys=["user_id", "event_type"], value_col="value",
+            order_by=["ts", "event_id"],
+        )
+        return out.select(
+            "event_id",
+            F.round(F.col("cumulative"), 6).alias("cumulative"),
+        )
+
+    reg(
+        "e_delta_to_cum",
+        e_delta_to_cum,
+        """SELECT event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
+FROM events""",
+    )
+
     # ---- e_container_parse: container parser (pkg/stanza/operator/parser/
     # container/parser.go:70-151) — docker/containerd/cri-o envelopes are
     # constructed from event fields, round-tripped through the parser

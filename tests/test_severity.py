@@ -60,3 +60,43 @@ def test_map_rows_consistent_with_columns():
     assert {"1", "24", "TRACE2", "INFO4", "WARNING4", "ERR3"} <= toks
     for tok, num, txt in rows:
         assert SEVERITY_NUMBERS[txt] == num
+
+def test_custom_mapping_expansion():
+    from opentelemetry_collector_contrib_spark.functions.severity import expand_mapping
+
+    # ints stringify; 5xx expands to 500..599; min/max dicts expand per-int
+    m = expand_mapping({
+        "error": ["5xx", "oops"],
+        "fatal3": [{"min": 98, "max": 100}],
+        "info": 42,
+    })
+    assert m["500"] == "ERROR" and m["599"] == "ERROR"
+    assert "600" not in m
+    assert m["OOPS"] == "ERROR"          # string tokens uppercase
+    assert m["98"] == "FATAL3" and m["100"] == "FATAL3"
+    assert m["42"] == "INFO"
+    # exact-token matching: '007' is not in a 98..100 range
+    assert "007" not in m
+
+    import pytest
+    with pytest.raises(ValueError):
+        expand_mapping({"nosuch": ["x"]})
+    with pytest.raises(ValueError):
+        expand_mapping({"error": [True]})
+
+
+def test_custom_mapping_overrides_builtin(spark):
+    # severity_builder.go:124-146 — config mapping entries shadow the
+    # builtin preset for the same token (map assignment wins).
+    df = spark.createDataFrame([("204",), ("custom",), ("err",)], "tok string")
+    out = (
+        df.withColumn(
+            "txt",
+            severity_text_col(F.col("tok"), mapping={"fatal": ["204", "custom"]}),
+        )
+        .collect()
+    )
+    got = {r.tok: r.txt for r in out}
+    assert got["204"] == "FATAL"      # overrides builtin HTTP 2xx → INFO
+    assert got["custom"] == "FATAL"   # new token
+    assert got["err"] == "ERROR"      # builtin preset untouched
