@@ -10,6 +10,10 @@ written into the attribute map itself: `redaction.redacted.keys`/
 (keys lists only at summary=debug, counts at info+, nothing at silent;
 a count attr is only added when non-zero, addMetaAttrs processor.go:
 219-238). Pure map expressions — codegen, no UDF.
+
+``allowed_value_patterns`` is a forward-compat extension (newer upstream
+redactionprocessor adds `allowed_values`): values matching any allowed
+regex are exempt from blocked-value masking entirely.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ def redact(
     attrs_col: str = "attributes",
     summary: str | bool = "info",
     allow_all_keys: bool | None = None,
+    allowed_value_patterns: list[str] | None = None,
 ) -> DataFrame:
     if isinstance(summary, bool):  # round-1 API compat
         summary = "info" if summary else "silent"
@@ -53,18 +58,29 @@ def redact(
             return ~F.array_contains(allow, k) & ~is_ign(k)
 
     pats = blocked_value_patterns or []
+    allowed_pats = allowed_value_patterns or []
+
+    def is_allowed_val(v: Column) -> Column:
+        out = F.lit(False)
+        for p in allowed_pats:
+            out = out | v.rlike(p)
+        return out
 
     def is_blocked(v: Column) -> Column:
         out = F.lit(False)
         for p in pats:
             out = out | v.rlike(p)
-        return out
+        return out & ~is_allowed_val(v)
 
     def mask(v: Column) -> Column:
-        # per-regex ReplaceAllString with "****" (processor.go:199-203)
+        # per-regex ReplaceAllString with "****" (processor.go:199-203);
+        # allowed-value exemption checked against the ORIGINAL value
+        masked = v
         for p in pats:
-            v = F.regexp_replace(v, p, MASK)
-        return v
+            masked = F.regexp_replace(masked, p, MASK)
+        if allowed_pats:
+            masked = F.when(is_allowed_val(v), v).otherwise(masked)
+        return masked
 
     redacted_arr = F.array_sort(F.filter(keys, is_del))
     ignored_arr = F.filter(keys, is_ign)

@@ -452,7 +452,8 @@ FROM parsed""",
             ),
         )
         out = redact(
-            df, blocked_value_patterns=["^[0-9a-f]{8}$"], summary="debug"
+            df, blocked_value_patterns=["^[0-9a-f]{8}$"], summary="debug",
+            allowed_value_patterns=["^[0-3]"],  # exempt ~¼ of the hex ids
         )
         m = F.col("attributes")
         return out.select(
@@ -466,19 +467,19 @@ FROM parsed""",
     reg(
         "t_redact",
         t_redact,
-        f"""WITH {_parsed_cte()}
+        f"""WITH {_parsed_cte()},
+red AS (
+  SELECT *,
+         call_id IS NOT NULL
+         AND regexp_matches(call_id, '^[0-9a-f]{{8}}$')
+         AND NOT regexp_matches(call_id, '^[0-3]') AS hit
+  FROM parsed)
 SELECT conv_id, turn_idx,
-       CASE WHEN call_id IS NULL THEN NULL
-            WHEN regexp_matches(call_id, '^[0-9a-f]{{8}}$') THEN '****'
-            ELSE call_id END AS call_id_red,
+       CASE WHEN hit THEN '****' ELSE call_id END AS call_id_red,
        role AS role_red,
-       CASE WHEN call_id IS NOT NULL
-             AND regexp_matches(call_id, '^[0-9a-f]{{8}}$')
-            THEN 'call_id' END AS masked_keys,
-       CASE WHEN call_id IS NOT NULL
-             AND regexp_matches(call_id, '^[0-9a-f]{{8}}$')
-            THEN '1' END AS masked_count
-FROM parsed""",
+       CASE WHEN hit THEN 'call_id' END AS masked_keys,
+       CASE WHEN hit THEN '1' END AS masked_count
+FROM red""",
     )
 
     # ---- groupbyattrs (groupbyattrsprocessor/processor.go:63-100)
