@@ -1212,6 +1212,94 @@ SELECT doc_id,
 FROM h""",
     )
 
+    # ---- d_repetition: Gopher repetition quality signals -------------------
+    # (Rae et al. 2021 appendix A1.1 — dup-word fraction, top-bigram char
+    # coverage, duplicated-trigram char coverage)
+    def d_repetition(spark, sf_dir):
+        from .textops import repetition_signals
+
+        return repetition_signals(_docs(spark, sf_dir))
+
+    reg(
+        "d_repetition",
+        d_repetition,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents
+), base AS (
+  SELECT doc_id, n_chars, len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct
+  FROM words
+), bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+), bic AS (
+  SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2
+), topbi AS (
+  SELECT doc_id, cnt AS top_cnt, length(g) AS top_len
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+        FROM bic)
+  WHERE rn = 1
+), tri AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), tric AS (
+  SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2
+), tridup AS (
+  SELECT doc_id, sum(cnt * length(g)) AS dup_chars
+  FROM tric WHERE cnt > 1 GROUP BY 1
+)
+SELECT b.doc_id,
+       round(1.0 - b.n_distinct * 1.0 / b.n_words, 4) AS dup_word_frac,
+       round(coalesce(tb.top_cnt * tb.top_len, 0) * 1.0 / b.n_chars, 4)
+           AS top_bigram_char_frac,
+       round(coalesce(td.dup_chars, 0) * 1.0 / b.n_chars, 4)
+           AS dup_trigram_char_frac
+FROM base b
+LEFT JOIN topbi tb ON tb.doc_id = b.doc_id
+LEFT JOIN tridup td ON td.doc_id = b.doc_id""",
+    )
+
+    # ---- d_chunk_dedup: C4-style corpus-wide span dedup --------------------
+    # (Raffel et al. 2020 §2.2; spans = 10-word chunks, first corpus
+    # occurrence by (doc_id, chunk_idx) survives)
+    def d_chunk_dedup(spark, sf_dir):
+        from .textops import chunk_dedup
+
+        return chunk_dedup(_docs(spark, sf_dir), chunk_words=10)
+
+    reg(
+        "d_chunk_dedup",
+        d_chunk_dedup,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), ex AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(w[(i - 1) * 10 + 1 : i * 10], ' ') AS chunk
+  FROM words,
+       UNNEST(generate_series(1, cast(ceil(len(w) / 10.0) AS INT))) AS t(i)
+), kept AS (
+  SELECT doc_id, chunk_idx, chunk
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        FROM ex)
+  WHERE rn = 1
+), re AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY 1
+), totals AS (
+  SELECT doc_id, cast(ceil(len(w) / 10.0) AS BIGINT) AS n_total FROM words
+)
+SELECT t.doc_id,
+       coalesce(r.kept_text, '') AS kept_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       t.n_total
+FROM totals t LEFT JOIN re r ON r.doc_id = t.doc_id""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search

@@ -252,3 +252,144 @@ def stratified_sample(
         bucket < int(default_rate * 10000)
     )
     return df.filter(gate | other)
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 — public paper):
+
+    - dup_word_frac:        1 - distinct words / words (pure array expr)
+    - top_bigram_char_frac: chars covered by the most frequent word
+                            2-gram (count * len(gram) / len(text));
+                            ties broken by lexicographically smallest gram
+    - dup_trigram_char_frac: chars covered by repeated word 3-grams
+                            (sum over grams with count>1 of count*len)
+
+    Plan: n-grams explode → partial-agg on (doc_id, gram) (map-side
+    combinable — shuffle rows bounded by distinct grams/doc) → per-doc
+    agg → broadcast-sized join back onto the doc spine. No UDFs."""
+    from pyspark.sql import Window as W
+
+    t = F.col(text_col)
+    w = _words(t)
+
+    def grams(n: int) -> Column:
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+
+    base = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        grams(2).alias("bi"),
+        grams(3).alias("tri"),
+    )
+
+    bic = (
+        base.select("doc_id", F.explode("bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # deterministic mode: max count, then smallest gram — min over
+    # (-cnt, gram) struct ordering
+    top_bi = bic.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("g"))).alias("m")
+    ).select(
+        "doc_id",
+        (-F.col("m.neg")).alias("top_cnt"),
+        F.length(F.col("m.g")).cast("long").alias("top_len"),
+    )
+
+    tri_dup = (
+        base.select("doc_id", F.explode("tri").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup_chars"))
+    )
+
+    out = (
+        base.drop("bi", "tri")
+        .join(top_bi, "doc_id", "left")
+        .join(tri_dup, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top_cnt") * F.col("top_len"), F.lit(0))
+            / F.col("n_chars"),
+            4,
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("n_chars"), 4
+        ).alias("dup_trigram_char_frac"),
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """C4-style span-level dedup (Raffel et al. 2020 §2.2 removes
+    duplicated three-sentence spans corpus-wide; transcripts here have no
+    sentence marks, so spans are fixed ``chunk_words``-word chunks, tail
+    remainder included): every chunk is kept only at its FIRST corpus
+    occurrence (ordered by doc_id, chunk position); later occurrences are
+    dropped and the surviving text reassembled in order.
+
+    Plan: chunk-explode → rank-1 window over the chunk string (shuffle
+    keyed by chunk — skew-safe: a chunk hot enough to skew is by
+    definition massively duplicated and reduces to rank 1 of many) →
+    per-doc ordered reassembly via sort_array(collect_list(struct)).
+    No UDFs; at 100 TB the window key would be a 128-bit chunk hash
+    rather than the string (identical plan shape)."""
+    from pyspark.sql import Window as W
+
+    w = _words(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(w, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    win = W.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id", F.greatest(n_chunks, F.lit(0)).cast("long").alias("n_total")
+    )
+    return (
+        totals.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+    )
