@@ -858,6 +858,114 @@ SELECT n_name, c_custkey, c_name, revenue, rk::INT AS rk FROM (
   FROM rev) WHERE rk <= 3""",
     )
 
+    # ---- q7: nation-pair volume (disjunctive pair predicate over a
+    # doubly-dim-enriched fact-fact join) ------------------------------------
+    def q7_nation_volume(spark, sf_dir):
+        from .relational import nation_pair_volume
+
+        return nation_pair_volume(
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "nation"),
+        )
+
+    reg(
+        "q7_nation_volume",
+        q7_nation_volume,
+        f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round({_REV}, 4) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+    )
+
+    # ---- q13: customer order-count distribution (left outer join with
+    # filtered build side, double aggregation) -------------------------------
+    def q13_order_distribution(spark, sf_dir):
+        from .relational import customer_order_distribution
+
+        return customer_order_distribution(
+            _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+        )
+
+    reg(
+        "q13_order_distribution",
+        q13_order_distribution,
+        """WITH counts AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist FROM counts GROUP BY 1""",
+    )
+
+    # ---- q15: max-revenue supplier (scalar subquery decorrelated to a
+    # broadcast 1-row max join) ---------------------------------------------
+    def q15_top_supplier(spark, sf_dir):
+        from .relational import top_revenue_supplier
+
+        return top_revenue_supplier(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+        )
+
+    reg(
+        "q15_top_supplier",
+        q15_top_supplier,
+        f"""WITH rev AS (
+  SELECT l_suppkey, round({_REV}, 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    )
+
+    # ---- q21: exists / not-exists composition (semi + anti joins with
+    # equi-key + inequality residual) ----------------------------------------
+    def q21_exclusive_returns(spark, sf_dir):
+        from .relational import exclusive_return_suppliers
+
+        return exclusive_return_suppliers(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+        )
+
+    reg(
+        "q21_exclusive_returns",
+        q21_exclusive_returns,
+        """WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 10""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload + typed metadata (multimodal.py)

@@ -303,3 +303,135 @@ def customers_without_orders(
             F.sum("c_acctbal").alias("sum_acctbal"),
         )
     )
+
+
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    pair: tuple[str, str] = ("NATION_1", "NATION_2"),
+) -> DataFrame:
+    """TPC-H Q7 shape: two fact tables joined, each side independently
+    enriched against broadcast dims (supplier-nation and customer-nation),
+    a DISJUNCTIVE nation-pair predicate that Catalyst keeps above the
+    joins, grouped by (supp_nation, cust_nation, year). The only shuffle
+    joins are lineitem ⋈ orders and the final agg; all four dim hops are
+    broadcasts."""
+    a, b = pair
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 4).alias("volume"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a filtered build side
+    (customers with zero matching orders survive as count 0), then a
+    second aggregation over the first's result — the order-count
+    histogram. Two shuffles (custkey, then c_count); both aggs algebraic."""
+    counts = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != exclude_priority),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def top_revenue_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a window, then the
+    scalar-subquery `= (SELECT max(...))` decorrelated as a broadcast
+    join against the 1-row global max — no second scan of lineitem, no
+    collect to the driver."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def exclusive_return_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted to available columns): for each supplier,
+    orders where ITS line was returned (l_returnflag = 'R'), another
+    supplier participated in the order (EXISTS → LEFT SEMI with an
+    equi-key + inequality residual), but NO other supplier's line was
+    returned (NOT EXISTS → LEFT ANTI, same condition class). Count per
+    supplier, deterministic top-k via (count desc, s_suppkey) —
+    TakeOrderedAndProject, no global sort."""
+    l1 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_returnflag").alias("o2_returnflag"),
+    )
+    exists_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    no_other_return = exists_other.join(
+        others.filter(F.col("o2_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_anti",
+    )
+    agg = no_other_return.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        agg.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )
