@@ -155,11 +155,29 @@ class Context:
         col, keys = self.resolve(path)
         c = F.col(col)
         for i, k in enumerate(keys):
-            if i > 0:
-                # nested map value: the type-erased rendering is a JSON
-                # object string (see setter) — re-lift before indexing
-                c = F.from_json(c, "map<string,string>")
-            c = c.getItem(k)
+            if isinstance(k, int):
+                # slice index (grammar.go Key Int alternative; pcommon.Slice
+                # .At is 0-based and indexing nil / out-of-range is a
+                # statement error → failure predicate under error modes)
+                if k < 0:
+                    raise OTTLError(f"negative slice index {k}")
+                if i == 0 and self.path_types.get(col, STRING) == ARRAY:
+                    arr = c
+                else:
+                    # type-erased slice rendering is a JSON array string
+                    # (see _ed_append) — re-lift before indexing
+                    arr = F.from_json(c.cast("string"), "array<string>")
+                self.note_failure(
+                    arr.isNull() | (F.size(arr) <= F.lit(k)),
+                    f"index {k} out of bounds",
+                )
+                c = F.get(arr, k)
+            else:
+                if i > 0:
+                    # nested map value: the type-erased rendering is a JSON
+                    # object string (see setter) — re-lift before indexing
+                    c = F.from_json(c.cast("string"), "map<string,string>")
+                c = c.getItem(k)
         return c
 
     def path_type(self, path: Path) -> str:
@@ -180,8 +198,66 @@ class Context:
             return df.withColumn(col, new)
         if len(keys) > 2:
             raise OTTLError("map indexing deeper than 2 keys not supported")
+        if any(isinstance(k, int) and k < 0 for k in keys):
+            raise OTTLError("negative slice index")
+        if isinstance(keys[0], int):
+            # slice element set on the physical column itself (internal/
+            # value.go SetIndexableValue: out-of-range / nil slice errors)
+            idx = keys[0]
+            if len(keys) > 1:
+                raise OTTLError("nested set under a slice index not supported")
+            dt = df.schema[col].dataType if col in df.columns else None
+            if isinstance(dt, T.ArrayType):
+                cur = F.col(col)
+                self.note_failure(
+                    cur.isNull() | (F.size(cur) <= F.lit(idx)),
+                    f"index {idx} out of bounds",
+                )
+                _, cond = self._fold_failures(None, cond)
+                elem = dt.elementType.simpleString()
+                new = F.transform(
+                    cur,
+                    lambda x, j: F.when(j == F.lit(idx), value.cast(elem))
+                    .otherwise(x),
+                )
+            else:
+                # type-erased slice: JSON array string (see _ed_append)
+                parsed = F.from_json(F.col(col).cast("string"),
+                                     "array<string>")
+                self.note_failure(
+                    parsed.isNull() | (F.size(parsed) <= F.lit(idx)),
+                    f"index {idx} out of bounds",
+                )
+                _, cond = self._fold_failures(None, cond)
+                new = F.to_json(F.transform(
+                    parsed,
+                    lambda x, j: F.when(j == F.lit(idx),
+                                        value.cast("string")).otherwise(x),
+                ))
+            guarded = new if cond is None else (
+                F.when(cond, new).otherwise(F.col(col))
+            )
+            return df.withColumn(col, guarded)
         base = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
-        if len(keys) == 2:
+        if len(keys) == 2 and isinstance(keys[1], int):
+            # attributes["tags"][1] = v — slice stored as a JSON array
+            # string under a map key: lift, set element, re-serialize,
+            # fall through to the single-key upsert
+            k1, idx = keys
+            inner = F.from_json(base.getItem(k1).cast("string"),
+                                "array<string>")
+            self.note_failure(
+                inner.isNull() | (F.size(inner) <= F.lit(idx)),
+                f"index {idx} out of bounds",
+            )
+            _, cond = self._fold_failures(None, cond)
+            value = F.to_json(F.transform(
+                inner,
+                lambda x, j: F.when(j == F.lit(idx),
+                                    value.cast("string")).otherwise(x),
+            ))
+            keys = [k1]
+        elif len(keys) == 2:
             # attributes["foo"]["bar"] = v — the inner map is stored as a
             # JSON object string (same type-erasure convention as append's
             # slices): lift, upsert, re-serialize, fall through to the

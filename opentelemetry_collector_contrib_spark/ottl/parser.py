@@ -14,7 +14,7 @@ grammar.go:14-466) for the subset our engine executes:
   and_expr   := unary ("and" unary)*
   unary      := "not" unary | comparison | "(" bool_expr ")" | "true" | "false"
   comparison := value (("=="|"!="|"<="|">="|"<"|">") value)?
-  path       := IDENT ("." IDENT)* ("[" STRING "]")*
+  path       := IDENT ("." IDENT)* ("[" (STRING|INT) "]")*
   list       := "[" (value ("," value)*)? "]"
 """
 
@@ -48,7 +48,8 @@ class Literal:
 @dataclass
 class Path:
     parts: list[str]              # e.g. ["resource", "attributes"]
-    keys: list[str] = field(default_factory=list)  # map index keys
+    # grammar.go Key = String | Int: str → map index, int → slice index
+    keys: list = field(default_factory=list)  # list[str | int]
 
 
 @dataclass
@@ -271,9 +272,14 @@ class _Parser:
         while self.at("["):
             self.next()
             kind, v = self.next()
-            if kind != "STRING":
-                raise OTTLError(f"map index must be a string, got {v!r}")
-            keys.append(_unquote(v))
+            if kind == "STRING":
+                keys.append(_unquote(v))
+            elif kind == "INT":
+                # slice index (grammar.go Key Int alternative; 0-based like
+                # pcommon.Slice.At)
+                keys.append(int(v))
+            else:
+                raise OTTLError(f"path index must be a string or int, got {v!r}")
             self.expect("]")
         return Path(parts, keys)
 

@@ -377,6 +377,65 @@ def test_append_array_column(spark):
     assert fn(df).collect()[0]["tags"] == ["a", "b"]
 
 
+# ---- slice indexing (grammar.go Key = String | Int; internal/value.go) ----
+
+def test_slice_index_get(log_df):
+    # build a type-erased slice via append, then read it back by index
+    df = compile_statement('append(attributes["list"], ["a", "b", "c"])')(log_df)
+    out = one(compile_statement(
+        'set(attributes["first"], attributes["list"][1])')(df))
+    assert out["attributes"]["first"] == "b"
+
+
+def test_slice_index_get_out_of_range_skips(log_df):
+    # pcommon.Slice.At out of range is a statement error; ignore mode
+    # leaves the record unmodified
+    df = compile_statement('append(attributes["list"], ["a"])')(log_df)
+    out = one(compile_statement(
+        'set(attributes["oob"], attributes["list"][5])')(df))
+    assert "oob" not in out["attributes"]
+
+
+def test_slice_index_get_propagate_raises(log_df):
+    df = compile_statement('append(attributes["list"], ["a"])')(log_df)
+    ctx = Context(error_mode="propagate")
+    fn = compile_statement('set(attributes["oob"], attributes["list"][5])', ctx)
+    with pytest.raises(Exception, match="out of bounds"):
+        fn(df).collect()
+
+
+def test_slice_index_set(log_df):
+    df = compile_statement('append(attributes["list"], ["a", "b"])')(log_df)
+    out = one(compile_statement('set(attributes["list"][1], "B")')(df))
+    assert out["attributes"]["list"] == '["a","B"]'
+    # out-of-range set skips in ignore mode (internal/value.go
+    # SetIndexableValue index error)
+    out2 = one(compile_statement('set(attributes["list"][7], "X")')(df))
+    assert out2["attributes"]["list"] == '["a","b"]'
+
+
+def test_slice_index_array_column(spark):
+    # a natively array-typed column indexes without the JSON lift (declared
+    # via path_types) and sets element-wise preserving the element type
+    schema = T.StructType([
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("attributes",
+                      T.MapType(T.StringType(), T.StringType())),
+    ])
+    df = spark.createDataFrame([(["x", "y"], {})], schema)
+    ctx = Context(path_map={"tags": "tags"}, path_types={"tags": "array"})
+    got = compile_statement('set(attributes["t"], tags[1])', ctx)(df)
+    assert got.collect()[0]["attributes"]["t"] == "y"
+    ctx2 = Context(path_map={"tags": "tags"}, path_types={"tags": "array"})
+    set_ = compile_statement('set(tags[0], "z")', ctx2)(df)
+    assert set_.collect()[0]["tags"] == ["z", "y"]
+
+
+def test_negative_slice_index_rejected(log_df):
+    with pytest.raises(OTTLError, match="negative"):
+        compile_statement('set(attributes["x"], attributes["list"][-1])')(log_df)
+
+
 # ---- error modes (pkg/ottl/config.go:11-27, parser.go:281-298) ------------
 
 def test_error_mode_ignore_skips_statement(log_df):
