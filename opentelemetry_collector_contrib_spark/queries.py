@@ -966,6 +966,59 @@ ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 10""",
     )
 
+    # ---- q6: pure scan-filter-aggregate (full predicate pushdown) ----------
+    def q6_forecast_revenue(spark, sf_dir):
+        from .relational import forecast_revenue
+
+        return forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+    reg(
+        "q6_forecast_revenue",
+        q6_forecast_revenue,
+        """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03999 AND l_discount <= 0.06001
+  AND l_quantity < 24""",
+    )
+
+    # ---- q8: 7-table star join + conditional-aggregate market share --------
+    def q8_market_share(spark, sf_dir):
+        from .relational import national_market_share
+
+        return national_market_share(
+            _t(spark, sf_dir, "part"),
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "orders"),
+            _t(spark, sf_dir, "customer"),
+            _t(spark, sf_dir, "nation"),
+            _t(spark, sf_dir, "region"),
+        )
+
+    reg(
+        "q8_market_share",
+        q8_market_share,
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload + typed metadata (multimodal.py)

@@ -435,3 +435,85 @@ def exclusive_return_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(k)
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    discount: float = 0.05,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate is
+    parquet-pushable (PushedFilters shows all four), the projection prunes
+    to 4 columns, and the single global sum is a 1-row partial per
+    partition. The degenerate shape that proves pushdown works."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+            & (F.col("l_discount") >= discount - 0.01001)
+            & (F.col("l_discount") <= discount + 0.01001)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def national_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_1",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+    year_start: str = "1995-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: the widest star join in the suite — SEVEN tables
+    around the lineitem fact. Every dimension arm (part, supplier,
+    customer, both nation roles, region) broadcasts; lineitem ⋈ orders is
+    the only shuffle join. The market-share ratio is a single-pass
+    conditional aggregate (sum(case)/sum) per year — never a self-join of
+    the volume CTE."""
+    r = region.filter(F.col("r_name") == region_name)
+    cust_n = nation.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+    )
+    vol = _revenue()
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )

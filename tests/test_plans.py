@@ -185,3 +185,45 @@ def test_q17_threshold_join_broadcasts(spark):
 
     plan = _plan(small_quantity_revenue(t("lineitem"), t("part")))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    """Q6 is the degenerate scan-filter-agg shape: all four predicates
+    must reach the parquet scan (PushedFilters) and the scan schema must
+    prune to exactly the 4 referenced columns."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        forecast_revenue,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    q = forecast_revenue(
+        spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    )
+    plan = _plan(q)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThanOrEqual({col}" in plan or f"LessThan({col}" in plan, col
+    # column pruning: the struct read from parquet carries only what Q6 uses
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q8_star_join_broadcasts_all_dims(spark):
+    """Q8's seven-table join: six dimension arms broadcast; only
+    lineitem ⋈ orders may shuffle. A single lost broadcast turns a map-side
+    star join into a cascade of full shuffles at 100 TB."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        national_market_share,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = national_market_share(
+        t("part"), t("supplier"), t("lineitem"), t("orders"),
+        t("customer"), t("nation"), t("region"),
+    )
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 5
+    # the conditional-aggregate ratio is one agg, not a self-join
+    assert plan.count("HashAggregate") <= 4
