@@ -1461,6 +1461,44 @@ SELECT t.doc_id,
 FROM totals t LEFT JOIN re r ON r.doc_id = t.doc_id""",
     )
 
+    # ---- d_filter_pipeline: composed C4/Gopher corpus gate -----------------
+    # (ordered rule chain, first rejection reason wins; zero-shuffle
+    # single projection — see textops.quality_filter_pipeline)
+    def d_filter_pipeline(spark, sf_dir):
+        from .textops import quality_filter_pipeline
+
+        return quality_filter_pipeline(_docs(spark, sf_dir))
+
+    reg(
+        "d_filter_pipeline",
+        d_filter_pipeline,
+        """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         n_punct * 1.0 / n_chars AS punct_ratio,
+         len(list_filter(w, x -> x IN
+             ('the','a','of','and','to','in','is','it')))
+             * 1.0 / len(w) AS stop_ratio,
+         1.0 - len(list_distinct(w)) * 1.0 / len(w) AS dup_word_frac
+  FROM t
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 5 THEN 'too_short'
+              WHEN n_tokens > 100000 THEN 'too_long'
+              WHEN punct_ratio >= 0.2 THEN 'punct'
+              WHEN stop_ratio < 0.05 THEN 'lang'
+              WHEN dup_word_frac > 0.6 THEN 'repetition'
+              ELSE 'kept' END AS reject_reason
+  FROM s
+)
+SELECT doc_id, reject_reason,
+       CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END AS keep
+FROM r""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search

@@ -393,3 +393,51 @@ def chunk_dedup(
             "n_total",
         )
     )
+
+
+def quality_filter_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.05,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """Composed C4/Gopher-style corpus gate (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 A1.1): length bounds, punctuation-density cap,
+    stopword-ratio language gate, duplicate-word repetition cap — applied
+    in ONE ordered rule chain that emits the FIRST rejection reason (or
+    'kept').
+
+    Scale shape: every signal is a pure column expression over the words
+    array — the whole gate is a single narrow projection with ZERO
+    shuffles, fully pipelined into the scan; at 100 TB this runs at
+    IO speed. Signals needing aggregation (top-bigram coverage) live in
+    repetition_signals and are deliberately excluded from the hot gate."""
+    t = F.col(text_col)
+    w = _words(t)
+    n_tokens = F.size(w)
+    n_chars = F.length(t)
+    punct_ratio = (
+        F.length(F.regexp_replace(t, "[^.!?,;:]", "")) * 1.0 / n_chars
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+        * 1.0 / n_tokens
+    )
+    dup_word_frac = 1.0 - F.size(F.array_distinct(w)) * 1.0 / n_tokens
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(n_tokens > max_tokens, F.lit("too_long"))
+        .when(punct_ratio >= max_punct_ratio, F.lit("punct"))
+        .when(stop_ratio < min_stopword_ratio, F.lit("lang"))
+        .when(dup_word_frac > max_dup_word_frac, F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        (reason == "kept").cast("int").alias("keep"),
+    )

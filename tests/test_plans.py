@@ -227,3 +227,18 @@ def test_q8_star_join_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 5
     # the conditional-aggregate ratio is one agg, not a self-join
     assert plan.count("HashAggregate") <= 4
+
+
+def test_quality_filter_pipeline_zero_shuffle(spark):
+    """The composed C4/Gopher gate is a single narrow projection — any
+    Exchange in its plan means a signal leaked an aggregation into the
+    hot path and the gate no longer runs at scan speed."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        quality_filter_pipeline,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    plan = _plan(quality_filter_pipeline(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
