@@ -40,9 +40,18 @@ class Action:
 
 
 def apply_actions(
-    df: DataFrame, actions: list[Action], attrs_col: str = "attributes"
+    df: DataFrame,
+    actions: list[Action],
+    attrs_col: str = "attributes",
+    where: Column | None = None,
 ) -> DataFrame:
-    """Ordered action application (attraction.go Process semantics)."""
+    """Ordered action application (attraction.go Process semantics).
+
+    ``where`` is the attributes processor's include/exclude record gate
+    (attributes_log.go:34-45 via internal/filter skipExpr): when given,
+    every action applies only on matching rows — non-matching rows keep
+    their attributes untouched. Compose it from filter_include_exclude's
+    condition builders (include → gate, exclude → ~gate)."""
     for a in actions:
         m = F.col(attrs_col)
         if a.action == "insert":
@@ -103,6 +112,8 @@ def apply_actions(
             )
         else:
             raise ValueError(f"unknown action {a.action!r}")
+        if where is not None:
+            new = F.when(F.coalesce(where, F.lit(False)), new).otherwise(m)
         df = df.withColumn(attrs_col, new)
     return df
 

@@ -1,0 +1,73 @@
+"""attributes/resource processor action-list semantics
+(internal/coreinternal/attraction/attraction.go:106-141, include/exclude
+record gating attributes_log.go:34-45)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_contrib_spark.operators.mutate import (
+    Action,
+    apply_actions,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("role", T.StringType()),
+    T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("user", {"k": "v1"}),
+            ("assistant", {"k": "v2"}),
+        ],
+        SCHEMA,
+    )
+
+
+def _attrs(out):
+    return {r["role"]: dict(r["attributes"]) for r in out.collect()}
+
+
+def test_actions_ordered(df):
+    out = apply_actions(
+        df,
+        [
+            Action("upsert", key="a", value=F.lit("1")),
+            Action("update", key="a", value=F.lit("2")),  # present → updates
+            Action("insert", key="a", value=F.lit("3")),  # present → no-op
+        ],
+    )
+    got = _attrs(out)
+    assert got["user"]["a"] == "2" and got["assistant"]["a"] == "2"
+
+
+def test_include_gate_applies_only_to_matching_rows(df):
+    # attributes processor include matcher: actions run only where the
+    # record matches; other rows keep attributes byte-identical
+    out = apply_actions(
+        df,
+        [
+            Action("upsert", key="seen", value=F.lit("y")),
+            Action("delete", key="k"),
+        ],
+        where=F.col("role") == "user",
+    )
+    got = _attrs(out)
+    assert got["user"] == {"seen": "y"}
+    assert got["assistant"] == {"k": "v2"}
+
+
+def test_exclude_gate_is_negated_include(df):
+    out = apply_actions(
+        df,
+        [Action("upsert", key="seen", value=F.lit("y"))],
+        where=~(F.col("role") == "user"),
+    )
+    got = _attrs(out)
+    assert "seen" not in got["user"] and got["assistant"]["seen"] == "y"
