@@ -15,6 +15,12 @@ receivers    transcripts {path}        parse_transcripts → canonical log
                                        shape (body/ts/severity/attributes/
                                        resource + typed side columns)
              parquet {path}            raw table scan
+             + `operators:` stanza chain on any receiver (filelog-style):
+               regex/json/csv/jsonarray/keyvalue/time/severity/trace/uri/
+               container/syslog parsers (each honoring the embedded
+               timestamp/severity/trace/scope_name sub-parser blocks of
+               helper/parser.go:85-188) and add/copy/move/remove/retain/
+               unquote/filter/noop transformers
 processors   attributes {actions}      attraction.go action list
              resource {attributes}     resourcedetection-style merge
              filter {logs.log_conditions, error_mode, logic_op}
@@ -134,6 +140,164 @@ def _rx_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
 
 
 _RECEIVERS = {"transcripts": _rx_transcripts, "parquet": _rx_parquet}
+
+
+# ---------------------------------------------------------------------------
+# stanza operator chain (receiver `operators:` list — the filelog
+# receiver's parser-wiring surface). Every parser config may carry the
+# embedded timestamp/severity/trace/scope_name sub-parser blocks of
+# pkg/stanza/operator/helper/parser.go:85-188.
+# ---------------------------------------------------------------------------
+
+# RFC3164 envelope as a grok pattern (parser/syslog/config.go:53-58)
+_RFC3164_GROK = (
+    r"<%{NONNEGINT:pri}>%{DATA:sl_ts} %{HOSTNAME:host} "
+    r"%{WORD:app}\[%{NONNEGINT:procid}\]: %{GREEDYDATA:msg}"
+)
+
+
+def _strip_field(name):
+    """stanza field syntax (body / attributes.x / resource.x) → flat
+    column name: parsed fields live as flat columns in our shape."""
+    if isinstance(name, str):
+        for pre in ("body.", "attributes.", "resource."):
+            if name.startswith(pre):
+                return name.split(".", 1)[1]
+    return name
+
+
+def _field(cfg: dict, key: str, default=None):
+    return _strip_field(cfg.get(key, default))
+
+
+def _apply_sub_parsers(df: DataFrame, cfg: dict) -> DataFrame:
+    """helper/parser.go:85-188 — embedded sub-parser blocks."""
+    from .operators.mutate import scope_name_parser
+    from .operators.parse import severity_parser, time_parser, trace_parser
+
+    if "timestamp" in cfg:
+        t = cfg["timestamp"]
+        df = time_parser(
+            df, _field(t, "parse_from"), t.get("layout_type", "strptime"),
+            t.get("layout"), t.get("to", "ts"),
+        )
+    if "severity" in cfg:
+        s = cfg["severity"]
+        df = severity_parser(
+            df, _field(s, "parse_from"), mapping=s.get("mapping")
+        )
+    if "trace" in cfg:
+        tr = cfg["trace"]
+
+        def pf(block):
+            b = tr.get(block)
+            if isinstance(b, dict):
+                return _field(b, "parse_from")
+            return _strip_field(b)
+
+        df = trace_parser(
+            df, pf("trace_id") or "trace_id", pf("span_id"),
+            pf("trace_flags"),
+        )
+    if "scope_name" in cfg:
+        df = scope_name_parser(df, _field(cfg["scope_name"], "parse_from"))
+    return df
+
+
+def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
+    from .operators import mutate, parse
+
+    for op in ops or []:
+        typ = _base_type(op.get("type", ""))
+        src = _field(op, "parse_from", "body")
+        to = _field(op, "parse_to", "parsed")
+        if typ == "regex_parser":
+            df = parse.regex_parser(
+                df, src, op["regex"], op.get("on_error", "send")
+            )
+        elif typ == "json_parser":
+            df = parse.json_parser(
+                df, src, op.get("schema", "map<string,string>"), to
+            )
+        elif typ == "csv_parser":
+            header = op.get("header")
+            if isinstance(header, str):
+                header = header.split(op.get("delimiter", ","))
+            schema = op.get("schema") or ", ".join(
+                f"`{h}` string" for h in header
+            )
+            df = parse.csv_parser(
+                df, src, schema, to, op.get("delimiter", ",")
+            )
+        elif typ == "keyvalue_parser":
+            df = parse.keyvalue_parser(
+                df, src, to,
+                pair_delim=op.get("pair_delimiter", " "),
+                kv_delim=op.get("delimiter", "="),
+            )
+        elif typ == "jsonarray_parser":
+            df = parse.jsonarray_parser(df, src, to, op.get("header"))
+        elif typ == "time_parser":
+            df = parse.time_parser(
+                df, src, op.get("layout_type", "strptime"),
+                op.get("layout"), op.get("to", "ts"),
+            )
+        elif typ == "severity_parser":
+            df = parse.severity_parser(df, src, mapping=op.get("mapping"))
+        elif typ == "trace_parser":
+            df = _apply_sub_parsers(df, {"trace": op})
+        elif typ == "uri_parser":
+            df = parse.uri_parser(df, src)
+        elif typ == "container":
+            df = parse.container_parser(
+                df, source=src, path_col=op.get("path_col"),
+                fmt=op.get("format"),
+                add_metadata_from_filepath=op.get(
+                    "add_metadata_from_file_path", True
+                ),
+            )
+        elif typ == "syslog_parser":
+            proto = op.get("protocol", "rfc3164")
+            if proto == "rfc5424":
+                df = parse.syslog_rfc5424_parser(
+                    df, src, op.get("enable_octet_counting", False)
+                )
+            else:
+                df = parse.regex_parser(df, src, _RFC3164_GROK)
+        elif typ == "add":
+            v = op.get("value")
+            # stanza EXPR(...) values compile via expr-lang; here the
+            # inner expression is Spark-SQL (documented deviation)
+            col = (
+                F.expr(str(v)[5:-1])
+                if isinstance(v, str) and v.startswith("EXPR(")
+                else F.lit(v)
+            )
+            df = mutate.add(df, _field(op, "field"), col)
+        elif typ == "copy":
+            df = mutate.copy_field(df, _field(op, "from"), _field(op, "to"))
+        elif typ == "move":
+            df = mutate.move(df, _field(op, "from"), _field(op, "to"))
+        elif typ == "remove":
+            df = mutate.remove(df, _field(op, "field"))
+        elif typ == "retain":
+            df = mutate.retain(
+                df, [_strip_field(x) for x in op["fields"]]
+            )
+        elif typ == "unquote":
+            df = mutate.unquote(df, _field(op, "field"))
+        elif typ == "filter":
+            # transformer/filter: DROP rows matching the expr
+            df = df.filter(
+                ~F.coalesce(F.expr(op["expr"]), F.lit(False))
+            )
+        elif typ == "noop":
+            pass
+        else:
+            raise ConfigError(f"unsupported stanza operator {typ!r}")
+        if typ.endswith("_parser") or typ == "container":
+            df = _apply_sub_parsers(df, op)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +496,11 @@ class CollectorConfig:
                 fn = _RECEIVERS.get(_base_type(r))
                 if fn is None:
                     raise ConfigError(f"unsupported receiver {r!r}")
-                dfs.append(fn(spark, self._component("receivers", r)))
+                comp = self._component("receivers", r)
+                d = fn(spark, comp)
+                # stanza operator chain attached to the receiver
+                # (filelog-style `operators:` list)
+                dfs.append(_apply_stanza_operators(d, comp.get("operators")))
             src = dfs[0]
             for d in dfs[1:]:
                 src = src.unionByName(d, allowMissingColumns=True)

@@ -255,10 +255,40 @@ _STRPTIME_MAP = {
 
 
 def _strptime_to_spark(layout: str) -> str:
-    out = layout
-    for k, v in _STRPTIME_MAP.items():
-        out = out.replace(k, v)
-    return out
+    """%-code translation with literal-run quoting: Spark datetime
+    patterns treat ANY letter as a pattern char, so literal text between
+    codes (the 'T' in ISO-8601, 'UTC' suffixes, …) must be single-quoted
+    or to_timestamp throws INVALID_DATETIME_PATTERN."""
+    parts: list[tuple[str, str]] = []
+    i = 0
+    while i < len(layout):
+        code = layout[i:i + 2]
+        if layout[i] == "%" and code in _STRPTIME_MAP:
+            parts.append(("code", _STRPTIME_MAP[code]))
+            i += 2
+        else:
+            parts.append(("lit", layout[i]))
+            i += 1
+    out: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if buf:
+            s = "".join(buf)
+            if any(c.isalpha() for c in s):
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            buf.clear()
+
+    for kind, s in parts:
+        if kind == "lit":
+            buf.append(s)
+        else:
+            flush()
+            out.append(s)
+    flush()
+    return "".join(out)
 
 
 def trace_parser(

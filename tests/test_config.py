@@ -165,3 +165,90 @@ def test_unknown_component_rejected():
                 "exporters": ["file/x"],
             }}},
         })
+
+
+# ---- stanza operator chain on a receiver (filelog `operators:` list) ------
+
+def test_stanza_operator_chain(spark, tmp_path):
+    src = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [
+            ("r1", "ERROR code=E1 at=2025-01-02T03:04:05",
+             "0af7651916cd43dd8448eb211c80319c"),
+            ("r2", "info code=E2 at=2025-06-07T08:09:10", "nothex"),
+        ],
+        "id string, body string, tid string",
+    ).write.mode("overwrite").parquet(src)
+
+    cfg = {
+        "receivers": {
+            "parquet": {
+                "path": src,
+                "operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": r"%{WORD:lvl} %{GREEDYDATA:rest}",
+                        # embedded sub-parsers (helper/parser.go:85-188)
+                        "severity": {"parse_from": "lvl"},
+                        "trace": {"trace_id": {"parse_from": "tid"}},
+                    },
+                    {"type": "keyvalue_parser", "parse_from": "rest",
+                     "parse_to": "kv"},
+                    {"type": "add", "field": "at",
+                     "value": "EXPR(kv['at'])"},
+                    {"type": "time_parser", "parse_from": "at",
+                     "layout": "%Y-%m-%dT%H:%M:%S", "to": "ts"},
+                    {"type": "filter", "expr": "kv['code'] = 'E3'"},
+                ],
+            }
+        },
+        "exporters": {"debug": {}},
+        "service": {
+            "pipelines": {
+                "logs/in": {"receivers": ["parquet"],
+                            "exporters": ["debug"]},
+            }
+        },
+    }
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig(cfg).run(spark)["debug"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"r1", "r2"}  # filter expr matches neither
+    r1, r2 = rows["r1"], rows["r2"]
+    # severity sub-parser mapped the token on each row
+    assert r1["severity_text"] == "ERROR" and r1["severity_number"] == 17
+    assert r2["severity_text"] == "INFO" and r2["severity_number"] == 9
+    # trace sub-parser validated hex (r2's id is invalid → NULL)
+    assert r1["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert r2["trace_id"] is None
+    # kv → add(EXPR) → time_parser chain produced a real timestamp
+    assert r1["ts"].year == 2025 and r1["ts"].hour == 3
+    # keyvalue map intact
+    assert dict(r1["kv"])["code"] == "E1"
+
+
+def test_stanza_chain_filter_drops(spark, tmp_path):
+    src = str(tmp_path / "lines2")
+    spark.createDataFrame(
+        [("a", "keep x=1"), ("b", "drop x=2")], "id string, body string"
+    ).write.mode("overwrite").parquet(src)
+    cfg = {
+        "receivers": {
+            "parquet": {
+                "path": src,
+                "operators": [
+                    {"type": "filter",
+                     "expr": "body like 'drop%'"},
+                ],
+            }
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {
+            "logs/in": {"receivers": ["parquet"], "exporters": ["debug"]},
+        }},
+    }
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig(cfg).run(spark)["debug"]
+    assert [r["id"] for r in out.collect()] == ["a"]
