@@ -1019,6 +1019,82 @@ WHERE r_name = 'ASIA' AND p_type = 'PROMO'
 GROUP BY o_year""",
     )
 
+    # ---- q9: profit by nation and order-year (infix LIKE dim filter,
+    # 3 broadcast arms, one fact-fact shuffle, 2-key agg) ---------------------
+    def q9_profit_by_nation(spark, sf_dir):
+        from .relational import profit_by_nation_year
+
+        return profit_by_nation_year(
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "part"),
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "nation"),
+            _t(spark, sf_dir, "orders"),
+        )
+
+    reg(
+        "q9_profit_by_nation",
+        q9_profit_by_nation,
+        """SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2""",
+    )
+
+    # ---- q11: parts above a fraction of global traded value (HAVING >
+    # global-scalar subquery, decorrelated to a 1-row broadcast) --------------
+    def q11_important_parts(spark, sf_dir):
+        from .relational import important_parts
+
+        return important_parts(
+            _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+        )
+
+    reg(
+        "q11_important_parts",
+        q11_important_parts,
+        """WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, round(value, 4) AS part_value
+FROM val JOIN part ON l_partkey = p_partkey
+WHERE value > (SELECT sum(value) * 0.00065 FROM val)""",
+    )
+
+    # ---- q22: dormant high-balance customers (IN-list filter, scalar AVG
+    # subquery, NOT EXISTS anti join, per-country agg) ------------------------
+    def q22_sales_opportunity(spark, sf_dir):
+        from .relational import global_sales_opportunity
+
+        return global_sales_opportunity(
+            _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+        )
+
+    reg(
+        "q22_sales_opportunity",
+        q22_sales_opportunity,
+        """SELECT c_nationkey AS cntrycode,
+       count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+      SELECT avg(c_acctbal) FROM customer
+      WHERE c_acctbal > 0.0
+        AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY cntrycode""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload + typed metadata (multimodal.py)

@@ -517,3 +517,103 @@ def national_market_share(
             ).alias("mkt_share")
         )
     )
+
+
+def profit_by_nation_year(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_fragment: str = "bolt",
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: testdata ships no partsupp, so profit is
+    discounted revenue rather than revenue - supplycost*qty). The
+    operator content is intact: a non-pushable LIKE '%frag%' filter on
+    the part dimension (contains() stays in the scan's data filters, not
+    PushedFilters — that's expected for infix LIKE), three broadcast
+    dimension arms, ONE fact-fact shuffle (lineitem ⋈ orders, needed only
+    for the order year), and a two-key hash aggregate. Spark evaluates
+    year() at the join output — no second pass."""
+    p = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    o = orders.select("o_orderkey", "o_orderdate")
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 4).alias("sum_profit"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame, part: DataFrame, fraction: float = 0.00065
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp, so "stock value" is the
+    part's traded value sum(extendedprice*quantity) over lineitem). The
+    defining operator is the HAVING > (SELECT sum(...) * f) global scalar
+    subquery, decorrelated the only way that scales: the per-part
+    aggregate is computed ONCE, the global total derives from a second
+    aggregation of those partials (rows = |parts|, not |lineitem|), and
+    the 1-row threshold broadcasts back as a cross join — lineitem is
+    scanned exactly once. Spark does NOT share a referenced-twice subplan
+    on its own (both branches would re-scan lineitem), so the per-part
+    partial is persisted: it is |parts| rows × 2 columns, trivially
+    memory-resident even at 100 TB of lineitem."""
+    val = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .persist()
+    )
+    threshold = val.agg(
+        (F.sum("value") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .join(F.broadcast(part.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", F.round("value", 4).alias("part_value")
+        )
+    )
+
+
+def global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    nationkeys: tuple = (1, 3, 5, 7, 9, 11, 13),
+    big_order: float = 400000.0,
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: testdata customers carry no phone, so
+    the country-code grouping key is c_nationkey directly, and — since
+    every sf0.01 customer has at least one order — the NOT EXISTS is
+    "no LARGE order" rather than "no order"). Operators: an IN-list
+    dimension filter, a scalar AVG-over-positive-balances subquery
+    decorrelated to a broadcast 1-row cross join, a NOT EXISTS anti join
+    against orders (equi-key; the totalprice predicate pushes into the
+    build-side scan), and a final small hash aggregate per country.
+    customer is scanned twice but the second scan (the average) prunes
+    to 2 columns and its partials are 1 row per partition — cheaper than
+    caching at 100 TB."""
+    in_scope = customer.filter(F.col("c_nationkey").isin(*nationkeys))
+    avg_bal = in_scope.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    big = orders.filter(F.col("o_totalprice") > big_order).select("o_custkey")
+    return (
+        in_scope.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -242,3 +242,65 @@ def test_quality_filter_pipeline_zero_shuffle(spark):
     plan = _plan(quality_filter_pipeline(docs))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark):
+    """Q9's three dimension arms (part/supplier/nation) broadcast; the
+    only shuffle join is lineitem ⋈ orders. If the LIKE-filtered part
+    arm degrades to a shuffle, the scan output is moved twice at 100 TB."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        profit_by_nation_year,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = profit_by_nation_year(
+        t("lineitem"), t("part"), t("supplier"), t("nation"), t("orders")
+    )
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q11_single_lineitem_scan(spark):
+    """Q11's global-total threshold must derive from the per-part
+    partials, not a second lineitem pass: exactly one lineitem scan in
+    the plan, and the 1-row threshold joins as a broadcast."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        important_parts,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = important_parts(t("lineitem"), t("part"))
+    plan = _plan(q)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_with_pushed_build_filter(spark):
+    """Q22's NOT EXISTS compiles to a hash anti join whose build side is
+    pre-filtered (o_totalprice > threshold reaches the orders scan as a
+    pushed filter) — the anti join must never see unfiltered orders."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        global_sales_opportunity,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = global_sales_opportunity(t("customer"), t("orders"))
+    plan = _plan(q)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # totalprice predicate is pushed into the orders parquet scan
+    assert "GreaterThan(o_totalprice" in plan
