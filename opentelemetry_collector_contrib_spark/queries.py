@@ -1898,6 +1898,44 @@ FROM buckets a JOIN buckets b
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3""",
     )
 
+    # ---- d_embed_dedup: embedding-cosine near-dup dedup (LSH buckets →
+    # in-bucket cosine verify → connected components → one rep/cluster) -----
+    def d_embed_dedup(spark, sf_dir):
+        from .similarity import embedding_dedup_survivors
+
+        return embedding_dedup_survivors(
+            _emb(spark, sf_dir), n_planes=8, threshold=0.3
+        )
+
+    reg(
+        "d_embed_dedup",
+        d_embed_dedup,
+        f"""WITH RECURSIVE base AS (
+  SELECT vec_id, embedding,
+         generate_series(1, len(embedding)) AS range_idx
+  FROM embeddings
+), buckets AS (
+  SELECT vec_id, embedding, CAST({plane_bits} AS BIGINT) AS bucket FROM base
+), vpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM vpairs
+), reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.vec_id
+), clusters AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT cluster_id AS vec_id, count(*)::BIGINT AS n_members
+FROM clusters GROUP BY cluster_id""",
+    )
+
     # ---- s_knn_join: brute-force kNN for a small query set ----------------
     def s_knn_join(spark, sf_dir):
         emb = _emb(spark, sf_dir)

@@ -203,3 +203,32 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def embedding_dedup_survivors(
+    emb: DataFrame,
+    n_planes: int = 8,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate deduplication — the third dedup
+    mode next to MinHash (lexical) and SimHash (token-set): hyperplane-
+    LSH buckets gate the candidate set, exact cosine verifies ONLY
+    within-bucket pairs, connected components merge transitive dup
+    chains, and one representative (min vec_id) survives per cluster.
+
+    Scale shape: identical to minhash_dedup_pairs → dedup_clusters →
+    dedup_survivors — no all-pairs join anywhere; the cosine verify is
+    per-bucket; the component loop is O(cluster diameter) rounds of
+    map-side-combinable joins (see dedup_text.dedup_clusters)."""
+    from .dedup_text import dedup_clusters, dedup_survivors
+
+    pairs = lsh_ann_pairs(emb, n_planes, threshold, vec_col).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    clusters = dedup_clusters(pairs, docs)
+    return dedup_survivors(docs, clusters).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
