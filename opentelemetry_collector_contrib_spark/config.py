@@ -31,6 +31,12 @@ processors   attributes {actions}      attraction.go action list
              probabilistic_sampler {sampling_percentage, attribute_source,
                                     hash_seed}
              logdedup {interval, identity_cols}
+             enrich {dimension_path, on, columns, how}
+                                        k8sattributes/geoip-analog
+                                        broadcast lookup join
+             logstransform {operators}  stanza chain mid-pipeline
+             cumulativetodelta {keys, value_col, order_by, to}
+             deltatocumulative {keys, value_col, order_by, to}
              batch                      no-op (partitioning is a sink
                                         concern in Spark)
 connectors   routing {table: [{condition, pipelines}], default_pipelines,
@@ -403,6 +409,62 @@ def _pr_logdedup(df: DataFrame, cfg: dict) -> DataFrame:
     )
 
 
+def _pr_enrich(df: DataFrame, cfg: dict) -> DataFrame:
+    """k8sattributes/geoip-analog lookup enrichment: broadcast left join
+    against a dimension parquet (processor/k8sattributesprocessor
+    processor.go:111 — metadata store → per-record attributes). The dim
+    is ALWAYS broadcast: the config surface offers no way to request a
+    shuffle join, because enriching a 10^12-row fact from a metadata
+    table must never move the fact side."""
+    from .operators.enrich import enrich
+
+    path = cfg.get("dimension_path")
+    if not path:
+        raise ConfigError("enrich processor needs dimension_path")
+    on = cfg.get("on")
+    if not on:
+        raise ConfigError("enrich processor needs on (join key or list)")
+    dim = df.sparkSession.read.parquet(path)
+    if cfg.get("columns"):
+        keys = on if isinstance(on, list) else [on]
+        dim = dim.select(*keys, *cfg["columns"])
+    return enrich(df, dim, on, how=cfg.get("how", "left"))
+
+
+def _pr_logstransform(df: DataFrame, cfg: dict) -> DataFrame:
+    """logstransform processor (processor/logstransformprocessor): runs
+    an embedded stanza operator chain mid-pipeline — same chain compiler
+    as the receiver-level `operators:` list."""
+    ops = cfg.get("operators")
+    if not ops:
+        raise ConfigError("logstransform processor needs operators")
+    return _apply_stanza_operators(df, ops)
+
+
+def _pr_cumulativetodelta(df: DataFrame, cfg: dict) -> DataFrame:
+    from .operators.aggregate import cumulative_to_delta
+
+    return cumulative_to_delta(
+        df,
+        keys=list(cfg.get("keys", ["conv_id"])),
+        value_col=cfg.get("value_col", "value"),
+        order_by=cfg.get("order_by"),
+        to=cfg.get("to", "delta"),
+    )
+
+
+def _pr_deltatocumulative(df: DataFrame, cfg: dict) -> DataFrame:
+    from .operators.aggregate import delta_to_cumulative
+
+    return delta_to_cumulative(
+        df,
+        keys=list(cfg.get("keys", ["conv_id"])),
+        value_col=cfg.get("value_col", "value"),
+        order_by=cfg.get("order_by"),
+        to=cfg.get("to", "cumulative"),
+    )
+
+
 _PROCESSORS = {
     "attributes": _pr_attributes,
     "resource": _pr_resource,
@@ -413,6 +475,10 @@ _PROCESSORS = {
     "redaction": _pr_redaction,
     "probabilistic_sampler": _pr_sampler,
     "logdedup": _pr_logdedup,
+    "enrich": _pr_enrich,
+    "logstransform": _pr_logstransform,
+    "cumulativetodelta": _pr_cumulativetodelta,
+    "deltatocumulative": _pr_deltatocumulative,
     "batch": lambda df, cfg: df,
 }
 

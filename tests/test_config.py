@@ -252,3 +252,90 @@ def test_stanza_chain_filter_drops(spark, tmp_path):
 
     out = CollectorConfig(cfg).run(spark)["debug"]
     assert [r["id"] for r in out.collect()] == ["a"]
+
+
+# ---- new processors: enrich / logstransform / delta-cumulative ------------
+
+def test_enrich_processor_broadcast_lookup(spark, tmp_path):
+    src = str(tmp_path / "facts")
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("a", "bash"), ("b", "web"), ("c", "nope")],
+        "id string, tool string",
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("bash", "shell"), ("web", "browser")],
+        "tool string, tool_kind string",
+    ).write.mode("overwrite").parquet(dim)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src}},
+        "processors": {"enrich": {
+            "dimension_path": dim, "on": "tool", "columns": ["tool_kind"],
+        }},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "processors": ["enrich"],
+            "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r["tool_kind"] for r in out.collect()}
+    # left semantics: the dim-missing tool keeps NULL
+    assert rows == {"a": "shell", "b": "browser", "c": None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_logstransform_processor_runs_stanza_chain(spark, tmp_path):
+    src = str(tmp_path / "lt")
+    spark.createDataFrame(
+        [("x", "k=1 v=alpha"), ("y", "k=2 v=beta")],
+        "id string, body string",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src}},
+        "processors": {"logstransform": {"operators": [
+            {"type": "keyvalue_parser", "parse_from": "body",
+             "parse_to": "kv"},
+            {"type": "add", "field": "v_up", "value": "EXPR(upper(kv['v']))"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "processors": ["logstransform"],
+            "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r["v_up"] for r in out.collect()}
+    assert rows == {"x": "ALPHA", "y": "BETA"}
+
+
+def test_delta_cumulative_processors_inverse(spark, tmp_path):
+    src = str(tmp_path / "metrics")
+    spark.createDataFrame(
+        [("c1", 1, 5.0), ("c1", 2, 3.0), ("c1", 3, 2.0), ("c2", 1, 7.0)],
+        "conv_id string, turn_idx int, value double",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src}},
+        "processors": {"deltatocumulative": {
+            "keys": ["conv_id"], "order_by": ["turn_idx"],
+        }},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "processors": ["deltatocumulative"],
+            "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    got = {(r["conv_id"], r["turn_idx"]): r["cumulative"]
+           for r in out.collect()}
+    assert got[("c1", 1)] == 5.0
+    assert got[("c1", 3)] == 10.0
+    assert got[("c2", 1)] == 7.0
