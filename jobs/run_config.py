@@ -1,0 +1,62 @@
+"""spark-submit entrypoint for declarative collector-style configs —
+the analog of `otelcol --config pipeline.yaml` (the reference binary's
+only interface; every testbed scenario is such a YAML). A user of the
+reference switches by pointing this job at their pipeline config.
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_config.py --config configs/example_pipeline.yaml
+
+Local smoke:
+  python jobs/run_config.py --config configs/example_pipeline.yaml \
+      --cores 8
+
+File exporters write partitioned parquet; debug/noop exporters print a
+row count and up to --show rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="collector-style YAML")
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--show", type=int, default=5,
+                    help="rows to print per debug exporter")
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    cfg = CollectorConfig(args.config)
+    spark = get_spark("otel-config-pipeline", cores=args.cores)
+
+    t0 = time.time()
+    # run() writes file exporters (value = output path) and returns the
+    # DataFrame itself for debug/noop exporters
+    outputs = cfg.run(spark)
+    for name, out in outputs.items():
+        if isinstance(out, str):
+            n = spark.read.parquet(out).count()
+            print(f"exporter {name}: {n} rows -> {out}")
+        else:
+            print(f"exporter {name}: {out.count()} rows")
+            if args.show:
+                out.show(args.show, truncate=False)
+    print(f"wall: {time.time() - t0:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
