@@ -118,8 +118,12 @@ def _ottl_ctx(error_mode: str = "ignore") -> Context:
 # receivers
 # ---------------------------------------------------------------------------
 
-def _rx_transcripts(spark: SparkSession, cfg: dict) -> DataFrame:
-    df = parse_transcripts(read_transcripts(spark, cfg["path"]))
+def _rx_transcripts(
+    spark: SparkSession, cfg: dict, source: DataFrame | None = None
+) -> DataFrame:
+    df = parse_transcripts(
+        source if source is not None else read_transcripts(spark, cfg["path"])
+    )
     attrs = F.map_filter(
         F.create_map(
             F.lit("role"), F.col("role"),
@@ -141,8 +145,10 @@ def _rx_transcripts(spark: SparkSession, cfg: dict) -> DataFrame:
     )
 
 
-def _rx_parquet(spark: SparkSession, cfg: dict) -> DataFrame:
-    return spark.read.parquet(cfg["path"])
+def _rx_parquet(
+    spark: SparkSession, cfg: dict, source: DataFrame | None = None
+) -> DataFrame:
+    return source if source is not None else spark.read.parquet(cfg["path"])
 
 
 _RECEIVERS = {"transcripts": _rx_transcripts, "parquet": _rx_parquet}
@@ -531,7 +537,18 @@ class CollectorConfig:
 
     # -- build --------------------------------------------------------------
 
-    def build(self, spark: SparkSession) -> dict[str, DataFrame]:
+    def build(
+        self,
+        spark: SparkSession,
+        sources: dict[str, DataFrame] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Compile and wire every pipeline; returns {exporter: DataFrame}.
+
+        ``sources`` optionally substitutes a pre-read raw DataFrame for a
+        receiver's own scan (keyed by receiver name) — the hook
+        ``run_streaming`` uses to push each micro-batch through the SAME
+        assembly the batch path runs."""
+        sources = sources or {}
         # pass 1: run every pipeline whose receivers are all concrete
         # (non-connector); stash per-connector inputs
         conn_inputs: dict[str, list[DataFrame]] = {}
@@ -563,7 +580,7 @@ class CollectorConfig:
                 if fn is None:
                     raise ConfigError(f"unsupported receiver {r!r}")
                 comp = self._component("receivers", r)
-                d = fn(spark, comp)
+                d = fn(spark, comp, sources.get(r))
                 # stanza operator chain attached to the receiver
                 # (filelog-style `operators:` list)
                 dfs.append(_apply_stanza_operators(d, comp.get("operators")))
@@ -666,3 +683,94 @@ class CollectorConfig:
             else:  # debug / noop → return the DataFrame
                 written[exp] = df
         return written
+
+    def run_streaming(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Run the SAME compiled config continuously: the concrete
+        receiver becomes a file-source stream, and every micro-batch is
+        pushed through the identical pipeline assembly the batch path
+        runs (build() with the micro-batch substituted for the scan).
+
+        Semantics match the reference closer than they match batch Spark:
+        the collector's processors and connectors operate on pdata
+        BATCHES (a count connector emits one count per consumed batch, a
+        groupbyattrs regroups within the batch), so per-micro-batch
+        aggregation IS the collector behavior. Corpus-global continuous
+        aggregates are the streaming/ module's watermarked variants.
+
+        Exactly-once: file exporters write batch_id-scoped partition
+        directories with mode=overwrite — a foreachBatch replay after a
+        crash overwrites its own previous output instead of appending
+        duplicates (checkpointLocation + idempotent writes).
+
+        v1 scope: exactly ONE concrete receiver (the usual collector
+        topology — one filelog receiver feeding a pipeline DAG); any
+        number of connector-fed pipelines and exporters downstream.
+        Returns the StreamingQuery; with available_now the query drains
+        current input and stops (deterministic for tests)."""
+        concrete = [
+            r
+            for pcfg in self.pipelines.values()
+            for r in pcfg.get("receivers", []) or []
+            if not self._is_connector(r)
+        ]
+        if len(set(concrete)) != 1:
+            raise ConfigError(
+                "run_streaming supports exactly one concrete receiver; "
+                f"found {sorted(set(concrete))!r}"
+            )
+        rname = concrete[0]
+        rcfg = self._component("receivers", rname)
+        base = _base_type(rname)
+        if base == "transcripts":
+            raw_path = os.path.join(rcfg["path"], "transcripts.parquet")
+        else:
+            raw_path = rcfg["path"]
+        # streaming file sources never infer — take the schema from a
+        # one-off batch read of the same path
+        schema = spark.read.parquet(raw_path).schema
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        # the file source requires a DIRECTORY; fixtures may write a
+        # single parquet file — stream its parent, glob-filtered to it
+        if os.path.isdir(raw_path):
+            stream = reader.parquet(raw_path)
+        else:
+            stream = reader.option(
+                "pathGlobFilter", os.path.basename(raw_path)
+            ).parquet(os.path.dirname(raw_path))
+
+        file_exporters = {
+            e: self._component("exporters", e)
+            for pcfg in self.pipelines.values()
+            for e in pcfg.get("exporters", []) or []
+            if not self._is_connector(e) and _base_type(e) == "file"
+        }
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            outputs = self.build(spark, sources={rname: batch_df})
+            for exp, df in outputs.items():
+                ecfg = file_exporters.get(exp)
+                if ecfg is None:
+                    continue  # debug/noop sinks are batch-run conveniences
+                w = df.write.mode("overwrite")
+                if ecfg.get("group_by"):
+                    w = w.partitionBy(ecfg["group_by"])
+                w.parquet(
+                    os.path.join(ecfg["path"], f"batch_id={batch_id}")
+                )
+
+        writer = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -339,3 +339,77 @@ def test_delta_cumulative_processors_inverse(spark, tmp_path):
     assert got[("c1", 1)] == 5.0
     assert got[("c1", 3)] == 10.0
     assert got[("c2", 1)] == 7.0
+
+
+# ---- streaming mode: same config, same outputs ------------------------------
+
+def test_run_streaming_matches_batch(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = {
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {"attributes/stamp": {"actions": [
+            {"action": "insert", "key": "env", "value": "prod"},
+        ]}},
+        "connectors": {"routing": {
+            "match_once": False,
+            "default_pipelines": ["logs/default"],
+            "table": [
+                {"condition": "severity_number >= SEVERITY_NUMBER_ERROR",
+                 "pipelines": ["logs/errors"]},
+            ],
+        }},
+        "exporters": {
+            "file/errors": {"path": str(tmp_path / "errors")},
+            "file/default": {"path": str(tmp_path / "default")},
+        },
+        "service": {"pipelines": {
+            "logs/in": {"receivers": ["transcripts"],
+                        "processors": ["attributes/stamp"],
+                        "exporters": ["routing"]},
+            "logs/errors": {"receivers": ["routing"],
+                            "exporters": ["file/errors"]},
+            "logs/default": {"receivers": ["routing"],
+                             "exporters": ["file/default"]},
+        }},
+    }
+
+    cc = CollectorConfig(cfg)
+    batch_out = cc.build(spark)
+    q = cc.run_streaming(
+        spark, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    for exp, sink in (("file/errors", "errors"), ("file/default", "default")):
+        want = batch_out[exp].select("conv_id", "turn_idx").collect()
+        got = (
+            spark.read.parquet(str(tmp_path / sink))
+            .select("conv_id", "turn_idx").collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), exp
+
+
+def test_run_streaming_rejects_multi_receiver(spark, tmp_path):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.config import (
+        CollectorConfig, ConfigError,
+    )
+
+    src = str(tmp_path / "t1")
+    spark.createDataFrame([("a",)], "id string").write.mode(
+        "overwrite").parquet(src)
+    cc = CollectorConfig({
+        "receivers": {"parquet/a": {"path": src}, "parquet/b": {"path": src}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet/a", "parquet/b"], "exporters": ["debug"],
+        }}},
+    })
+    with _pytest.raises(ConfigError, match="exactly one concrete receiver"):
+        cc.run_streaming(spark, checkpoint_dir=str(tmp_path / "ck"))
