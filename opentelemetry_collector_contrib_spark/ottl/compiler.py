@@ -888,8 +888,30 @@ class StatementSequence:
             for c in cols[1:]:
                 guard = guard | c
         self._fns = [_compile_one(s, self.ctx, guard) for s in statements]
+        # OTTL `cache` context (pkg/ottl/contexts — every context carries
+        # a per-record scratch map shared by the statements of one
+        # sequence and discarded afterwards). Detected lexically on the
+        # `cache` path token so sequences that never touch it pay nothing.
+        import re as _re
+
+        self._uses_cache = any(
+            _re.search(r"\bcache\b", s)
+            for s in list(statements) + list(conditions or [])
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
+        cache_col = self.ctx.path_map.get("cache", "cache")
+        added_cache = False
+        if self._uses_cache and cache_col not in df.columns:
+            # starts EMPTY for every record (the reference allocates a
+            # fresh cache per TransformContext)
+            df = df.withColumn(
+                cache_col,
+                F.create_map().cast("map<string,string>"),
+            )
+            added_cache = True
         for fn in self._fns:
             df = fn(df)
+        if added_cache:
+            df = df.drop(cache_col)
         return df

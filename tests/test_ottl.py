@@ -811,3 +811,35 @@ def test_parse_csv_headers(log_df):
 def test_decode_base64(log_df):
     fn = compile_statement('set(attributes["c"], Decode("cGFzcw==", "base64"))')
     assert one(fn(log_df))["attributes"]["c"] == "pass"
+
+
+# ---- cache context (pkg/ottl/contexts: per-record scratch map) ------------
+
+def test_cache_set_then_read_across_statements(log_df):
+    seq = StatementSequence([
+        'set(cache["k"], Concat([severity_text, attributes["http.method"]], "-"))',
+        'set(attributes["combo"], cache["k"])',
+    ])
+    out = seq.apply(log_df)
+    row = one(out)
+    assert row["attributes"]["combo"] == (
+        row["severity_text"] + "-" + row["attributes"]["http.method"]
+    )
+    # the scratch map is discarded after the sequence
+    assert "cache" not in out.columns
+
+
+def test_cache_starts_empty_per_record(log_df):
+    seq = StatementSequence([
+        'set(attributes["missing"], cache["never_set"]) '
+        'where cache["never_set"] != nil',
+    ])
+    row = one(seq.apply(log_df))
+    assert "missing" not in row["attributes"]
+
+
+def test_cache_unused_adds_no_column(log_df):
+    seq = StatementSequence(['set(attributes["x"], "1")'])
+    out = seq.apply(log_df)
+    assert "cache" not in out.columns
+    assert not seq._uses_cache
