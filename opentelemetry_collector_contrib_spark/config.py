@@ -53,6 +53,7 @@ user configured would corrupt their pipeline semantics.
 from __future__ import annotations
 
 import os
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,17 +217,51 @@ def _apply_sub_parsers(df: DataFrame, cfg: dict) -> DataFrame:
     return df
 
 
+_PARSER_TYPES = frozenset({
+    "regex_parser", "json_parser", "csv_parser", "keyvalue_parser",
+    "jsonarray_parser", "time_parser", "severity_parser", "trace_parser",
+    "uri_parser", "container", "syslog_parser",
+})
+
+
 def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
+    """Compile a stanza `operators:` chain. Every operator honors the
+    shared transformer surface (helper/transformer.go:96-140):
+
+    - ``if``: a row predicate (Spark-SQL here; expr-lang in the
+      reference — same documented deviation as EXPR() values). The
+      operator is SKIPPED for non-matching rows: parsers see a nulled
+      source (outputs null, row passes through untouched), mutations
+      write conditionally. Column-level ops (remove/retain) cannot be
+      row-conditional in a flattened schema and reject ``if``.
+    - ``on_error`` ∈ send/send_quiet/drop/drop_quiet: send keeps the
+      row with null parse outputs (null-safe extraction — the default);
+      drop removes rows the parser was applied to but produced nothing.
+      The *_quiet variants differ only in logging in the reference.
+    """
     from .operators import mutate, parse
 
     for op in ops or []:
         typ = _base_type(op.get("type", ""))
         src = _field(op, "parse_from", "body")
         to = _field(op, "parse_to", "parsed")
+        pred = (
+            F.coalesce(F.expr(op["if"]), F.lit(False))
+            if "if" in op else None
+        )
+        on_error = op.get("on_error", "send")
+        if on_error not in ("send", "send_quiet", "drop", "drop_quiet"):
+            raise ConfigError(f"unknown on_error {on_error!r}")
+        # stanza `if` on a parser: null the source for skipped rows —
+        # null in → null out, row intact (helper/transformer.go Skip)
+        if pred is not None and typ in _PARSER_TYPES:
+            df = df.withColumn("__if_src", F.when(pred, F.col(src)))
+            src = "__if_src"
+        before_cols = set(df.columns)
         if typ == "regex_parser":
-            df = parse.regex_parser(
-                df, src, op["regex"], op.get("on_error", "send")
-            )
+            # on_error=drop handled generically below (must not drop
+            # if-skipped rows, which the parser-internal drop would)
+            df = parse.regex_parser(df, src, op["regex"], "send")
         elif typ == "json_parser":
             df = parse.json_parser(
                 df, src, op.get("schema", "map<string,string>"), to
@@ -257,6 +292,11 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
         elif typ == "severity_parser":
             df = parse.severity_parser(df, src, mapping=op.get("mapping"))
         elif typ == "trace_parser":
+            if pred is not None:
+                raise ConfigError(
+                    "`if` is not supported on trace_parser (it reads "
+                    "its own trace_id/span_id/trace_flags fields)"
+                )
             df = _apply_sub_parsers(df, {"trace": op})
         elif typ == "uri_parser":
             df = parse.uri_parser(df, src)
@@ -285,30 +325,91 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
                 if isinstance(v, str) and v.startswith("EXPR(")
                 else F.lit(v)
             )
-            df = mutate.add(df, _field(op, "field"), col)
+            field = _field(op, "field")
+            if pred is not None:
+                orig = (
+                    F.col(field) if field in df.columns else F.lit(None)
+                )
+                col = F.when(pred, col).otherwise(orig)
+            df = mutate.add(df, field, col)
         elif typ == "copy":
-            df = mutate.copy_field(df, _field(op, "from"), _field(op, "to"))
+            frm, dst = _field(op, "from"), _field(op, "to")
+            if pred is not None:
+                orig = F.col(dst) if dst in df.columns else F.lit(None)
+                df = mutate.add(
+                    df, dst, F.when(pred, F.col(frm)).otherwise(orig)
+                )
+            else:
+                df = mutate.copy_field(df, frm, dst)
         elif typ == "move":
-            df = mutate.move(df, _field(op, "from"), _field(op, "to"))
+            frm, dst = _field(op, "from"), _field(op, "to")
+            if pred is not None:
+                orig = F.col(dst) if dst in df.columns else F.lit(None)
+                df = (
+                    df.withColumn(
+                        "__mv", F.when(pred, F.col(frm)).otherwise(orig)
+                    )
+                    # source nulled where moved (a flattened schema
+                    # cannot drop a column per-row)
+                    .withColumn(frm, F.when(~pred, F.col(frm)))
+                    .withColumnRenamed("__mv", dst)
+                ) if dst not in df.columns else (
+                    df.withColumn(
+                        dst, F.when(pred, F.col(frm)).otherwise(orig)
+                    ).withColumn(frm, F.when(~pred, F.col(frm)))
+                )
+            else:
+                df = mutate.move(df, frm, dst)
         elif typ == "remove":
+            if pred is not None:
+                raise ConfigError(
+                    "`if` is not supported on column-level op 'remove'"
+                )
             df = mutate.remove(df, _field(op, "field"))
         elif typ == "retain":
+            if pred is not None:
+                raise ConfigError(
+                    "`if` is not supported on column-level op 'retain'"
+                )
             df = mutate.retain(
                 df, [_strip_field(x) for x in op["fields"]]
             )
         elif typ == "unquote":
-            df = mutate.unquote(df, _field(op, "field"))
+            field = _field(op, "field")
+            if pred is not None:
+                uq = mutate.unquote(
+                    df.withColumn("__uq", F.col(field)), "__uq"
+                )
+                df = uq.withColumn(
+                    field,
+                    F.when(pred, F.col("__uq")).otherwise(F.col(field)),
+                ).drop("__uq")
+            else:
+                df = mutate.unquote(df, field)
         elif typ == "filter":
-            # transformer/filter: DROP rows matching the expr
-            df = df.filter(
-                ~F.coalesce(F.expr(op["expr"]), F.lit(False))
-            )
+            # transformer/filter: DROP rows matching the expr (gated on
+            # `if` when present — skipped rows are never dropped)
+            drop_pred = F.coalesce(F.expr(op["expr"]), F.lit(False))
+            if pred is not None:
+                drop_pred = drop_pred & pred
+            df = df.filter(~drop_pred)
         elif typ == "noop":
             pass
         else:
             raise ConfigError(f"unsupported stanza operator {typ!r}")
-        if typ.endswith("_parser") or typ == "container":
+        if typ in _PARSER_TYPES:
             df = _apply_sub_parsers(df, op)
+            if "__if_src" in df.columns:
+                df = df.drop("__if_src")
+            if on_error in ("drop", "drop_quiet"):
+                new_cols = [c for c in df.columns if c not in before_cols]
+                if new_cols:
+                    produced = reduce(
+                        lambda a, b: a | b,
+                        [F.col(c).isNotNull() for c in new_cols],
+                    )
+                    applied = pred if pred is not None else F.lit(True)
+                    df = df.filter(produced | ~applied)
     return df
 
 

@@ -413,3 +413,129 @@ def test_run_streaming_rejects_multi_receiver(spark, tmp_path):
     })
     with _pytest.raises(ConfigError, match="exactly one concrete receiver"):
         cc.run_streaming(spark, checkpoint_dir=str(tmp_path / "ck"))
+
+
+# ---- stanza shared transformer surface: `if` predicate + on_error ---------
+
+def test_stanza_if_predicate_skips_parser_rows(spark, tmp_path):
+    src = str(tmp_path / "ifp")
+    spark.createDataFrame(
+        [("a", "k=1", True), ("b", "k=2", False)],
+        "id string, body string, want boolean",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "keyvalue_parser", "parse_from": "body",
+             "parse_to": "kv", "if": "want"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r for r in out.collect()}
+    # both rows survive; only the matching row parsed
+    assert set(rows) == {"a", "b"}
+    assert dict(rows["a"]["kv"]) == {"k": "1"}
+    assert rows["b"]["kv"] is None
+    # the internal source guard never leaks into the schema
+    assert "__if_src" not in out.columns
+
+
+def test_stanza_on_error_drop_removes_failed_rows(spark, tmp_path):
+    src = str(tmp_path / "oed")
+    spark.createDataFrame(
+        [("a", '{"x": "1"}'), ("b", "not json")],
+        "id string, body string",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "json_parser", "parse_from": "body",
+             "parse_to": "p", "on_error": "drop"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    assert [r["id"] for r in out.collect()] == ["a"]
+
+
+def test_stanza_if_skipped_rows_never_dropped(spark, tmp_path):
+    # a row the `if` skips must survive even under on_error=drop
+    src = str(tmp_path / "ifoe")
+    spark.createDataFrame(
+        [("a", '{"x": "1"}', True), ("b", "not json", True),
+         ("c", "also not json", False)],
+        "id string, body string, want boolean",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "json_parser", "parse_from": "body",
+             "parse_to": "p", "if": "want", "on_error": "drop"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    assert sorted(r["id"] for r in out.collect()) == ["a", "c"]
+
+
+def test_stanza_if_on_mutations(spark, tmp_path):
+    src = str(tmp_path / "ifmut")
+    spark.createDataFrame(
+        [("a", '"quoted"', 1), ("b", '"stays"', 2)],
+        "id string, body string, n int",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "add", "field": "tag", "value": "EXPR(upper(id))",
+             "if": "n = 1"},
+            {"type": "unquote", "field": "body", "if": "n = 1"},
+            {"type": "copy", "from": "id", "to": "id2", "if": "n = 2"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["tag"] == "A" and rows["b"]["tag"] is None
+    assert rows["a"]["body"] == "quoted" and rows["b"]["body"] == '"stays"'
+    assert rows["a"]["id2"] is None and rows["b"]["id2"] == "b"
+
+
+def test_stanza_if_rejected_on_column_level_ops(spark, tmp_path):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.config import (
+        CollectorConfig, ConfigError,
+    )
+
+    src = str(tmp_path / "ifrej")
+    spark.createDataFrame([("a", "b")], "id string, x string").write.mode(
+        "overwrite").parquet(src)
+    cc = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "remove", "field": "x", "if": "id = 'a'"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    })
+    with _pytest.raises(ConfigError, match="not supported on column-level"):
+        cc.run(spark)
