@@ -580,6 +580,66 @@ SELECT conv_id, turn_idx,
 FROM parsed""",
     )
 
+    # ---- t_config_pipeline: the WHOLE declarative YAML front end under
+    # the oracle — receiver (parse) → attributes insert → filter drop →
+    # routing connector errors sink, assembled by CollectorConfig exactly
+    # as a user's config would be (service/pipelines graph, the layout of
+    # every reference testbed scenario).
+    def t_config_pipeline(spark, sf_dir):
+        from .config import CollectorConfig
+
+        fx = ensure_fixture_dir(sf_dir)
+        cfg = {
+            "receivers": {"transcripts": {"path": fx}},
+            "processors": {
+                "attributes/stamp": {"actions": [
+                    {"action": "insert", "key": "env", "value": "prod"},
+                ]},
+                "filter/drop_system": {"logs": {"log_conditions": [
+                    'attributes["role"] == "system"',
+                ]}},
+            },
+            "connectors": {"routing": {
+                "match_once": False,
+                "default_pipelines": ["logs/default"],
+                "table": [
+                    {"condition":
+                     "severity_number >= SEVERITY_NUMBER_ERROR",
+                     "pipelines": ["logs/errors"]},
+                ],
+            }},
+            "exporters": {"debug/errors": {}, "noop/default": {}},
+            "service": {"pipelines": {
+                "logs/in": {
+                    "receivers": ["transcripts"],
+                    "processors": ["attributes/stamp",
+                                   "filter/drop_system"],
+                    "exporters": ["routing"],
+                },
+                "logs/errors": {"receivers": ["routing"],
+                                "exporters": ["debug/errors"]},
+                "logs/default": {"receivers": ["routing"],
+                                 "exporters": ["noop/default"]},
+            }},
+        }
+        out = CollectorConfig(cfg).build(spark)["debug/errors"]
+        return out.select(
+            "conv_id", "turn_idx", "body",
+            "severity_text", "severity_number",
+            F.col("attributes")["env"].alias("env"),
+        )
+
+    reg(
+        "t_config_pipeline",
+        t_config_pipeline,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx, text AS body,
+       severity_text, severity_number, 'prod' AS env
+FROM parsed
+WHERE NOT coalesce(role = 'system', false)
+  AND coalesce(severity_number >= 17, false)""",
+    )
+
     _register_events(reg)
     _register_documents(reg)
     _register_embeddings(reg)
