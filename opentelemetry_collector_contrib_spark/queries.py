@@ -1155,6 +1155,59 @@ WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 GROUP BY cntrycode""",
     )
 
+    # ---- q2: per-group argmin join-back (correlated MIN subquery,
+    # decorrelated; deterministic tie-break via second agg) -------------------
+    def q2_min_cost_supplier(spark, sf_dir):
+        from .relational import min_cost_supplier
+
+        return min_cost_supplier(
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "supplier"),
+            _t(spark, sf_dir, "part"),
+        )
+
+    reg(
+        "q2_min_cost_supplier",
+        q2_min_cost_supplier,
+        """WITH cost AS (
+  SELECT l_partkey, l_suppkey, round(avg(l_extendedprice), 4) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), winners AS (
+  SELECT l_partkey, avg_price, min(l_suppkey) AS s_suppkey
+  FROM cost c
+  WHERE avg_price = (SELECT min(avg_price) FROM cost c2
+                     WHERE c2.l_partkey = c.l_partkey)
+  GROUP BY l_partkey, avg_price
+)
+SELECT p_partkey, p_name, w.s_suppkey, s_name,
+       avg_price AS min_avg_price
+FROM winners w
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON w.s_suppkey = supplier.s_suppkey
+WHERE p_size = 10""",
+    )
+
+    # ---- q20: nested EXISTS as stacked left-semi joins ----------------------
+    def q20_promo_part_suppliers(spark, sf_dir):
+        from .relational import promo_part_suppliers
+
+        return promo_part_suppliers(
+            _t(spark, sf_dir, "lineitem"),
+            _t(spark, sf_dir, "part"),
+            _t(spark, sf_dir, "supplier"),
+        )
+
+    reg(
+        "q20_promo_part_suppliers",
+        q20_promo_part_suppliers,
+        """SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_quantity > 45
+    AND EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey AND p_type = 'PROMO'))""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # multimodal: opaque binary payload + typed metadata (multimodal.py)

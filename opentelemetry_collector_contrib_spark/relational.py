@@ -617,3 +617,67 @@ def global_sales_opportunity(
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+    size_limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so "cost" is the supplier's
+    average sale price of the part over lineitem). The defining operator
+    is the correlated MIN subquery decorrelated as a per-group aggregate
+    joined back on (group, value) — same family as Q15's global max but
+    PER PART, so the join-back is a shuffle join on the part key, not a
+    1-row broadcast. Ties (several suppliers at the min price) resolve
+    deterministically by min s_suppkey — a second agg, not a window, so
+    both phases keep map-side partials."""
+    cost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("avg_price").alias("min_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    winners = (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("avg_price") == F.col("min_price")),
+        )
+        .groupBy("l_partkey", "avg_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    p = part.filter(F.col("p_size") == size_limit).select("p_partkey", "p_name")
+    return (
+        winners.join(F.broadcast(p), winners.l_partkey == p.p_partkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                F.col("avg_price").alias("min_avg_price"))
+    )
+
+
+def promo_part_suppliers(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+    min_qty: float = 45.0,
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers who shipped a PROMO-type part
+    in large quantity — a semi join whose probe set is itself produced by
+    a semi join (nested EXISTS). Both levels compile to LeftSemi hash
+    joins: lineitem rows semi-filtered by the promo part set (broadcast),
+    then suppliers semi-filtered by the surviving supplier keys. No
+    count-distinct, no explosion — the classic way to keep nested EXISTS
+    scale-safe."""
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    big_lines = (
+        lineitem.filter(F.col("l_quantity") > min_qty)
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(big_lines, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+        .select("s_suppkey", "s_name")
+    )
