@@ -631,9 +631,13 @@ def min_cost_supplier(
     1-row broadcast. Ties (several suppliers at the min price) resolve
     deterministically by min s_suppkey — a second agg, not a window, so
     both phases keep map-side partials."""
+    # persisted for the same reason as important_parts: the min-per-group
+    # branch would otherwise re-scan lineitem; the partial is
+    # |parts×suppliers-with-sales| rows × 3 columns
     cost = (
         lineitem.groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+        .persist()
     )
     best = (
         cost.groupBy("l_partkey")

@@ -304,3 +304,40 @@ def test_q22_anti_join_with_pushed_build_filter(spark):
     assert "CartesianProduct" not in plan
     # totalprice predicate is pushed into the orders parquet scan
     assert "GreaterThan(o_totalprice" in plan
+
+
+def test_q2_single_lineitem_scan(spark):
+    """Q2's argmin join-back derives the per-part minimum from the SAME
+    persisted (part, supplier) partial it joins against — one lineitem
+    scan, not one per branch."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        min_cost_supplier,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = min_cost_supplier(t("lineitem"), t("supplier"), t("part"))
+    plan = _plan(q)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q20_both_exists_levels_are_semi_joins(spark):
+    """Q20's nested EXISTS compiles to two stacked LeftSemi hash joins —
+    never an inner join that would duplicate supplier rows per matching
+    lineitem, and never a count-distinct."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        promo_part_suppliers,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    q = promo_part_suppliers(t("lineitem"), t("part"), t("supplier"))
+    plan = _plan(q)
+    assert plan.count("LeftSemi") >= 2
+    assert "HashAggregate" not in plan.split("LeftSemi")[0]
