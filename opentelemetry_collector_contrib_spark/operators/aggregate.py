@@ -114,3 +114,36 @@ def delta_to_cumulative(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return df.withColumn(to, F.sum(value_col).over(w))
+
+
+def interval_last(
+    df,
+    keys: list[str],
+    seq_col: str,
+    value_cols: list[str],
+    ts_col: str = "ts",
+    interval_seconds: int = 3600,
+):
+    """interval processor, batch form (processor/intervalprocessor/
+    processor.go:97-231): per stream identity per interval, keep the
+    LAST-received datapoint (the processor overwrites its per-identity
+    state on every arrival and flushes on the interval tick; arrival
+    order = ``seq_col``, the ingestion sequence). The streaming per-key
+    state form is streaming/stateful.last_seen_stream.
+
+    Spark shape: tumbling bucket from the event time + ``max_by`` per
+    value column — ONE shuffle on (keys, bucket), and max_by keeps
+    map-side partials (each partition contributes its local winner).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = (
+        (F.floor(F.col(ts_col).cast("long") / interval_seconds)
+         * interval_seconds).cast("long").alias("interval_start")
+    )
+    aggs = [
+        F.max_by(F.col(c), F.col(seq_col)).alias(f"last_{c}")
+        for c in value_cols
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_seen"))
+    return df.groupBy(*keys, bucket).agg(*aggs)

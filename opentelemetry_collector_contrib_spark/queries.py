@@ -1344,6 +1344,31 @@ FROM mapped GROUP BY 1, 2""",
 FROM events GROUP BY 1, 2""",
     )
 
+    # interval processor, batch form: last-received datapoint per stream
+    # identity per interval (processor/intervalprocessor/processor.go:97-231)
+    def e_interval_last(spark, sf_dir):
+        from .operators.aggregate import interval_last
+
+        return interval_last(
+            _ev(spark, sf_dir).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ),
+            keys=["user_id"],
+            seq_col="event_id",
+            value_cols=["value", "event_type"],
+        )
+
+    reg(
+        "e_interval_last",
+        e_interval_last,
+        """SELECT user_id,
+       (floor(epoch(ts))::BIGINT // 3600) * 3600 AS interval_start,
+       arg_max(value, event_id) AS last_value,
+       arg_max(event_type, event_id) AS last_event_type,
+       count(*)::BIGINT AS n_seen
+FROM events GROUP BY 1, 2""",
+    )
+
     # uri_parser (parser/uri → parse_url)
     def e_uri_parse(spark, sf_dir):
         df = _ev(spark, sf_dir).withColumn(
