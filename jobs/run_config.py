@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--cores", default=None)
     ap.add_argument("--show", type=int, default=5,
                     help="rows to print per debug exporter")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run continuously via Structured Streaming "
+                         "(drains current input with availableNow)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="required with --streaming")
     args = ap.parse_args()
 
     from opentelemetry_collector_contrib_spark.config import CollectorConfig
@@ -41,6 +46,15 @@ def main() -> int:
 
     cfg = CollectorConfig(args.config)
     spark = get_spark("otel-config-pipeline", cores=args.cores)
+
+    if args.streaming:
+        if not args.checkpoint_dir:
+            ap.error("--streaming requires --checkpoint-dir")
+        t0 = time.time()
+        q = cfg.run_streaming(spark, args.checkpoint_dir)
+        q.awaitTermination()
+        print(f"streaming drain complete, wall: {time.time() - t0:.2f}s")
+        return 0
 
     t0 = time.time()
     # run() writes file exporters (value = output path) and returns the
