@@ -116,6 +116,42 @@ def delta_to_cumulative(
     return df.withColumn(to, F.sum(value_col).over(w))
 
 
+def delta_to_rate(
+    df,
+    keys: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_by: list[str] | None = None,
+    to: str = "rate",
+):
+    """deltatorate processor (processor/deltatorateprocessor): convert
+    per-stream delta values to per-second rates — value divided by the
+    seconds elapsed since the stream's previous datapoint. The first
+    point of each stream has no reference interval and yields NULL (the
+    reference skips it), as does a zero-length interval.
+
+    Same single window shuffle on the stream identity as
+    cumulative_to_delta / delta_to_cumulative — a pipeline chaining the
+    three reuses one Exchange. The interval is computed as an integer
+    microsecond difference (timestampdiff) rather than a double epoch
+    cast: it works on TIMESTAMP_NTZ, is timezone-free, and the
+    micros→seconds division is bit-identical across engines."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order_by = order_by or [ts_col]
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w))
+    dt = (
+        F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    return out.withColumn(
+        to, F.when(dt > 0, F.col(value_col) / dt)
+    ).drop("_prev_ts")
+
+
 def interval_last(
     df,
     keys: list[str],

@@ -640,6 +640,40 @@ WHERE NOT coalesce(role = 'system', false)
   AND coalesce(severity_number >= 17, false)""",
     )
 
+    # ---- t_pii_scrub: text-column PII/secret scrubbing --------------------
+    # (the text analog of redactionprocessor's blocked-value masking —
+    # processor.go:158-241 — applied to the raw transcript text before it
+    # can enter a training corpus). Masks emails/IPv4/long-hex ids (the
+    # call_id tokens)/long digit runs and counts matches per category.
+    # Zero shuffles: one narrow projection pipelined into the scan.
+    def t_pii_scrub(spark, sf_dir):
+        from .textops import pii_scrub
+
+        fx = ensure_fixture_dir(sf_dir)
+        df = read_transcripts(spark, fx)
+        return pii_scrub(df, id_cols=("conv_id", "turn_idx"))
+
+    from .textops import PII_PATTERNS
+
+    _pii_counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    _pii_scrubbed = "text"
+    for _name, _pat, _repl in PII_PATTERNS:
+        _pii_scrubbed = (
+            f"regexp_replace({_pii_scrubbed}, '{_pat}', '{_repl}', 'g')"
+        )
+
+    reg(
+        "t_pii_scrub",
+        t_pii_scrub,
+        f"""SELECT conv_id, turn_idx,
+       {_pii_counts},
+       {_pii_scrubbed} AS scrubbed_text
+FROM {_TR}""",
+    )
+
     _register_events(reg)
     _register_documents(reg)
     _register_embeddings(reg)
@@ -1415,6 +1449,34 @@ FROM events""",
 FROM events""",
     )
 
+    # ---- e_delta_rate: deltatorate processor -------------------------------
+    # (processor/deltatorateprocessor): per (user_id, event_type) stream in
+    # (ts, event_id) order, rate = value / seconds since previous point;
+    # first point of each stream NULL. One window shuffle on the stream
+    # identity (shared with e_cum_to_delta / e_delta_to_cum when chained).
+    def e_delta_rate(spark, sf_dir):
+        from .operators.aggregate import delta_to_rate
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = delta_to_rate(
+            ev, keys=["user_id", "event_type"], value_col="value",
+            ts_col="ts", order_by=["ts", "event_id"],
+        )
+        return out.select(
+            "event_id",
+            F.round(F.col("rate"), 6).alias("rate"),
+        )
+
+    reg(
+        "e_delta_rate",
+        e_delta_rate,
+        """SELECT event_id,
+       round(value / nullif(date_diff('microsecond', lag(ts) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)
+         / 1000000.0, 0), 6) AS rate
+FROM events""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # documents: training-data text ops (dedup / quality / langid / fingerprint)
@@ -1711,6 +1773,38 @@ FROM totals t LEFT JOIN re r ON r.doc_id = t.doc_id""",
 SELECT doc_id, reject_reason,
        CASE WHEN reject_reason = 'kept' THEN 1 ELSE 0 END AS keep
 FROM r""",
+    )
+
+    # ---- d_pack_sequences: concat-then-split sequence packing --------------
+    # Lay documents end to end in doc_id order, cut the token stream into
+    # 256-token training blocks; each doc reports its starting pack + offset.
+    # Spark side is a two-phase distributed prefix sum (range partition →
+    # per-partition window cumsum → O(P)-row exclusive offsets broadcast
+    # back) — NO corpus-wide single-partition window; the oracle is the
+    # straightforward global-window cumsum DuckDB can afford at sf0.01.
+    def d_pack_sequences(spark, sf_dir):
+        from .textops import pack_sequences
+
+        return pack_sequences(_docs(spark, sf_dir), budget=256)
+
+    reg(
+        "d_pack_sequences",
+        d_pack_sequences,
+        """WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (prev // 256)::BIGINT AS pack_id,
+       (prev % 256)::BIGINT AS pack_offset
+FROM c""",
     )
 
 

@@ -441,3 +441,114 @@ def quality_filter_pipeline(
         reason.alias("reject_reason"),
         (reason == "kept").cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / secret scrubbing
+# ---------------------------------------------------------------------------
+
+# (category, pattern, replacement) — applied IN ORDER; order matters because
+# later patterns can match inside earlier replacements' surroundings (e.g. a
+# pure-digit 8+ char token is masked as a hex id before the number rule sees
+# it). Patterns are written in the common Java-regex/RE2 subset so the exact
+# same strings drive Spark's regexp_replace and the DuckDB oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("hex_id", r"\b[0-9a-f]{8,}\b", "<HEX>"),
+    ("number", r"\b\d{4,}\b", "<NUM>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """PII / secret scrubbing for training corpora: mask emails, IPv4
+    addresses, long hex tokens (session/call ids, api-key-ish strings)
+    and long digit runs (phone-ish/account-ish numbers), and report a
+    per-category match count per record.
+
+    The reference's redaction processor (redactionprocessor/processor.go:
+    158-241) masks *attribute values* by blocked-value regex; this is the
+    text-column analog a 100 TB corpus pipeline needs before training.
+
+    Pure Column expressions — counts via regexp_extract_all + size,
+    masking via chained regexp_replace. Zero shuffles, whole-stage
+    codegen, pipelined into the scan. Counts are taken on the ORIGINAL
+    text (a token matching two categories is counted by both);
+    replacements are sequential, so the first matching category wins the
+    rewrite."""
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        *id_cols, *counts, scrubbed.alias("scrubbed_text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-split into fixed token-budget bins)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-split sequence packing: lay documents end to end in
+    deterministic ``order_col`` order and cut the token stream into
+    fixed ``budget``-token training blocks. Each doc reports the pack it
+    STARTS in and its token offset inside that pack.
+
+    Scale shape — a naive ``Window.orderBy(order_col)`` global cumsum
+    collapses the corpus into ONE partition; at 100 TB that is the whole
+    job on one core. Instead this is the classic two-phase distributed
+    prefix sum:
+
+      1. range-partition by ``order_col`` (partition ids follow key
+         order), cumsum *within* each partition via a partitioned window;
+      2. aggregate one total per partition (O(P) rows), exclusive-prefix
+         them with a window over that tiny P-row side, and broadcast-join
+         the offsets back.
+
+    The only global ordering work is over P rows, never over the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(_words(F.col(text_col))).cast("long")
+    df = docs.select(F.col(order_col).alias("doc_id"), toks.alias("n_tokens"))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy("doc_id")
+    part = part.withColumn(
+        "_local_prev", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    # global window over O(P) rows only — the corpus never single-partitions
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    prev = F.col("_off") + F.col("_local_prev")
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(prev / budget).cast("long").alias("pack_id"),
+            (prev % budget).cast("long").alias("pack_offset"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Tests for sequence packing, PII scrubbing, and deltatorate.
+
+pack_sequences is the two-phase distributed prefix sum — the tests pin
+(a) exact agreement with a single-threaded reference cumsum, (b) the
+plan shape: the corpus-side window is partitioned (no global-order
+window over the data), with the only unpartitioned window running over
+the O(P)-row partition-totals side.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    delta_to_rate,
+)
+from opentelemetry_collector_contrib_spark.textops import (
+    pack_sequences,
+    pii_scrub,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 40)))
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_matches_reference_cumsum(docs):
+    budget = 64
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, budget=budget).collect()
+    }
+    # single-threaded reference
+    rows = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in docs.collect()
+    )
+    prev = 0
+    for doc_id, n in rows:
+        assert got[doc_id] == (n, prev // budget, prev % budget), doc_id
+        prev += n
+
+
+def test_pack_sequences_is_distributed(docs):
+    plan = pack_sequences(docs, budget=64)._jdf.queryExecution().executedPlan().toString()
+    # corpus-side cumsum window is partitioned by _pid
+    assert "_pid" in plan
+    # range partitioning (ordered partition ids), not a global sort of the corpus
+    assert "rangepartitioning" in plan.lower()
+    # the offsets side is broadcast back, never shuffled wide
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_budget_invariants(docs):
+    out = pack_sequences(docs, budget=32).collect()
+    assert all(0 <= r["pack_offset"] < 32 for r in out)
+    # pack ids non-decreasing in doc order
+    by_doc = sorted(out, key=lambda r: r["doc_id"])
+    assert all(
+        a["pack_id"] <= b["pack_id"] for a, b in zip(by_doc, by_doc[1:])
+    )
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org now"),
+            (2, "from 10.0.254.3 token deadbeefcafe1234"),
+            (3, "acct 123456789 pin 9999"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 1
+    assert "<EMAIL>" in got[1]["scrubbed_text"]
+    assert "bob" not in got[1]["scrubbed_text"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_hex_id"] == 1
+    assert got[2]["scrubbed_text"] == "from <IP> token <HEX>"
+    # 123456789 is 9 digits: matches BOTH hex_id (counted) and number —
+    # hex replacement runs first, so it rewrites as <HEX>
+    assert got[3]["n_hex_id"] == 1 and got[3]["n_number"] == 2
+    assert got[3]["scrubbed_text"] == "acct <HEX> pin <NUM>"
+    r4 = got[4]
+    assert (
+        r4["n_email"] == r4["n_ipv4"] == r4["n_hex_id"] == r4["n_number"] == 0
+    )
+    assert r4["scrubbed_text"] == "clean text only"
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_delta_to_rate(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 00:00:02", 5.0),
+            ("a", "2024-01-01 00:00:02.5", 1.0),
+            ("b", "2024-01-01 00:00:00", 7.0),
+        ],
+        "k string, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    got = {
+        (r["k"], r["value"]): r["rate"]
+        for r in delta_to_rate(df, keys=["k"]).collect()
+    }
+    assert got[("a", 10.0)] is None  # first point: no reference interval
+    assert got[("a", 5.0)] == 2.5  # 5 over 2s
+    assert got[("a", 1.0)] == 2.0  # 1 over 0.5s
+    assert got[("b", 7.0)] is None
