@@ -1807,6 +1807,24 @@ SELECT doc_id, n_tokens,
 FROM c""",
     )
 
+    # ---- d_seeded_shuffle: reproducible global corpus permutation ----------
+    # rank 0..N-1 under order-by-md5(seed|doc_id); Spark side is the same
+    # two-phase distributed row_number as d_pack_sequences (no corpus-wide
+    # single-partition sort).
+    def d_seeded_shuffle(spark, sf_dir):
+        from .textops import seeded_shuffle
+
+        return seeded_shuffle(_docs(spark, sf_dir), seed=42)
+
+    reg(
+        "d_seeded_shuffle",
+        d_seeded_shuffle,
+        """SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('42|' || doc_id::VARCHAR)) - 1
+         )::BIGINT AS shuffle_rank
+FROM documents""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search

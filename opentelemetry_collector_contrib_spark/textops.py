@@ -552,3 +552,44 @@ def pack_sequences(
             (prev % budget).cast("long").alias("pack_offset"),
         )
     )
+
+
+def seeded_shuffle(
+    docs: DataFrame,
+    seed: int = 42,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training corpora: assign every
+    document a dense shuffle rank 0..N-1 under a seeded pseudo-random
+    permutation (order by md5(seed|key)). Rerunning with the same seed
+    reproduces the exact epoch order — the property a resumable training
+    job needs and ``df.orderBy(rand())`` cannot give.
+
+    Same two-phase distributed shape as pack_sequences: range-partition
+    by the hash key (partition ids follow key order), per-partition
+    row_number, then an O(P)-row exclusive count-prefix broadcast back.
+    The corpus itself is never globally sorted into one partition."""
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(order_col).cast("string"))
+    )
+    df = docs.select(F.col(order_col).alias("doc_id"), key.alias("_k"))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, "_k").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy("_k")
+    part = part.withColumn("_local_rank", F.row_number().over(w_local) - 1)
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return part.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        (F.col("_off") + F.col("_local_rank")).cast("long").alias(
+            "shuffle_rank"
+        ),
+    )

@@ -114,3 +114,22 @@ def test_delta_to_rate(spark):
     assert got[("a", 5.0)] == 2.5  # 5 over 2s
     assert got[("a", 1.0)] == 2.0  # 1 over 0.5s
     assert got[("b", 7.0)] is None
+
+
+def test_seeded_shuffle_is_a_reproducible_permutation(docs):
+    from opentelemetry_collector_contrib_spark.textops import seeded_shuffle
+
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in seeded_shuffle(docs, seed=7).collect()}
+    # dense permutation 0..N-1
+    assert sorted(a.values()) == list(range(200))
+    # same seed reproduces exactly
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in seeded_shuffle(docs, seed=7).collect()}
+    assert a == b
+    # a different seed is a different permutation
+    c = {r["doc_id"]: r["shuffle_rank"]
+         for r in seeded_shuffle(docs, seed=8).collect()}
+    assert c != a
+    # not the identity order
+    assert [a[i] for i in range(200)] != list(range(200))
