@@ -1,0 +1,71 @@
+"""spark-submit entrypoint for incremental (delta-only) ingest — the
+filelog receiver's checkpointed tail as a scheduled batch job.
+
+Each invocation is one poll: list the input directory, diff against the
+committed file set, parse ONLY the new/changed files through the
+transcript parse stage, and append the result to the cumulative output
+table under a batch_id partition (idempotent on replay). Run it from
+cron/Airflow at whatever cadence data lands; reprocessing cost is the
+delta, never the corpus.
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_incremental.py --input /path/to/transcripts_dir \
+      --out /path/to/parsed_cumulative
+
+Local smoke (run twice — the second poll is a no-op):
+  python jobs/run_incremental.py --input /root/testdata/sf0.001 \
+      --out /tmp/otel_incr --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="growing transcripts dir")
+    ap.add_argument("--out", required=True, help="cumulative output dir")
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_transcripts,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.sources.incremental import (
+        IncrementalFileSource,
+    )
+
+    fixture_dir = ensure_fixture_dir(args.input)
+    spark = get_spark("otel-incremental-ingest", cores=args.cores)
+
+    src = IncrementalFileSource(
+        spark,
+        os.path.join(fixture_dir, "transcripts.parquet"),
+        args.out,
+    )
+    rec = src.poll(parse_transcripts)
+    if rec is None:
+        print("poll: nothing new")
+    else:
+        print(
+            f"poll: batch_id={rec['batch_id']} files={rec['n_new_files']} "
+            f"rows={rec['rows_out']}"
+        )
+        src.metrics().show()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

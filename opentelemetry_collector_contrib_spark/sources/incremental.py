@@ -1,0 +1,192 @@
+"""Incremental file-level ingest — the filelog receiver's checkpointed
+tail, batch form.
+
+Reference analog: the collector's fileconsumer keeps a fingerprint →
+offset map in the storage extension so each poll reads only bytes it has
+not consumed (pkg/stanza/fileconsumer/file.go:107 poll loop,
+internal/checkpoint/checkpoint.go:20-45, design.md fingerprints §). For
+an immutable-file table (parquet/Iceberg data files are never appended
+in place) the natural offset granularity is the FILE: a poll processes
+exactly the files that have appeared (or changed) since the last
+committed poll, and appends their transformed rows to a cumulative
+output table. At 10^12 turns with daily arrivals this is the difference
+between reprocessing the corpus and processing the delta.
+
+Differences from plans/runner.PipelineRunner (stage-level resume): the
+runner skips a stage only when its WHOLE input fingerprint is unchanged —
+any new source file recomputes the stage over everything. This source
+makes the ingest stage itself incremental; downstream stages can then
+hang off the cumulative table (append-only, so count/sum-style
+aggregates are re-runnable or maintainable as partial rollups).
+
+Exactly-once contract (same shape as the streaming sinks'
+batch_id-scoped idempotence): each poll writes to its own
+``batch_id=N`` subdirectory with mode=overwrite, THEN commits the file
+set via tmp-file + os.replace. A crash between the two replays the same
+batch into the same directory — overwrite, not duplicate. Readers see
+the union of committed batch directories through a plain partitioned
+read (the batch_id partition column doubles as ingest lineage).
+
+Scale notes: state is O(files) driver-side JSON — the same cardinality
+the collector's storage extension carries; listings use os.walk once per
+poll. Per-file row counts (lineage) ride the same cheap
+input_file_name() metadata job the runner uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_FILE = "_ingest_state.json"
+
+
+def _list_files(input_dir: str) -> dict[str, list]:
+    """{relpath: [size, mtime_ns]} for every data file under input_dir
+    (a single-file path is a one-file table, same as
+    plans/runner.source_fingerprint)."""
+    out: dict[str, list] = {}
+    if os.path.isfile(input_dir):
+        st = os.stat(input_dir)
+        out[os.path.basename(input_dir)] = [st.st_size, st.st_mtime_ns]
+        return out
+    for root, _dirs, files in os.walk(input_dir):
+        for name in sorted(files):
+            if name.startswith((".", "_")):
+                continue
+            fp = os.path.join(root, name)
+            st = os.stat(fp)
+            out[os.path.relpath(fp, input_dir)] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+class IncrementalFileSource:
+    """Checkpointed incremental scan over a growing directory of
+    immutable data files.
+
+    ``poll(transform)`` lists the directory, diffs against the committed
+    file set, runs ``transform(new_files_df)`` over ONLY the new/changed
+    files, writes the result to ``out_dir/batch_id=N/`` (overwrite →
+    idempotent replay), and commits the updated file set. Returns the
+    batch info dict, or None when nothing is new.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        out_dir: str,
+        fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.input_dir = input_dir
+        self.out_dir = out_dir
+        self.fmt = fmt
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- state --------------------------------------------------------------
+    def _state_path(self) -> str:
+        return os.path.join(self.out_dir, STATE_FILE)
+
+    def _load_state(self) -> dict:
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"files": {}, "batches": []}
+
+    def _commit_state(self, state: dict) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self._state_path())
+
+    # -- polling ------------------------------------------------------------
+    def pending_files(self) -> list[str]:
+        """Relative paths that are new or changed since the last commit
+        (a changed (size, mtime) pair reprocesses the file — the analog
+        of fileconsumer detecting truncation/rewrite)."""
+        state = self._load_state()
+        current = _list_files(self.input_dir)
+        return sorted(
+            rel for rel, sig in current.items()
+            if state["files"].get(rel) != sig
+        )
+
+    def poll(
+        self,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> dict | None:
+        state = self._load_state()
+        current = _list_files(self.input_dir)
+        new = sorted(
+            rel for rel, sig in current.items()
+            if state["files"].get(rel) != sig
+        )
+        if not new:
+            return None
+
+        batch_id = len(state["batches"])
+        if os.path.isfile(self.input_dir):
+            paths = [self.input_dir]
+        else:
+            paths = [os.path.join(self.input_dir, rel) for rel in new]
+        df = self.spark.read.format(self.fmt).load(paths)
+        if transform is not None:
+            df = transform(df)
+
+        # idempotent batch-scoped sink: replay after a crash between the
+        # write and the state commit overwrites the SAME directory
+        batch_dir = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        df.write.format(self.fmt).mode("overwrite").save(batch_dir)
+
+        out = self.spark.read.format(self.fmt).load(batch_dir)
+        lineage_rows = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        rows_out = int(sum(r["rows"] for r in lineage_rows))
+
+        record = {
+            "batch_id": batch_id,
+            "n_new_files": len(new),
+            "new_files": new,
+            "rows_out": rows_out,
+        }
+        state["files"].update({rel: current[rel] for rel in new})
+        state["batches"].append(record)
+        self._commit_state(state)
+        return record
+
+    # -- reading back --------------------------------------------------------
+    def table(self) -> DataFrame:
+        """The cumulative output across all committed batches; batch_id is
+        a partition column (ingest lineage, prunable)."""
+        state = self._load_state()
+        committed = [b["batch_id"] for b in state["batches"]]
+        if not committed:
+            raise FileNotFoundError(f"no committed batches in {self.out_dir}")
+        df = (
+            self.spark.read.format(self.fmt)
+            .option("basePath", self.out_dir)
+            .load([
+                os.path.join(self.out_dir, f"batch_id={b}") for b in committed
+            ])
+        )
+        return df
+
+    def metrics(self) -> DataFrame:
+        """One row per committed poll: batch_id, files, rows."""
+        state = self._load_state()
+        return self.spark.createDataFrame(
+            [
+                (b["batch_id"], b["n_new_files"], b["rows_out"])
+                for b in state["batches"]
+            ],
+            "batch_id int, n_new_files int, rows_out long",
+        )
