@@ -43,7 +43,7 @@ connectors   routing {table: [{condition, pipelines}], default_pipelines,
                       match_once}
              count {dims, conditions}
              sum {source_attribute, dims}
-exporters    file {path, group_by}     partitioned parquet write
+exporters    file {path, group_by, rotation.max_records_per_file, compression}
              debug / noop              DataFrame returned, not written
 
 Unknown component types raise ConfigError — silently skipping a stage a
@@ -770,16 +770,30 @@ class CollectorConfig:
 
     # -- run ----------------------------------------------------------------
 
+    @staticmethod
+    def _file_writer(df: DataFrame, ecfg: dict):
+        """Shared file-exporter write config: group_by fan-out
+        (grouping_file_exporter.go:115-227), rotation as a row cap
+        (config.go:22-96 rotation.max_megabytes analog — Spark write
+        tasks roll files at the cap), compression codec (zstd there,
+        any Spark codec here)."""
+        w = df.write.mode("overwrite")
+        if ecfg.get("group_by"):
+            w = w.partitionBy(ecfg["group_by"])
+        rot = ecfg.get("rotation") or {}
+        if rot.get("max_records_per_file"):
+            w = w.option("maxRecordsPerFile", int(rot["max_records_per_file"]))
+        if ecfg.get("compression"):
+            w = w.option("compression", ecfg["compression"])
+        return w
+
     def run(self, spark: SparkSession) -> dict[str, Any]:
         outputs = self.build(spark)
         written = {}
         for exp, df in outputs.items():
             ecfg = self._component("exporters", exp)
             if _base_type(exp) == "file":
-                w = df.write.mode("overwrite")
-                if ecfg.get("group_by"):
-                    w = w.partitionBy(ecfg["group_by"])
-                w.parquet(ecfg["path"])
+                self._file_writer(df, ecfg).parquet(ecfg["path"])
                 written[exp] = ecfg["path"]
             else:  # debug / noop → return the DataFrame
                 written[exp] = df
@@ -860,10 +874,7 @@ class CollectorConfig:
                 ecfg = file_exporters.get(exp)
                 if ecfg is None:
                     continue  # debug/noop sinks are batch-run conveniences
-                w = df.write.mode("overwrite")
-                if ecfg.get("group_by"):
-                    w = w.partitionBy(ecfg["group_by"])
-                w.parquet(
+                self._file_writer(df, ecfg).parquet(
                     os.path.join(ecfg["path"], f"batch_id={batch_id}")
                 )
 

@@ -95,21 +95,32 @@ class Router:
         return out
 
     def write_routed(
-        self, df: DataFrame, base_path: str, fmt: str = "parquet"
+        self,
+        df: DataFrame,
+        base_path: str,
+        fmt: str = "parquet",
+        max_records_per_file: int | None = None,
+        compression: str | None = None,
     ) -> None:
         """Scale path: ONE pass over the input — tag (or explode the
         multi-match tag array), then a single partitionBy(route) write.
         At 100 TB this beats N filtered scans by ~N×; the explode only
-        duplicates rows that actually multi-match."""
+        duplicates rows that actually multi-match.
+
+        ``max_records_per_file`` is the fileexporter rotation analog
+        (exporter/fileexporter/config.go:22-96 rotation max_megabytes →
+        here a row cap: Spark's write tasks roll to a new file at the
+        cap); ``compression`` maps the exporter's compression option
+        (zstd there; any Spark codec here, e.g. zstd/snappy/gzip)."""
         if self.match_once:
             tagged = self.tag(df)
         else:
             tagged = self.tags_multi(df).withColumn(
                 "route", F.explode_outer("routes")
             ).drop("routes")
-        (
-            tagged.write.mode("overwrite")
-            .partitionBy("route")
-            .format(fmt)
-            .save(base_path)
-        )
+        writer = tagged.write.mode("overwrite").partitionBy("route")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        writer.format(fmt).save(base_path)

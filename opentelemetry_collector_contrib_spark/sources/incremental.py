@@ -190,3 +190,56 @@ class IncrementalFileSource:
             ],
             "batch_id int, n_new_files int, rows_out long",
         )
+
+
+class MaintainedRollup:
+    """Incrementally-maintained aggregate over an append-only ingest —
+    the count/sum connector kept current across polls without rescanning
+    the corpus.
+
+    Per batch, ``update`` writes a PARTIAL aggregate (groupBy keys →
+    count + per-measure sum) to ``agg_dir/batch_id=N`` (overwrite →
+    idempotent replay, same contract as the ingest batches).
+    ``snapshot`` merges the partials: O(batches × groups) rows, never
+    O(ingested rows). Only algebraic measures are offered (count/sum
+    merge by sum) — the same guard the salted conversation rollup
+    enforces; holistic aggregates (distinct, median) need the corpus and
+    belong on the cumulative table instead.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        agg_dir: str,
+        keys: list[str],
+        sum_cols: list[str] | None = None,
+        fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.agg_dir = agg_dir
+        self.keys = list(keys)
+        self.sum_cols = list(sum_cols or [])
+        self.fmt = fmt
+        os.makedirs(agg_dir, exist_ok=True)
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
+        return df.groupBy(*self.keys).agg(*aggs)
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        part_dir = os.path.join(self.agg_dir, f"batch_id={batch_id}")
+        self._partial(batch_df).write.format(self.fmt).mode(
+            "overwrite"
+        ).save(part_dir)
+
+    def snapshot(self) -> DataFrame:
+        """Merged aggregate across all committed batches."""
+        merged = (
+            self.spark.read.format(self.fmt)
+            .option("basePath", self.agg_dir)
+            .load(self.agg_dir)
+        )
+        aggs = [F.sum("n").alias("n")]
+        aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols]
+        return merged.groupBy(*self.keys).agg(*aggs)

@@ -91,3 +91,113 @@ def test_incremental_reprocesses_changed_file(spark, tmp_path):
     assert pend and all("day=1" in f for f in pend)
     rec = src.poll()
     assert rec["batch_id"] == 1 and rec["rows_out"] == 25
+
+
+def test_maintained_rollup_matches_full_recompute(spark, tmp_path):
+    """Per-batch partial aggregates merged algebraically equal a full
+    groupBy over the cumulative table — without rescanning it."""
+    from opentelemetry_collector_contrib_spark.sources.incremental import (
+        MaintainedRollup,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    agg_dir = str(tmp_path / "agg")
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    roll = MaintainedRollup(
+        spark, agg_dir, keys=["k"], sum_cols=["v"]
+    )
+
+    def ingest():
+        rec = src.poll(lambda df: df.withColumn("k", F.col("id") % 3))
+        roll.update(src.table().filter(F.col("batch_id") == rec["batch_id"]),
+                    rec["batch_id"])
+        return rec
+
+    _write_part(spark, input_dir, "day=1", 0, 90)
+    ingest()
+    _write_part(spark, input_dir, "day=2", 90, 140)
+    ingest()
+
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    want = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in src.table()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
+
+    # replaying a batch update is idempotent (overwrite, not double-count)
+    roll.update(src.table().filter(F.col("batch_id") == 1), 1)
+    got2 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    assert got2 == want
+
+
+def test_write_routed_rotation_and_compression(spark, tmp_path):
+    """fileexporter rotation analog: maxRecordsPerFile rolls sink files
+    at the cap; compression sets the codec (visible in file names)."""
+    from opentelemetry_collector_contrib_spark.operators.route import (
+        Route,
+        Router,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("even")
+    )
+    router = Router([Route("evens", F.col("even"))], match_once=True)
+    base = str(tmp_path / "sinks")
+    router.write_routed(
+        df, base, max_records_per_file=100, compression="zstd"
+    )
+    files = [
+        f for f in os.listdir(os.path.join(base, "route=evens"))
+        if f.endswith(".parquet")
+    ]
+    # 500 even rows / cap 100 → at least 5 rolled files, zstd codec
+    assert len(files) >= 5
+    assert all(".zstd." in f for f in files)
+    got = spark.read.parquet(base)
+    assert got.filter(F.col("route") == "evens").count() == 500
+
+
+def test_config_exporter_rotation_compression(spark, tmp_path):
+    """YAML exporter rotation/compression options reach the write."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    out = str(tmp_path / "exported")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "exporters": {
+            "file": {
+                "path": out,
+                "group_by": "severity_text",
+                "rotation": {"max_records_per_file": 200},
+                "compression": "zstd",
+            }
+        },
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["transcripts"], "exporters": ["file"]}
+            }
+        },
+    })
+    cfg.run(spark)
+    role_dirs = [d for d in os.listdir(out) if d.startswith("severity_text=")]
+    assert role_dirs
+    files = [
+        f for f in os.listdir(os.path.join(out, role_dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    assert files and all(".zstd." in f for f in files)
+    # rotation: every file obeys the row cap
+    for d in role_dirs:
+        for f in os.listdir(os.path.join(out, d)):
+            if f.endswith(".parquet"):
+                n = spark.read.parquet(os.path.join(out, d, f)).count()
+                assert n <= 200
