@@ -1825,6 +1825,63 @@ FROM c""",
 FROM documents""",
     )
 
+    # ---- d_curation_pipeline: full raw→training-blocks curation DAG --------
+    # quality gate → PII scrub → exact dedup on scrubbed text (keep lowest
+    # doc_id) → sequence packing. One composed query proving the verified
+    # operators compose end to end with an exact oracle.
+    def d_curation_pipeline(spark, sf_dir):
+        from .textops import curation_pipeline
+
+        return curation_pipeline(_docs(spark, sf_dir), budget=128)
+
+    from .textops import PII_PATTERNS as _PII
+
+    _scrub_sql = "text"
+    for _n, _p, _r in _PII:
+        _scrub_sql = f"regexp_replace({_scrub_sql}, '{_p}', '{_r}', 'g')"
+
+    reg(
+        "d_curation_pipeline",
+        d_curation_pipeline,
+        f"""WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, text, len(w) AS n_tokens,
+         n_punct * 1.0 / n_chars AS punct_ratio,
+         len(list_filter(w, x -> x IN
+             ('the','a','of','and','to','in','is','it')))
+             * 1.0 / len(w) AS stop_ratio,
+         1.0 - len(list_distinct(w)) * 1.0 / len(w) AS dup_word_frac
+  FROM t
+), kept AS (
+  SELECT doc_id, text FROM s
+  WHERE NOT (n_tokens < 5 OR n_tokens > 100000 OR punct_ratio >= 0.2
+             OR stop_ratio < 0.05 OR dup_word_frac > 0.6)
+), scrub AS (
+  SELECT doc_id, {_scrub_sql} AS stext FROM kept
+), ranked AS (
+  SELECT doc_id, stext,
+         row_number() OVER (PARTITION BY md5(stext) ORDER BY doc_id) AS rn
+  FROM scrub
+), surv AS (
+  SELECT doc_id, len(string_split(stext, ' '))::BIGINT AS n_tokens
+  FROM ranked WHERE rn = 1
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM surv
+)
+SELECT doc_id, n_tokens,
+       (prev // 128)::BIGINT AS pack_id,
+       (prev % 128)::BIGINT AS pack_offset
+FROM c""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search

@@ -403,6 +403,7 @@ def quality_filter_pipeline(
     max_punct_ratio: float = 0.2,
     min_stopword_ratio: float = 0.05,
     max_dup_word_frac: float = 0.6,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Composed C4/Gopher-style corpus gate (Raffel et al. 2020 §2.2;
     Rae et al. 2021 A1.1): length bounds, punctuation-density cap,
@@ -438,6 +439,7 @@ def quality_filter_pipeline(
     )
     return docs.select(
         "doc_id",
+        *(passthrough_cols or []),
         reason.alias("reject_reason"),
         (reason == "kept").cast("int").alias("keep"),
     )
@@ -593,3 +595,32 @@ def seeded_shuffle(
             "shuffle_rank"
         ),
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    budget: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus curation as one composed DAG: quality gate →
+    PII scrub → exact dedup (on the scrubbed text) → sequence packing.
+    This is the complete "raw crawl to training blocks" path a 100 TB
+    pipeline runs; each stage is the already-verified operator, composed.
+
+    Plan shape (audited in tests): the gate + scrub stay a single
+    zero-shuffle projection pipelined into the scan; dedup is ONE hash
+    shuffle (window on md5(scrubbed), keep lowest doc_id — no join-back);
+    packing adds its range partition + the O(P)-row offsets side. Three
+    shuffles total end to end, none corpus-wide-to-one-partition."""
+    from pyspark.sql import Window as W
+
+    gated = quality_filter_pipeline(
+        docs, text_col=text_col, passthrough_cols=[text_col]
+    ).filter(F.col("keep") == 1)
+    scrubbed = pii_scrub(gated, text_col=text_col)
+    w_dup = W.partitionBy(F.md5(F.col("scrubbed_text"))).orderBy("doc_id")
+    survivors = (
+        scrubbed.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+    )
+    return pack_sequences(survivors, budget=budget, text_col="scrubbed_text")

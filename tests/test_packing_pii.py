@@ -133,3 +133,68 @@ def test_seeded_shuffle_is_a_reproducible_permutation(docs):
     assert c != a
     # not the identity order
     assert [a[i] for i in range(200)] != list(range(200))
+
+
+def test_curation_pipeline_composition(spark):
+    """curation_pipeline == quality gate → scrub → exact dedup → pack,
+    verified against the stepwise single-threaded reference."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        PII_PATTERNS,
+        curation_pipeline,
+    )
+    import re
+
+    rows = []
+    for i in range(60):
+        if i % 10 == 0:
+            text = "x"  # too_short: gated out
+        elif i % 10 == 1:
+            # duplicate pair (i, i+1 produce identical text after scrub)
+            text = "the a of and to token deadbeefcafe1234 is it fine"
+        elif i % 10 == 2:
+            text = "the a of and to token cafebabe12345678 is it fine"
+        else:
+            text = " ".join(
+                f"w{j}" for j in range(3 + (i * 5) % 30)
+            ) + " the a of and to in is it"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"])
+        for r in curation_pipeline(docs, budget=32).collect()
+    }
+
+    # stepwise reference
+    def scrub(t):
+        for _, p, rep in PII_PATTERNS:
+            t = re.sub(p, rep, t)
+        return t
+
+    kept = []
+    for i, text in rows:
+        w = text.split(" ")
+        stop = sum(1 for x in w if x in
+                   ("the", "a", "of", "and", "to", "in", "is", "it"))
+        punct = sum(1 for ch in text if ch in ".!?,;:")
+        if (len(w) < 5 or len(w) > 100000
+                or punct / len(text) >= 0.2
+                or stop / len(w) < 0.05
+                or 1.0 - len(set(w)) / len(w) > 0.6):
+            continue
+        kept.append((i, scrub(text)))
+    seen, surv = set(), []
+    for i, stext in kept:  # doc_id order; keep first per scrubbed text
+        if stext in seen:
+            continue
+        seen.add(stext)
+        surv.append((i, len(stext.split(" "))))
+    prev = 0
+    want = {}
+    for i, n in surv:
+        want[i] = (n, prev // 32, prev % 32)
+        prev += n
+    assert got == want
+    # the two hex-id docs scrubbed to IDENTICAL text → deduped to one
+    assert 1 in got and 2 not in got
+    assert all(i not in got for i in range(0, 60, 10))
