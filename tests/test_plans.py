@@ -341,3 +341,28 @@ def test_q20_both_exists_levels_are_semi_joins(spark):
     plan = _plan(q)
     assert plan.count("LeftSemi") >= 2
     assert "HashAggregate" not in plan.split("LeftSemi")[0]
+
+
+def test_chained_stream_processors_share_one_exchange(spark):
+    """cumulativetodelta → deltatorate chained on the same stream
+    identity plan with a SINGLE hashpartitioning Exchange: both windows
+    partition by the same keys, so Catalyst reuses the shuffle."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        cumulative_to_delta,
+        delta_to_rate,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    out = delta_to_rate(
+        cumulative_to_delta(
+            ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+        ),
+        keys=["user_id", "event_type"],
+        value_col="delta",
+        order_by=["ts", "event_id"],
+    )
+    plan = _plan(out, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # Catalyst even collapses the two same-spec windows into ONE node
+    assert plan.count("Window") == 1

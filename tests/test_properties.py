@@ -136,3 +136,43 @@ def test_jaccard_bounds_and_identity(spark, texts):
             p.doc_a == 0 and p.doc_b == len(texts) and p.jaccard == 1.0
             for p in pairs
         )
+
+
+@given(
+    sizes=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(4, 64),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_conserves_the_token_stream(spark, sizes, budget):
+    """Packing invariants on arbitrary corpora: offsets stay under the
+    budget, the (pack_id, pack_offset) stream is exactly the exclusive
+    cumsum of token counts in doc order, and total tokens are conserved."""
+    from opentelemetry_collector_contrib_spark.textops import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(docs, budget=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert all(0 <= r["pack_offset"] < budget for r in out)
+    prev = 0
+    for r, n in zip(out, sizes):
+        assert r["n_tokens"] == n
+        assert r["pack_id"] * budget + r["pack_offset"] == prev
+        prev += n
+    assert prev == sum(sizes)
+
+
+@given(n=st.integers(1, 120), seed=st.integers(0, 5))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_seeded_shuffle_permutation_property(spark, n, seed):
+    from opentelemetry_collector_contrib_spark.textops import seeded_shuffle
+
+    docs = spark.range(n).selectExpr("id as doc_id", "'x' as text")
+    ranks = [
+        r["shuffle_rank"] for r in seeded_shuffle(docs, seed=seed).collect()
+    ]
+    assert sorted(ranks) == list(range(n))
