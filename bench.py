@@ -129,8 +129,23 @@ def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
     return result
 
 
+def _cpu_steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — 0s if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return (0, 0)
+
+
 def _flagship_throughput_subprocess(cores: int, sf_dir: str) -> dict:
-    """Run ONLY the flagship DAG in a fresh JVM at local[cores]."""
+    """Run ONLY the flagship DAG in a fresh JVM at local[cores].
+
+    Steal-aware protocol: each attempt records the hypervisor CPU-steal
+    percentage observed over its own wall window (/proc/stat deltas), so
+    a rerun can tell engine capability from host noise per attempt
+    instead of asserting it after the fact."""
     code = (
         "import json,os,sys,time;"
         f"sys.path.insert(0,{os.path.dirname(os.path.abspath(__file__))!r});"
@@ -153,12 +168,17 @@ def _flagship_throughput_subprocess(cores: int, sf_dir: str) -> dict:
         "dt=time.monotonic()-t0;"
         f"print('RESULT '+json.dumps({{'cores':{cores},'sec':round(dt,3),'turns':n,'turns_per_sec':round(n/dt,1)}}))"
     )
+    s0, t0 = _cpu_steal_snapshot()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
+    s1, t1 = _cpu_steal_snapshot()
+    steal_pct = round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else 0.0
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            rec = json.loads(line[len("RESULT "):])
+            rec["steal_pct"] = steal_pct
+            return rec
     raise RuntimeError(f"scaling run local[{cores}] failed:\n{out.stderr[-3000:]}")
 
 
@@ -201,6 +221,8 @@ def run_scaling(sf_dir: str | None = None, lo: int | None = None,
         "hi": r_hi,
         "lo_all_sec": [r["sec"] for r in lo_runs],
         "hi_all_sec": [r["sec"] for r in hi_runs],
+        "lo_all_steal_pct": [r.get("steal_pct", 0.0) for r in lo_runs],
+        "hi_all_steal_pct": [r.get("steal_pct", 0.0) for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }

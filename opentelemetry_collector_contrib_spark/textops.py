@@ -544,14 +544,16 @@ def pack_sequences(
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
     )
-    prev = F.col("_off") + F.col("_local_prev")
+    # integer `div`, not floor(double /): double division loses exactness
+    # past 2^53 cumulative tokens — real at the 10^12-turn design point
     return (
         part.join(F.broadcast(offsets), "_pid")
+        .withColumn("_prev", F.col("_off") + F.col("_local_prev"))
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(prev / budget).cast("long").alias("pack_id"),
-            (prev % budget).cast("long").alias("pack_offset"),
+            F.expr(f"_prev div {int(budget)}").cast("long").alias("pack_id"),
+            (F.col("_prev") % budget).cast("long").alias("pack_offset"),
         )
     )
 
