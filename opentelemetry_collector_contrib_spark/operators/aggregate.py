@@ -183,3 +183,88 @@ def interval_last(
     ]
     aggs.append(F.count(F.lit(1)).alias("n_seen"))
     return df.groupBy(*keys, bucket).agg(*aggs)
+
+
+def sliding_window_counts(
+    df,
+    keys: list[str],
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    value_col: str | None = None,
+):
+    """Batch sliding-window aggregation — the event-time form of the
+    count/sum connector over overlapping windows (the streaming variants
+    in streaming/pipeline.py use the same F.window; this is the batch
+    replay). Each record lands in window/slide overlapping windows;
+    Spark expands them JVM-side (no explode written by hand) and the
+    aggregation keeps map-side partial combine.
+
+    Output keys the window by its start as epoch SECONDS (bigint):
+    timestamp-typed group keys round-trip poorly across engines/timezones,
+    an integer epoch is unambiguous (input may be TIMESTAMP_NTZ —
+    timestampdiff is the NTZ-safe epoch extraction)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    out = df.groupBy(F.window(ts_col, window, slide), *keys).agg(*aggs)
+    return out.select(
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " window.start)"
+        ).cast("long").alias("window_start"),
+        *keys,
+        *[c for c in out.columns if c not in ("window", *keys)],
+    )
+
+
+def session_window_agg(
+    df,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+):
+    """Gap-based session windows, batch form — the generic
+    "group-by-key with inactivity timeout" pattern shared by recombine's
+    force_flush_period, groupbytrace's decision wait, and Structured
+    Streaming's session_window (streaming/pipeline.recombine_session_stream
+    is the streaming twin). A new session starts when the gap since the
+    stream's previous event exceeds ``gap_seconds``.
+
+    Spark shape: lag + running-sum-of-boundaries (gaps-and-islands) —
+    ONE window shuffle on the stream identity, then a hash agg that
+    reuses the same partitioning. Emits per session: start/end epoch
+    seconds, event count, optional value sum."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    gap_us = F.expr(
+        f"timestampdiff(MICROSECOND, lag({ts_col}) over ("
+        f"partition by {', '.join(keys)} order by {ts_col}), {ts_col})"
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = df.withColumn(
+        "_session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    epoch = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    ).cast("long")
+    aggs = [
+        F.min(epoch).alias("session_start"),
+        F.max(epoch).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return sess.groupBy(*keys, "_session_id").agg(*aggs).withColumnRenamed(
+        "_session_id", "session_id"
+    )

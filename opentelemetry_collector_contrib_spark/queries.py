@@ -1477,6 +1477,74 @@ FROM events""",
 FROM events""",
     )
 
+    # ---- e_sliding_counts: batch sliding-window count connector ------------
+    # 10-minute windows sliding every 5 (each event in exactly 2 windows,
+    # epoch-aligned per Spark's F.window). Oracle enumerates the window
+    # starts arithmetically; floor() before the BIGINT cast because
+    # DuckDB's double→int cast ROUNDS while window alignment floors.
+    def e_sliding_counts(spark, sf_dir):
+        from .operators.aggregate import sliding_window_counts
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return sliding_window_counts(
+            ev, keys=["event_type"], window="10 minutes", slide="5 minutes"
+        )
+
+    reg(
+        "e_sliding_counts",
+        e_sliding_counts,
+        """SELECT ws AS window_start, event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         unnest([ (floor(epoch(ts))::BIGINT // 300) * 300,
+                  (floor(epoch(ts))::BIGINT // 300) * 300 - 300 ]) AS ws
+  FROM events)
+GROUP BY ws, event_type""",
+    )
+
+    # ---- e_session_counts: gap-based session windows ------------------------
+    # per user_id, a 30-min inactivity gap opens a new session
+    # (gaps-and-islands; the batch twin of session_window streaming and
+    # the generic groupbytrace/recombine timeout pattern).
+    def e_session_counts(spark, sf_dir):
+        from .operators.aggregate import session_window_agg
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = session_window_agg(
+            ev, keys=["user_id"], gap_seconds=1800, value_col="value"
+        )
+        return out.select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start", "session_end", "n_events",
+            F.round(F.col("sum_value"), 6).alias("sum_value"),
+        )
+
+    reg(
+        "e_session_counts",
+        e_session_counts,
+        """WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                 > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(floor(epoch(ts))::BIGINT) AS session_start,
+       max(floor(epoch(ts))::BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # documents: training-data text ops (dedup / quality / langid / fingerprint)
