@@ -166,7 +166,10 @@ class IncrementalFileSource:
     # -- reading back --------------------------------------------------------
     def table(self) -> DataFrame:
         """The cumulative output across all committed batches; batch_id is
-        a partition column (ingest lineage, prunable)."""
+        a partition column (ingest lineage, prunable). mergeSchema
+        handles upstream schema evolution — a later batch adding a column
+        surfaces it table-wide with NULLs for older batches (the same
+        contract an Iceberg schema evolution gives)."""
         state = self._load_state()
         committed = [b["batch_id"] for b in state["batches"]]
         if not committed:
@@ -174,6 +177,7 @@ class IncrementalFileSource:
         df = (
             self.spark.read.format(self.fmt)
             .option("basePath", self.out_dir)
+            .option("mergeSchema", "true")
             .load([
                 os.path.join(self.out_dir, f"batch_id={b}") for b in committed
             ])

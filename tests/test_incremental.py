@@ -201,3 +201,21 @@ def test_config_exporter_rotation_compression(spark, tmp_path):
             if f.endswith(".parquet"):
                 n = spark.read.parquet(os.path.join(out, d, f)).count()
                 assert n <= 200
+
+
+def test_incremental_schema_evolution(spark, tmp_path):
+    """A later batch adding a column surfaces it table-wide, NULL for
+    rows from older batches (mergeSchema on the cumulative read)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+
+    _write_part(spark, input_dir, "day=1", 0, 30)
+    src.poll()
+    _write_part(spark, input_dir, "day=2", 30, 40)
+    src.poll(lambda df: df.withColumn("extra", F.col("v") + 1))
+
+    tbl = src.table()
+    assert "extra" in tbl.columns
+    assert tbl.filter(F.col("extra").isNull()).count() == 30
+    assert tbl.filter(F.col("extra").isNotNull()).count() == 10
