@@ -268,3 +268,36 @@ def session_window_agg(
     return sess.groupBy(*keys, "_session_id").agg(*aggs).withColumnRenamed(
         "_session_id", "session_id"
     )
+
+
+def percentile_connector(
+    df,
+    value_col: str,
+    dims: dict[str, str | None],
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+):
+    """Percentile/SLO aggregate per dim combo (p50/p95/p99 of a duration
+    or value column) — the analysis the reference pushes to a metrics
+    backend's histogram; here it is a first-class batch aggregate.
+
+    Scale choice is EXPLICIT: exact `percentile` buffers each group's
+    values for a sort — fine up to millions of rows per group, wrong at
+    100 TB. `approx=True` switches to `approx_percentile` (streaming
+    t-digest-style sketch, bounded memory, map-side combinable) — the
+    plan you actually run at scale; `accuracy` trades memory for error.
+    The exact form backs the cross-engine oracle (quantile_cont parity);
+    the approx form is pytest-gated (sketches are engine-specific)."""
+    from pyspark.sql import functions as F
+
+    df, names = _with_dims(df, dims)
+    fn = "approx_percentile" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
+    aggs = [
+        F.round(
+            F.expr(f"{fn}({value_col}, {p}{acc})").cast("double"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(*names).agg(*aggs)

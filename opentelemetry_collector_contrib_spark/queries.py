@@ -1545,6 +1545,28 @@ SELECT user_id, session_id::BIGINT AS session_id,
 FROM s GROUP BY user_id, session_id""",
     )
 
+    # ---- e_value_percentiles: percentile/SLO connector (exact form) --------
+    # p50/p95/p99 of value per event_type; exact `percentile` matches
+    # DuckDB quantile_cont (same linear interpolation on sorted values).
+    # The 100 TB plan is approx_percentile — pytest-gated, same operator.
+    def e_value_percentiles(spark, sf_dir):
+        from .operators.aggregate import percentile_connector
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return percentile_connector(
+            ev, value_col="value", dims={"event_type": None}
+        )
+
+    reg(
+        "e_value_percentiles",
+        e_value_percentiles,
+        """SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # documents: training-data text ops (dedup / quality / langid / fingerprint)

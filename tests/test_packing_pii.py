@@ -198,3 +198,29 @@ def test_curation_pipeline_composition(spark):
     # the two hex-id docs scrubbed to IDENTICAL text → deduped to one
     assert 1 in got and 2 not in got
     assert all(i not in got for i in range(0, 60, 10))
+
+
+def test_percentile_connector_approx_path(spark):
+    """The scale path: approx_percentile sketches stay within 2% of the
+    exact percentiles on a well-behaved distribution."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        percentile_connector,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    exact = {
+        r["k"]: (r["p50"], r["p95"], r["p99"])
+        for r in percentile_connector(df, "v", {"k": None}).collect()
+    }
+    approx = {
+        r["k"]: (r["p50"], r["p95"], r["p99"])
+        for r in percentile_connector(
+            df, "v", {"k": None}, approx=True
+        ).collect()
+    }
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(e - a) <= max(2.0, 0.02 * e)
