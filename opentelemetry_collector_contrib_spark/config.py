@@ -37,12 +37,16 @@ processors   attributes {actions}      attraction.go action list
              logstransform {operators}  stanza chain mid-pipeline
              cumulativetodelta {keys, value_col, order_by, to}
              deltatocumulative {keys, value_col, order_by, to}
+             deltatorate {keys, value_col, ts_col, order_by, to}
              batch                      no-op (partitioning is a sink
                                         concern in Spark)
 connectors   routing {table: [{condition, pipelines}], default_pipelines,
                       match_once}
              count {dims, conditions}
              sum {source_attribute, dims}
+             percentile {source_attribute, dims, percentiles, approx}
+             sliding_count {dims, ts_col, window, slide, source_attribute}
+             session {keys, ts_col, gap_seconds, source_attribute}
 exporters    file {path, group_by, rotation.max_records_per_file, compression}
              debug / noop              DataFrame returned, not written
 
@@ -572,6 +576,19 @@ def _pr_deltatocumulative(df: DataFrame, cfg: dict) -> DataFrame:
     )
 
 
+def _pr_deltatorate(df: DataFrame, cfg: dict) -> DataFrame:
+    from .operators.aggregate import delta_to_rate
+
+    return delta_to_rate(
+        df,
+        keys=list(cfg.get("keys", ["conv_id"])),
+        value_col=cfg.get("value_col", "value"),
+        ts_col=cfg.get("ts_col", "ts"),
+        order_by=cfg.get("order_by"),
+        to=cfg.get("to", "rate"),
+    )
+
+
 _PROCESSORS = {
     "attributes": _pr_attributes,
     "resource": _pr_resource,
@@ -586,6 +603,7 @@ _PROCESSORS = {
     "logstransform": _pr_logstransform,
     "cumulativetodelta": _pr_cumulativetodelta,
     "deltatocumulative": _pr_deltatocumulative,
+    "deltatorate": _pr_deltatorate,
     "batch": lambda df, cfg: df,
 }
 
@@ -711,6 +729,38 @@ class CollectorConfig:
                 dims = {k: None for k in ccfg.get("dims", ["tool_name"])}
                 routed[conn] = {"*": sum_connector(
                     src, ccfg["source_attribute"], dims)}
+            elif base == "percentile":
+                from .operators.aggregate import percentile_connector
+
+                dims = {k: None for k in ccfg.get("dims", ["severity_text"])}
+                routed[conn] = {"*": percentile_connector(
+                    src, ccfg["source_attribute"], dims,
+                    percentiles=tuple(
+                        ccfg.get("percentiles", [0.5, 0.95, 0.99])
+                    ),
+                    approx=bool(ccfg.get("approx", False)),
+                )}
+            elif base == "sliding_count":
+                from .operators.aggregate import sliding_window_counts
+
+                routed[conn] = {"*": sliding_window_counts(
+                    src,
+                    keys=list(ccfg.get("dims", ["severity_text"])),
+                    ts_col=ccfg.get("ts_col", "ts"),
+                    window=ccfg.get("window", "10 minutes"),
+                    slide=ccfg.get("slide", "5 minutes"),
+                    value_col=ccfg.get("source_attribute"),
+                )}
+            elif base == "session":
+                from .operators.aggregate import session_window_agg
+
+                routed[conn] = {"*": session_window_agg(
+                    src,
+                    keys=list(ccfg.get("keys", ["conv_id"])),
+                    ts_col=ccfg.get("ts_col", "ts"),
+                    gap_seconds=int(ccfg.get("gap_seconds", 1800)),
+                    value_col=ccfg.get("source_attribute"),
+                )}
             else:
                 raise ConfigError(f"unsupported connector {conn!r}")
 

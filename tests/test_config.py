@@ -539,3 +539,51 @@ def test_stanza_if_rejected_on_column_level_ops(spark, tmp_path):
     })
     with _pytest.raises(ConfigError, match="not supported on column-level"):
         cc.run(spark)
+
+
+def test_new_connectors_and_deltatorate(spark, tmp_path):
+    """percentile / sliding_count / session connectors and the
+    deltatorate processor compose through the YAML front end."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {
+            "deltatorate": {"keys": ["conv_id"], "value_col": "dur_ms",
+                            "order_by": ["ts", "turn_idx"]},
+        },
+        "connectors": {
+            "percentile": {"source_attribute": "dur_ms",
+                           "dims": ["severity_text"]},
+            "sliding_count": {"dims": ["severity_text"],
+                              "window": "10 minutes", "slide": "5 minutes"},
+            "session": {"keys": ["conv_id"], "gap_seconds": 600},
+        },
+        "exporters": {"debug": {}, "debug/2": {}, "debug/3": {}},
+        "service": {
+            "pipelines": {
+                "in": {"receivers": ["transcripts"],
+                       "processors": ["deltatorate"],
+                       "exporters": ["percentile", "sliding_count",
+                                     "session"]},
+                "p1": {"receivers": ["percentile"], "exporters": ["debug"]},
+                "p2": {"receivers": ["sliding_count"],
+                       "exporters": ["debug/2"]},
+                "p3": {"receivers": ["session"], "exporters": ["debug/3"]},
+            }
+        },
+    })
+    outs = cfg.build(spark)
+    pct = outs["debug"]
+    assert {"severity_text", "p50", "p95", "p99"} <= set(pct.columns)
+    assert pct.count() > 0
+    slid = outs["debug/2"]
+    assert {"window_start", "severity_text", "n"} <= set(slid.columns)
+    sess = outs["debug/3"]
+    assert {"conv_id", "session_id", "n_events"} <= set(sess.columns)
+    # sessions per conv >= 1 and every conv appears
+    assert sess.select("conv_id").distinct().count() > 0
