@@ -219,3 +219,23 @@ def test_incremental_schema_evolution(spark, tmp_path):
     assert "extra" in tbl.columns
     assert tbl.filter(F.col("extra").isNull()).count() == 30
     assert tbl.filter(F.col("extra").isNotNull()).count() == 10
+
+
+def test_table_excludes_uncommitted_batch_dirs(spark, tmp_path):
+    """Reader-side exactly-once: an orphaned batch directory (written by
+    a crashed poll that never committed) is invisible to table() — only
+    the committed batch list is read."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_part(spark, input_dir, "day=1", 0, 20)
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    src.poll()
+
+    # orphan: data on disk under a batch id the state never committed
+    spark.range(900, 950).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(os.path.join(out_dir, "batch_id=9"))
+
+    tbl = src.table()
+    assert tbl.count() == 20
+    assert tbl.filter(F.col("id") >= 900).count() == 0
