@@ -135,7 +135,9 @@ def _cpu_steal_snapshot() -> tuple[int, int]:
     try:
         with open("/proc/stat") as f:
             vals = list(map(int, f.readline().split()[1:]))
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # user..steal only: guest/guest_nice are already folded into
+        # user/nice by the kernel, so including them overstates the total
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except (OSError, ValueError, IndexError):
         return (0, 0)
 

@@ -294,10 +294,24 @@ def percentile_connector(
     df, names = _with_dims(df, dims)
     fn = "approx_percentile" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
+
+    def _label(p: float) -> str:
+        # p50/p95/p99 for whole-percent points; finer quantiles strip the
+        # decimal point (0.999 → p999) so 0.99/0.995/0.999 never collide
+        scaled = p * 100
+        if scaled == int(scaled):
+            return f"p{int(scaled)}"
+        return "p" + format(scaled, "g").replace(".", "")
+
+    labels = [_label(p) for p in percentiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"percentile labels collide: {labels} from {percentiles}"
+        )
     aggs = [
         F.round(
             F.expr(f"{fn}({value_col}, {p}{acc})").cast("double"), 6
-        ).alias(f"p{int(p * 100)}")
-        for p in percentiles
+        ).alias(lbl)
+        for p, lbl in zip(percentiles, labels)
     ]
     return df.groupBy(*names).agg(*aggs)

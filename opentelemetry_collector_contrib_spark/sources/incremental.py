@@ -105,6 +105,18 @@ class IncrementalFileSource:
             json.dump(state, f, indent=1)
         os.replace(tmp, self._state_path())
 
+    def _owner_map(self, state: dict) -> dict[str, int]:
+        """Which committed batch currently owns each file's rows. Derived
+        from batch records for states written before ownership tracking
+        existed (later batches win, matching the old overwrite order)."""
+        owner: dict[str, int] = {}
+        for b in state["batches"]:
+            if b["batch_id"] in set(state.get("superseded", [])):
+                continue
+            for rel in b.get("new_files", []):
+                owner[rel] = b["batch_id"]
+        return owner
+
     # -- polling ------------------------------------------------------------
     def pending_files(self) -> list[str]:
         """Relative paths that are new or changed since the last commit
@@ -121,20 +133,76 @@ class IncrementalFileSource:
         self,
         transform: Callable[[DataFrame], DataFrame] | None = None,
     ) -> dict | None:
+        """Process the delta since the last committed poll.
+
+        Rewrite semantics (exactly-once under mutation): when a committed
+        file changes (size/mtime), its OLD rows live in an earlier batch
+        directory that a plain cumulative read would still include. Row-
+        level deletion inside a committed immutable batch isn't possible
+        without rewriting it, so supersession happens at batch
+        granularity: every still-live file owned by an affected batch is
+        re-read (current content) into the NEW batch, and the affected
+        old batches are marked superseded — table() skips them. Rewrites
+        are rare for immutable data files, so occasionally re-reading one
+        old batch's worth of files is the cheap side of the trade; the
+        common append-only path still processes only the new files.
+        (Reference analog: fileconsumer re-reads from offset 0 when the
+        fingerprint changes — pkg/stanza/fileconsumer/file.go truncation
+        detection.)
+        """
         state = self._load_state()
+        state.setdefault("superseded", [])
         current = _list_files(self.input_dir)
-        new = sorted(
+        delta = sorted(
             rel for rel, sig in current.items()
             if state["files"].get(rel) != sig
         )
-        if not new:
+        # a committed file that vanished is the other half of a rewrite
+        # (overwrite = delete old part + add new part) or a retention
+        # delete; either way its old rows must leave the cumulative view
+        missing = sorted(
+            rel for rel in state["files"] if rel not in current
+        )
+        if not delta and not missing:
             return None
+
+        owner = self._owner_map(state)
+        affected = sorted({
+            owner[rel]
+            for rel in (*delta, *missing)
+            if rel in owner
+        })
+        # all still-live files of a superseded batch ride along into the
+        # new batch so their rows survive the batch-level exclusion
+        carried = sorted(
+            rel for rel, b in owner.items()
+            if b in set(affected) and rel in current and rel not in set(delta)
+        )
+        to_process = sorted(set(delta) | set(carried))
+        for rel in missing:
+            state["files"].pop(rel, None)
+
+        if not to_process:
+            # pure deletion: nothing to (re)ingest — just retire batches
+            state["superseded"] = sorted(
+                set(state["superseded"]) | set(affected)
+            )
+            self._commit_state(state)
+            return {
+                "batch_id": None,
+                "n_new_files": 0,
+                "new_files": [],
+                "changed_files": [],
+                "removed_files": missing,
+                "rows_out": 0,
+                "supersedes": affected,
+            }
 
         batch_id = len(state["batches"])
         if os.path.isfile(self.input_dir):
             paths = [self.input_dir]
         else:
-            paths = [os.path.join(self.input_dir, rel) for rel in new]
+            paths = [os.path.join(self.input_dir, rel) for rel in to_process]
         df = self.spark.read.format(self.fmt).load(paths)
         if transform is not None:
             df = transform(df)
@@ -154,12 +222,16 @@ class IncrementalFileSource:
 
         record = {
             "batch_id": batch_id,
-            "n_new_files": len(new),
-            "new_files": new,
+            "n_new_files": len(delta),
+            "new_files": to_process,
+            "changed_files": sorted(set(delta) & set(owner)),
+            "removed_files": missing,
             "rows_out": rows_out,
+            "supersedes": affected,
         }
-        state["files"].update({rel: current[rel] for rel in new})
+        state["files"].update({rel: current[rel] for rel in to_process})
         state["batches"].append(record)
+        state["superseded"] = sorted(set(state["superseded"]) | set(affected))
         self._commit_state(state)
         return record
 
@@ -171,7 +243,11 @@ class IncrementalFileSource:
         surfaces it table-wide with NULLs for older batches (the same
         contract an Iceberg schema evolution gives)."""
         state = self._load_state()
-        committed = [b["batch_id"] for b in state["batches"]]
+        dead = set(state.get("superseded", []))
+        committed = [
+            b["batch_id"] for b in state["batches"]
+            if b["batch_id"] not in dead
+        ]
         if not committed:
             raise FileNotFoundError(f"no committed batches in {self.out_dir}")
         df = (
@@ -203,13 +279,22 @@ class MaintainedRollup:
 
     Per batch, ``update`` writes a PARTIAL aggregate (groupBy keys →
     count + per-measure sum) to ``agg_dir/batch_id=N`` (overwrite →
-    idempotent replay, same contract as the ingest batches).
-    ``snapshot`` merges the partials: O(batches × groups) rows, never
+    idempotent replay, same contract as the ingest batches), THEN commits
+    the batch id to a manifest (tmp + os.replace — the same two-phase
+    commit the ingest uses). ``snapshot`` merges ONLY manifest-committed
+    partials, so an orphaned directory from a crashed update (or any
+    stray batch_id=* dir) never inflates the aggregate — mirroring
+    IncrementalFileSource.table()'s committed-batch read. ``retract``
+    drops a batch from the manifest; call it for batches the ingest
+    marked superseded (record["supersedes"]) before updating with the
+    replacement batch. snapshot() is O(batches × groups) rows, never
     O(ingested rows). Only algebraic measures are offered (count/sum
     merge by sum) — the same guard the salted conversation rollup
     enforces; holistic aggregates (distinct, median) need the corpus and
     belong on the cumulative table instead.
     """
+
+    MANIFEST = "_rollup_state.json"
 
     def __init__(
         self,
@@ -231,18 +316,48 @@ class MaintainedRollup:
         aggs += [F.sum(c).alias(f"sum_{c}") for c in self.sum_cols]
         return df.groupBy(*self.keys).agg(*aggs)
 
+    def _manifest_path(self) -> str:
+        return os.path.join(self.agg_dir, self.MANIFEST)
+
+    def _load_manifest(self) -> list[int]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)["batches"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return []
+
+    def _commit_manifest(self, batches: list[int]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": sorted(set(batches))}, f)
+        os.replace(tmp, self._manifest_path())
+
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         part_dir = os.path.join(self.agg_dir, f"batch_id={batch_id}")
         self._partial(batch_df).write.format(self.fmt).mode(
             "overwrite"
         ).save(part_dir)
+        self._commit_manifest([*self._load_manifest(), batch_id])
+
+    def retract(self, batch_id: int) -> None:
+        """Drop a (superseded) batch's partial from the merged view."""
+        self._commit_manifest(
+            [b for b in self._load_manifest() if b != batch_id]
+        )
 
     def snapshot(self) -> DataFrame:
-        """Merged aggregate across all committed batches."""
+        """Merged aggregate across manifest-committed batches only."""
+        committed = self._load_manifest()
+        if not committed:
+            raise FileNotFoundError(
+                f"no committed rollup batches in {self.agg_dir}"
+            )
         merged = (
             self.spark.read.format(self.fmt)
             .option("basePath", self.agg_dir)
-            .load(self.agg_dir)
+            .load([
+                os.path.join(self.agg_dir, f"batch_id={b}") for b in committed
+            ])
         )
         aggs = [F.sum("n").alias("n")]
         aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols]

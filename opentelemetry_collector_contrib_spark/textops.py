@@ -457,7 +457,10 @@ def quality_filter_pipeline(
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("hex_id", r"\b[0-9a-f]{8,}\b", "<HEX>"),
+    # case-insensitive class (not the (?i) flag) so uppercase/mixed-case
+    # hex secrets (API keys, uppercase UUID4 halves) are caught and the
+    # identical literal runs on both Spark and DuckDB
+    ("hex_id", r"\b[0-9a-fA-F]{8,}\b", "<HEX>"),
     ("number", r"\b\d{4,}\b", "<NUM>"),
 ]
 

@@ -91,6 +91,42 @@ def test_incremental_reprocesses_changed_file(spark, tmp_path):
     assert pend and all("day=1" in f for f in pend)
     rec = src.poll()
     assert rec["batch_id"] == 1 and rec["rows_out"] == 25
+    assert rec["supersedes"] == [0]
+
+    # the rewritten file's OLD rows must NOT double-count: batch 0 is
+    # superseded, table() sees exactly the current file contents
+    tbl = src.table()
+    assert tbl.count() == 25
+    assert tbl.select("id").distinct().count() == 25
+    assert tbl.filter(F.col("batch_id") == 0).count() == 0
+
+
+def test_rewrite_carries_sibling_files_forward(spark, tmp_path):
+    """Superseding a batch that owned TWO files re-reads the unchanged
+    sibling into the new batch so its rows survive the exclusion."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_part(spark, input_dir, "day=1", 0, 10)
+    _write_part(spark, input_dir, "day=2", 10, 30)
+
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    assert src.poll()["rows_out"] == 30  # batch 0 owns both files
+
+    _write_part(spark, input_dir, "day=1", 0, 5)  # rewrite one of them
+    rec = src.poll()
+    assert rec["supersedes"] == [0]
+    assert any("day=2" in f for f in rec["new_files"])  # carried sibling
+
+    tbl = src.table()
+    assert tbl.count() == 25  # 5 rewritten + 20 untouched
+    assert tbl.select("id").distinct().count() == 25
+
+    # append-only fast path is preserved: a purely-new file afterwards
+    # processes only itself
+    _write_part(spark, input_dir, "day=3", 100, 110)
+    rec3 = src.poll()
+    assert rec3["rows_out"] == 10 and rec3["supersedes"] == []
+    assert src.table().count() == 35
 
 
 def test_maintained_rollup_matches_full_recompute(spark, tmp_path):
@@ -133,6 +169,29 @@ def test_maintained_rollup_matches_full_recompute(spark, tmp_path):
     roll.update(src.table().filter(F.col("batch_id") == 1), 1)
     got2 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
     assert got2 == want
+
+    # an orphaned partial (crashed update: data on disk, never committed
+    # to the manifest) is invisible to snapshot()
+    spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"),
+        F.lit(1).alias("n"),
+        F.lit(10**6).alias("sum_v"),
+    ).write.parquet(os.path.join(agg_dir, "batch_id=7"))
+    got3 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    assert got3 == want
+
+    # retract drops a superseded batch's contribution
+    roll.retract(1)
+    got4 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    want_b0 = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in src.table()
+        .filter(F.col("batch_id") == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got4 == want_b0
 
 
 def test_write_routed_rotation_and_compression(spark, tmp_path):

@@ -90,6 +90,24 @@ def test_pii_scrub_masks_and_counts(spark):
     assert r4["scrubbed_text"] == "clean text only"
 
 
+def test_pii_scrub_catches_uppercase_hex(spark):
+    """Uppercase/mixed-case hex secrets (API keys, uppercase UUID4
+    halves) must not escape the mask."""
+    df = spark.createDataFrame(
+        [
+            (1, "key DEADBEEFCAFE1234 leaked"),
+            (2, "uuid 550E8400E29B41D4A716446655440000"),
+            (3, "mixed DeadBeef00 ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_hex_id"] == 1
+    assert got[1]["scrubbed_text"] == "key <HEX> leaked"
+    assert got[2]["scrubbed_text"] == "uuid <HEX>"
+    assert got[3]["scrubbed_text"] == "mixed <HEX> ok"
+
+
 def test_pii_scrub_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
@@ -224,3 +242,27 @@ def test_percentile_connector_approx_path(spark):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(e - a) <= max(2.0, 0.02 * e)
+
+
+def test_percentile_connector_fine_labels_no_collision(spark):
+    """Sub-percent quantiles get collision-free column names (0.99,
+    0.995, 0.999 → p99, p995, p999) instead of all mapping to p99."""
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        percentile_connector,
+    )
+
+    df = spark.range(0, 10000).select(
+        F.lit("a").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    out = percentile_connector(
+        df, "v", {"k": None}, percentiles=(0.99, 0.995, 0.999)
+    )
+    assert set(out.columns) == {"k", "p99", "p995", "p999"}
+    row = out.collect()[0]
+    assert row["p99"] < row["p995"] < row["p999"]
+
+    # genuinely identical labels raise instead of silently colliding
+    with pytest.raises(ValueError, match="collide"):
+        percentile_connector(df, "v", {"k": None}, percentiles=(0.5, 0.5))
