@@ -61,7 +61,12 @@ DEFAULT_PATH_MAP = {
     "observed_time": "observed_ts",
     "attributes": "attributes",
     "resource.attributes": "resource",
+    # contexts/internal/resource.go:24-31 + scope.go:24-36
+    "resource.schema_url": "resource_schema_url",
     "instrumentation_scope.name": "scope",
+    "instrumentation_scope.version": "scope_version",
+    "instrumentation_scope.schema_url": "scope_schema_url",
+    "instrumentation_scope.attributes": "scope_attributes",
     "trace_id": "trace_id",
     "span_id": "span_id",
     "flags": "flags",
@@ -73,6 +78,11 @@ DEFAULT_PATH_MAP = {
 INT, FLOAT, STRING, BOOL = "int", "float", "string", "bool"
 TIME, DURATION, ARRAY, MAP = "time", "duration", "array", "map"
 BYTES, NIL, DYNAMIC = "bytes", "nil", "dynamic"
+# runtime-typed pcommon.Value column (Spark VARIANT physical type, from
+# pdata.parse_otlp_records) — unlike DYNAMIC (type-erased string), the
+# per-row kind is KNOWN, so the compare.go matrix applies exactly:
+# a variant holding int 5 is != "5", matching the reference
+VARIANT = "variant"
 
 # default OTTL type per *physical* column of the canonical log shape
 DEFAULT_PATH_TYPES = {
@@ -83,6 +93,7 @@ DEFAULT_PATH_TYPES = {
     "observed_ts": TIME,
     "attributes": MAP,
     "resource": MAP,
+    "scope_attributes": MAP,
     "cache": MAP,
 }
 
@@ -151,8 +162,33 @@ class Context:
                 return self.path_map[base], list(path.keys)
         raise OTTLError(f"unknown path {dotted!r}")
 
+    def _variant_json_path(self, keys: list) -> str:
+        """OTTL residual keys → a Spark variant extraction path
+        (body["k"][0] → $['k'][0]; ottllog/log.go:220-246 resolves the
+        same key chain against pcommon.Value)."""
+        parts = ["$"]
+        for k in keys:
+            if isinstance(k, int):
+                if k < 0:
+                    raise OTTLError(f"negative slice index {k}")
+                parts.append(f"[{k}]")
+            else:
+                if "'" in str(k):
+                    raise OTTLError(f"unsupported quote in map key {k!r}")
+                parts.append(f"['{k}']")
+        return "".join(parts)
+
     def getter(self, path: Path) -> Column:
         col, keys = self.resolve(path)
+        if self.path_types.get(col) == VARIANT:
+            c = F.col(col)
+            if keys:
+                # one JVM-side variant extraction; a missing key or
+                # out-of-range index yields variant-missing → OTTL nil
+                c = F.try_variant_get(
+                    c, self._variant_json_path(keys), "variant"
+                )
+            return c
         c = F.col(col)
         for i, k in enumerate(keys):
             if isinstance(k, int):
@@ -182,6 +218,8 @@ class Context:
 
     def path_type(self, path: Path) -> str:
         col, keys = self.resolve(path)
+        if self.path_types.get(col) == VARIANT:
+            return VARIANT  # runtime-typed at any depth
         if keys:
             return DYNAMIC  # map value: type-erased pcommon.Value rendering
         return self.path_types.get(col, STRING)
@@ -191,6 +229,12 @@ class Context:
         """Apply ``target = value [where cond]`` (set editor shape)."""
         value, cond = self._fold_failures(value, cond)
         col, keys = self.resolve(path)
+        if self.path_types.get(col) == VARIANT and keys:
+            raise OTTLError(
+                "setting inside a variant body is not supported — variant "
+                "columns are immutable trees; set the whole column or use "
+                "an erased side-column target"
+            )
         if not keys:
             new = value
             if cond is not None and col in df.columns:
@@ -328,7 +372,7 @@ def static_type(node, ctx: Context) -> str:
                 return TIME
         if lt_ == INT and rt_ == INT:
             return INT
-        if {lt_, rt_} <= {INT, FLOAT, DURATION, DYNAMIC}:
+        if {lt_, rt_} <= {INT, FLOAT, DURATION, DYNAMIC, VARIANT}:
             return FLOAT
         return DYNAMIC
     return DYNAMIC
@@ -379,6 +423,13 @@ def compile_value(node, ctx: Context) -> Column:
             raise OTTLError(
                 f"unsupported time arithmetic {lt_} {node.op} {rt_}"
             )
+        # arithmetic on runtime-typed values: lift variant → double (the
+        # reference errors on non-numeric pcommon values; non-numeric
+        # kinds yield NULL here, surfacing as nil downstream)
+        if lt_ == VARIANT:
+            l = F.try_variant_get(l, "$", "double")
+        if rt_ == VARIANT:
+            r = F.try_variant_get(r, "$", "double")
         if node.op == "+":
             return l + r
         if node.op == "-":
@@ -423,6 +474,98 @@ def _invalid(op: str) -> Column:
     return F.lit(op == "!=")
 
 
+# ---- variant (runtime-typed pcommon.Value) comparison arms ----------------
+
+def _vnull(c: Column) -> Column:
+    """OTTL nil for a variant: SQL NULL or variant-encoded null."""
+    return c.isNull() | F.is_variant_null(c)
+
+
+def _nil_result(op: str, both: Column) -> Column:
+    """compare.go:173-214 once either side is nil."""
+    if op in ("==", "<=", ">="):
+        return both
+    if op == "!=":
+        return ~both
+    return F.lit(False)
+
+
+def _variant_vs_typed(op: str, v: Column, t: Column, ty: str,
+                      variant_left: bool) -> Column:
+    """VARIANT × statically-typed scalar: the runtime kind decides the
+    compare.go arm exactly — int-kinded 5 vs "5" is a type mismatch
+    (invalidComparison), unlike the erased DYNAMIC path's try-cast blur."""
+    from ..pdata import variant_kind
+
+    k = variant_kind(v)
+    vn, tn = _vnull(v), t.isNull()
+    both, anyn = vn & tn, vn | tn
+    if ty in _NUMERIC:
+        valid = k.isin("int", "double")
+        d = F.try_variant_get(v, "$", "double")
+        tt = t.cast("double")
+        ll, rr = (d, tt) if variant_left else (tt, d)
+    elif ty == STRING:
+        valid = k == "string"
+        s = F.try_variant_get(v, "$", "string")
+        ll, rr = (s, t) if variant_left else (t, s)
+    elif ty == BOOL:
+        valid = k == "bool"
+        b = F.try_variant_get(v, "$", "boolean").cast("int")
+        tt = t.cast("int")
+        ll, rr = (b, tt) if variant_left else (tt, b)
+    else:
+        # time/bytes/array/map literals never match a JSON-borne kind
+        return _invalid(op)
+    return (
+        F.when(anyn, _nil_result(op, both))
+        .when(~valid, _invalid(op))
+        .otherwise(_raw_cmp(op, ll, rr))
+    )
+
+
+def _variant_vs_variant(op: str, l: Column, r: Column) -> Column:
+    from ..pdata import variant_kind
+
+    kl, kr = variant_kind(l), variant_kind(r)
+    ln, rn = _vnull(l), _vnull(r)
+    both, anyn = ln & rn, ln | rn
+    numeric_l = kl.isin("int", "double")
+    numeric_r = kr.isin("int", "double")
+    num_raw = _raw_cmp(
+        op,
+        F.try_variant_get(l, "$", "double"),
+        F.try_variant_get(r, "$", "double"),
+    )
+    str_raw = _raw_cmp(
+        op,
+        F.try_variant_get(l, "$", "string"),
+        F.try_variant_get(r, "$", "string"),
+    )
+    bool_raw = _raw_cmp(
+        op,
+        F.try_variant_get(l, "$", "boolean").cast("int"),
+        F.try_variant_get(r, "$", "boolean").cast("int"),
+    )
+    out = (
+        F.when(anyn, _nil_result(op, both))
+        .when(numeric_l & numeric_r, num_raw)
+        .when((kl == "string") & (kr == "string"), str_raw)
+        .when((kl == "bool") & (kr == "bool"), bool_raw)
+    )
+    if op in ("==", "!="):
+        # composite structural equality via canonical JSON (pcommon
+        # Map/Slice Equal analog; ingestion preserves key order so the
+        # rendering is stable for same-provenance values)
+        comp_raw = _raw_cmp(op, F.to_json(l), F.to_json(r))
+        out = out.when(
+            ((kl == "map") & (kr == "map"))
+            | ((kl == "slice") & (kr == "slice")),
+            comp_raw,
+        )
+    return out.otherwise(_invalid(op))
+
+
 def compile_comparison(node: Comparison, ctx: Context) -> Column:
     op = node.op
     lt_, rt_ = static_type(node.left, ctx), static_type(node.right, ctx)
@@ -431,16 +574,35 @@ def compile_comparison(node: Comparison, ctx: Context) -> Column:
     if lt_ == NIL and rt_ == NIL:
         return F.lit(op in ("==", "<=", ">="))
     if lt_ == NIL or rt_ == NIL:
+        other_t = rt_ if lt_ == NIL else lt_
         c = compile_value(node.right if lt_ == NIL else node.left, ctx)
+        isnull = _vnull(c) if other_t == VARIANT else c.isNull()
         if op == "==":
-            return c.isNull()
+            return isnull
         if op == "!=":
-            return c.isNotNull()
+            return ~isnull
         if op in ("<=", ">="):
-            return c.isNull()  # true only when both sides are nil
+            return isnull  # true only when both sides are nil
         return F.lit(False)
 
     l, r = compile_value(node.left, ctx), compile_value(node.right, ctx)
+
+    # runtime-typed variant arms (pcommon.Value × anything)
+    if lt_ == VARIANT and rt_ == VARIANT:
+        return _variant_vs_variant(op, l, r)
+    if VARIANT in (lt_, rt_):
+        v, o, ot, vleft = (
+            (l, r, rt_, True) if lt_ == VARIANT else (r, l, lt_, False)
+        )
+        if ot == DYNAMIC:
+            # erased string side: compare against the variant's rendered
+            # form (same erasure caveat the DYNAMIC×DYNAMIC arm documents)
+            from ..pdata import variant_render
+
+            vr = variant_render(v)
+            ll, rr = (vr, o) if vleft else (o, vr)
+            return _null_wrap(op, ll, rr, _raw_cmp(op, ll, rr))
+        return _variant_vs_typed(op, v, o, ot, vleft)
 
     # numeric × numeric: int-vs-float as float64 (compare.go:114-134);
     # durations are double seconds here so they join the numeric lattice
@@ -508,6 +670,9 @@ def compile_bool(node, ctx: Context) -> Column:
     if isinstance(node, Literal):
         return F.lit(bool(node.value))
     # bare value as condition (e.g. IsMatch(...))
+    if static_type(node, ctx) == VARIANT:
+        c = compile_value(node, ctx)
+        return F.coalesce(F.try_variant_get(c, "$", "boolean"), F.lit(False))
     return _truthy(compile_value(node, ctx))
 
 
@@ -547,7 +712,17 @@ def _map_target(ctx: Context, path: Path) -> str:
 
 def _ed_set(stmt, ctx, df, cond):
     target, value = stmt.editor.args
-    return ctx.setter(df, target, compile_value(value, ctx), cond)
+    vcol = compile_value(value, ctx)
+    if static_type(value, ctx) == VARIANT:
+        tcol, _ = ctx.resolve(target)
+        if ctx.path_types.get(tcol) != VARIANT:
+            # writing a runtime-typed value into an erased string/map
+            # column: pcommon.Value.AsString rendering (scalar → text,
+            # composite → JSON), same convention as round-2 ingestion
+            from ..pdata import variant_render
+
+            vcol = variant_render(vcol)
+    return ctx.setter(df, target, vcol, cond)
 
 
 def _ed_delete_key(stmt, ctx, df, cond):

@@ -1,0 +1,262 @@
+"""pdata dynamic value model — typed/nested bodies and attribute values.
+
+The reference stores log bodies and attribute values as pcommon.Value
+variants (string/bool/int/double/bytes/map/slice — OTLP AnyValue;
+pkg/stanza/adapter/converter.go:283-326 `upsertToAttributeVal` builds
+them from stanza entries, pkg/ottl/contexts/ottllog/log.go:196-264
+exposes typed `body.*` paths). Round 2's ingestion erased everything to
+STRING; this module carries the variant through.
+
+Spark-first design: the natural Spark 4 physical type for a runtime-
+typed tree is VARIANT (`parse_json` → binary variant encoding,
+`try_variant_get` typed extraction, `schema_of_variant` per-row kind).
+The only Python is ONE Arrow-batched pandas UDF at the ingest boundary
+that re-encodes OTLP's AnyValue JSON wrapping ({"stringValue": s},
+{"intValue": "42"}, {"kvlistValue": {...}}) into plain JSON — a
+recursive transform Spark expressions cannot express; everything
+downstream (typed path access, comparisons, aggregation) is JVM-side
+variant expressions. At 100 TB the UDF is a single streaming Arrow pass
+over the scan, the same shape as the grok extraction stage.
+
+Kind strings follow pcommon.ValueType (pdata/pcommon/value.go): Str,
+Bool, Int, Double, Bytes, Map, Slice, Empty — lowercased.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# pcommon.ValueType names, lowercased
+KIND_STR = "string"
+KIND_BOOL = "bool"
+KIND_INT = "int"
+KIND_DOUBLE = "double"
+KIND_BYTES = "bytes"
+KIND_MAP = "map"
+KIND_SLICE = "slice"
+KIND_EMPTY = "empty"
+
+
+def _any_value_plain(av):
+    """OTLP AnyValue JSON object → (kind, plain python value).
+
+    Mirrors converter.go:283-326 upsertToAttributeVal's type switch.
+    OTLP/JSON encodes int64 as a decimal string (protobuf JSON mapping);
+    bytes stay base64 text (JSON has no binary type — the reference keeps
+    []byte, our variant keeps the base64 string under kind=bytes).
+    """
+    if not isinstance(av, dict) or not av:
+        return KIND_EMPTY, None
+    if "stringValue" in av:
+        return KIND_STR, av["stringValue"]
+    if "boolValue" in av:
+        return KIND_BOOL, bool(av["boolValue"])
+    if "intValue" in av:
+        try:
+            return KIND_INT, int(av["intValue"])
+        except (TypeError, ValueError):
+            return KIND_EMPTY, None
+    if "doubleValue" in av:
+        return KIND_DOUBLE, float(av["doubleValue"])
+    if "bytesValue" in av:
+        return KIND_BYTES, av["bytesValue"]
+    if "arrayValue" in av:
+        vals = (av.get("arrayValue") or {}).get("values") or []
+        return KIND_SLICE, [_any_value_plain(v)[1] for v in vals]
+    if "kvlistValue" in av:
+        kvs = (av.get("kvlistValue") or {}).get("values") or []
+        return KIND_MAP, {
+            kv.get("key"): _any_value_plain(kv.get("value"))[1]
+            for kv in kvs
+            if isinstance(kv, dict)
+        }
+    return KIND_EMPTY, None
+
+
+_RECORD_SCHEMA = (
+    "time_unix_nano string, observed_unix_nano string, "
+    "severity_number int, severity_text string, "
+    "body_kind string, body_json string, body_str string, "
+    "attrs_json string, attrs_str map<string,string>, "
+    "trace_id string, span_id string, flags int, "
+    "dropped_attributes_count int"
+)
+
+
+def _otlp_record_extract_fn(lines: pd.Series) -> pd.DataFrame:
+    """One Arrow pass: OTLP-JSON LogRecord line → typed canonical fields.
+
+    body_json / attrs_json are PLAIN JSON (AnyValue wrapping stripped,
+    nested maps/slices preserved) for JVM-side parse_json → VARIANT.
+    body_str / attrs_str are the round-2 type-erased renderings kept for
+    backward compatibility (scalar → str(), composite → JSON text), the
+    same rendering pcommon.Value.AsString produces.
+    """
+    rows = []
+    for line in lines:
+        try:
+            rec = json.loads(line) if line else {}
+        except (json.JSONDecodeError, TypeError):
+            rec = {}
+        bk, bv = _any_value_plain(rec.get("body"))
+        body_json = None if bv is None and bk == KIND_EMPTY else json.dumps(
+            bv, ensure_ascii=False, separators=(",", ":")
+        )
+        if bk in (KIND_MAP, KIND_SLICE):
+            body_str = body_json
+        elif bv is None:
+            body_str = None
+        elif bk == KIND_BOOL:
+            body_str = "true" if bv else "false"
+        else:
+            body_str = str(bv)
+        attrs_plain = {}
+        attrs_str = {}
+        for kv in rec.get("attributes") or []:
+            if not isinstance(kv, dict):
+                continue
+            k = kv.get("key")
+            ak, av = _any_value_plain(kv.get("value"))
+            attrs_plain[k] = av
+            if ak in (KIND_MAP, KIND_SLICE):
+                attrs_str[k] = json.dumps(
+                    av, ensure_ascii=False, separators=(",", ":")
+                )
+            elif av is None:
+                attrs_str[k] = None
+            elif ak == KIND_BOOL:
+                attrs_str[k] = "true" if av else "false"
+            else:
+                attrs_str[k] = str(av)
+        sev = rec.get("severityNumber")
+        flags = rec.get("flags")
+        dropped = rec.get("droppedAttributesCount")
+        rows.append(
+            (
+                rec.get("timeUnixNano"),
+                rec.get("observedTimeUnixNano"),
+                int(sev) if sev is not None else None,
+                rec.get("severityText"),
+                bk,
+                body_json,
+                body_str,
+                json.dumps(
+                    attrs_plain, ensure_ascii=False, separators=(",", ":")
+                ),
+                attrs_str,
+                rec.get("traceId"),
+                rec.get("spanId"),
+                int(flags) if flags is not None else None,
+                int(dropped) if dropped is not None else None,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "time_unix_nano", "observed_unix_nano", "severity_number",
+            "severity_text", "body_kind", "body_json", "body_str",
+            "attrs_json", "attrs_str", "trace_id", "span_id", "flags",
+            "dropped_attributes_count",
+        ],
+    )
+
+
+_UDF_CACHE: dict = {}
+
+
+def _otlp_record_extract(col):
+    # pandas_udf construction needs an active SparkSession (returnType DDL
+    # parsing) — build lazily, once per process, like the grok engine does
+    if "rec" not in _UDF_CACHE:
+        _UDF_CACHE["rec"] = pandas_udf(_RECORD_SCHEMA)(
+            _otlp_record_extract_fn
+        )
+    return _UDF_CACHE["rec"](col)
+
+
+def parse_otlp_records(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """OTLP-JSON LogRecord lines → the typed canonical log shape.
+
+    Columns: ts, severity_number, severity_text,
+    body (back-compat type-erased string), body_kind (pcommon.ValueType),
+    body_var (VARIANT — typed nested tree), attributes (back-compat
+    MAP<STRING,STRING>), attrs_var (VARIANT object with native types),
+    trace_id, span_id, flags, dropped_attributes_count.
+
+    The UDF runs once (single projection); parse_json lifts the plain
+    JSON into variant JVM-side so typed access never re-parses text.
+    """
+    rec = _otlp_record_extract(F.col(line_col)).alias("r")
+    df = df.withColumn("r", rec)
+    passthrough = [c for c in df.columns if c not in ("r", line_col)]
+    return df.select(
+        *passthrough,
+        F.timestamp_micros(
+            (F.col("r.time_unix_nano").cast("long") / 1000).cast("long")
+        ).alias("ts"),
+        F.col("r.severity_number").alias("severity_number"),
+        F.col("r.severity_text").alias("severity_text"),
+        F.col("r.body_str").alias("body"),
+        F.col("r.body_kind").alias("body_kind"),
+        F.parse_json(F.col("r.body_json")).alias("body_var"),
+        F.col("r.attrs_str").alias("attributes"),
+        F.parse_json(F.col("r.attrs_json")).alias("attrs_var"),
+        F.col("r.trace_id").alias("trace_id"),
+        F.col("r.span_id").alias("span_id"),
+        F.col("r.flags").alias("flags"),
+        F.col("r.dropped_attributes_count").alias(
+            "dropped_attributes_count"
+        ),
+    )
+
+
+def read_otlp_json_typed(
+    spark: SparkSession, paths: str | list[str]
+) -> DataFrame:
+    """otlpjsonfile receiver, typed form: nested map/slice bodies and
+    non-string attribute values survive ingestion as VARIANT columns
+    (vs read_otlp_json's flat stringValue-only fast path)."""
+    lines = spark.read.text(paths).withColumnRenamed("value", "line")
+    return parse_otlp_records(lines, "line")
+
+
+# ---------------------------------------------------------------------------
+# variant helpers shared by the OTTL compiler and queries
+# ---------------------------------------------------------------------------
+
+def variant_render(c) -> F.Column:
+    """pcommon.Value.AsString rendering of a variant: scalar → its string
+    form, map/slice → JSON text, empty → NULL. Matches the type-erased
+    convention the round-2 columns use, so variant values can be written
+    into MAP<STRING,STRING> attributes."""
+    return F.when(
+        c.isNull() | F.is_variant_null(c), F.lit(None).cast("string")
+    ).otherwise(
+        F.coalesce(F.try_variant_get(c, "$", "string"), F.to_json(c))
+    )
+
+
+def variant_kind(c) -> F.Column:
+    """Per-row pcommon.ValueType of a variant (string/bool/int/double/
+    map/slice/empty — bytes indistinguishable from string post-JSON)."""
+    sch = F.schema_of_variant(c)
+    return (
+        F.when(c.isNull() | F.is_variant_null(c), F.lit(KIND_EMPTY))
+        .when(sch == "STRING", F.lit(KIND_STR))
+        .when(sch == "BOOLEAN", F.lit(KIND_BOOL))
+        .when(sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT"),
+              F.lit(KIND_INT))
+        .when(
+            (sch == "DOUBLE") | (sch == "FLOAT")
+            | sch.startswith("DECIMAL"),
+            F.lit(KIND_DOUBLE),
+        )
+        .when(sch.startswith("OBJECT"), F.lit(KIND_MAP))
+        .when(sch.startswith("ARRAY"), F.lit(KIND_SLICE))
+        .otherwise(F.lit(KIND_EMPTY))
+    )

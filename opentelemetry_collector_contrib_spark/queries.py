@@ -698,16 +698,17 @@ _DRIVER_WINDOW: list[str] = [
     "t_filter_include_exclude", "t_sampler", "t_attributes_actions",
     "t_redact", "t_groupbyattrs", "t_logdedup", "t_sum_durations",
     "t_pii_scrub",
-    # stanza parser surface
+    # stanza parser surface + pdata typed-value ingestion
     "e_json_parse", "e_csv_parse", "e_kv_parse", "e_jsonarray_parse",
     "e_uri_parse", "e_trace_parse", "e_syslog_parse", "e_syslog5424_parse",
-    "e_container_parse",
+    "e_container_parse", "e_otlp_nested",
     # metrics/stateful aggregates
     "e_delta_rate", "e_cum_to_delta", "e_delta_to_cum", "e_interval_last",
     "e_sliding_counts", "e_session_counts", "e_value_percentiles",
-    # dedup / text curation
+    # dedup / text curation (simhash representative lives past the cap —
+    # still verified by the local 91-query gate + pytest)
     "d_exact_dedup", "d_minhash_sig", "d_minhash_pairs", "d_dup_clusters",
-    "d_dedup_survivors", "d_simhash", "d_contamination",
+    "d_dedup_survivors", "d_contamination",
     "d_stratified_sample", "d_curation_pipeline",
     # similarity / embeddings
     "s_cosine_topk", "s_ivf_topk", "s_ann_pairs", "d_embed_dedup",
@@ -1404,6 +1405,86 @@ SELECT severity_text, severity_number, count(*)::BIGINT AS n
 FROM mapped GROUP BY 1, 2""",
     )
 
+    # ---- e_otlp_nested: pdata dynamic value model end-to-end --------------
+    # OTLP-JSON LogRecords with a kvlist body (nested slice + map), typed
+    # int/bool/double attributes → parse_otlp_records (VARIANT columns) →
+    # typed extraction + an OTTL condition over a typed body path.
+    # (converter.go:283-326 upsertToAttributeVal; ottllog/log.go:196-264
+    # typed body paths.) The oracle recomputes every leaf directly from
+    # the event fields — value equality proves the whole round trip:
+    # AnyValue encode → Arrow UDF re-encode → variant → typed extraction.
+    def e_otlp_nested(spark, sf_dir):
+        from .ottl import compile_condition
+        from .ottl.compiler import VARIANT, Context
+        from .pdata import parse_otlp_records
+
+        ev = _ev(spark, sf_dir)
+        line = F.format_string(
+            '{"timeUnixNano":"%d000000000","severityNumber":9,'
+            '"body":{"kvlistValue":{"values":['
+            '{"key":"msg","value":{"stringValue":"%s"}},'
+            '{"key":"items","value":{"arrayValue":{"values":['
+            '{"intValue":"%d"},'
+            '{"kvlistValue":{"values":[{"key":"name",'
+            '"value":{"stringValue":"u%d"}}]}}]}}},'
+            '{"key":"val","value":{"doubleValue":%s}}]}},'
+            '"attributes":['
+            '{"key":"retries","value":{"intValue":"%d"}},'
+            '{"key":"ok","value":{"boolValue":%s}},'
+            '{"key":"host","value":{"stringValue":"h%d"}}]}',
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("event_id"),
+            F.col("user_id"),
+            ((F.col("event_id") % 100) / 4.0).cast("string"),
+            (F.col("event_id") % 5).cast("int"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("true"))
+            .otherwise(F.lit("false")),
+            (F.col("user_id") % 4).cast("int"),
+        )
+        typed = parse_otlp_records(
+            ev.select("event_id", line.alias("line"))
+        )
+        ctx = Context(
+            path_map={"body": "body_var", "attributes": "attrs_var"},
+            path_types={"body_var": VARIANT, "attrs_var": VARIANT},
+        )
+        return typed.select(
+            "event_id",
+            F.col("ts").cast("long").alias("epoch_s"),
+            "body_kind",
+            F.try_variant_get("body_var", "$.msg", "string").alias("msg"),
+            F.try_variant_get("body_var", "$.items[0]", "long")
+            .alias("item0"),
+            F.try_variant_get("body_var", "$.items[1].name", "string")
+            .alias("name"),
+            F.try_variant_get("body_var", "$.val", "double").alias("val"),
+            F.try_variant_get("attrs_var", "$.retries", "long")
+            .alias("retries"),
+            F.try_variant_get("attrs_var", "$.ok", "boolean").alias("ok"),
+            F.try_variant_get("attrs_var", "$.host", "string").alias("host"),
+            compile_condition(
+                'attributes["retries"] > 2 and body["msg"] != nil', ctx
+            ).alias("hot"),
+        )
+
+    reg(
+        "e_otlp_nested",
+        e_otlp_nested,
+        """SELECT event_id,
+       event_id AS epoch_s,
+       'map' AS body_kind,
+       event_type AS msg,
+       event_id AS item0,
+       'u' || user_id::VARCHAR AS name,
+       (event_id % 100) / 4.0 AS val,
+       (event_id % 5)::BIGINT AS retries,
+       (event_id % 2 = 0) AS ok,
+       'h' || (user_id % 4)::VARCHAR AS host,
+       (event_id % 5) > 2 AS hot
+FROM events""",
+    )
+
     # time bucketing (time_parser + logdedup interval analog)
     def e_time_bucket(spark, sf_dir):
         df = _ev(spark, sf_dir)
@@ -2052,17 +2133,22 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     )
 
     # ---- s_ivf_topk: IVF-style ANN (similarity.ivf_topk) ------------------
+    # n_centroids=256 exercises the broadcast-matrix + pandas-UDF scorer
+    # at a realistic codebook size (the round-2 literal-inlined form blew
+    # up the Catalyst tree past ~tens of centroids)
     def s_ivf_topk(spark, sf_dir):
         from .similarity import ivf_topk
 
-        return ivf_topk(_emb(spark, sf_dir), query_vec_ids=[0, 1, 2])
+        return ivf_topk(
+            _emb(spark, sf_dir), query_vec_ids=[0, 1, 2], n_centroids=256
+        )
 
     reg(
         "s_ivf_topk",
         s_ivf_topk,
         """WITH cents AS (
   SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY vec_id LIMIT 256
 ), assigned AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cent_id FROM cents c

@@ -109,16 +109,44 @@ def lsh_buckets(
 
 def lsh_ann_pairs(
     emb: DataFrame, n_planes: int = 8, threshold: float = 0.8,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", max_bucket_size: int = 4096,
 ) -> DataFrame:
-    """ANN near-dup pairs: same bucket → exact cosine verify ≥ threshold."""
+    """ANN near-dup pairs: same bucket → exact cosine verify ≥ threshold.
+
+    Degenerate-bucket guard: the within-bucket self-join is quadratic in
+    the hottest bucket, and real corpora HAVE degenerate buckets
+    (all-zero vectors, templated docs collapsing to one hyperplane
+    signature). Buckets larger than ``max_bucket_size`` are salt-split
+    into ⌈size/max⌉ deterministic sub-buckets (xxhash64(vec_id) mod n) —
+    per-sub-bucket cost is bounded by max², total cost linear in bucket
+    size instead of quadratic. Pairs straddling sub-buckets are lost
+    (bounded recall trade, the standard production-LSH cap behavior);
+    below the cap the split is a no-op (salt 0), so small-data semantics
+    — and the SQL oracle — are unchanged."""
     b = lsh_buckets(emb, n_planes, vec_col)
-    withb = emb.join(b, "vec_id")
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    # ≤ 2^n_planes rows (distinct buckets) — broadcast-joinable metadata
+    withb = (
+        emb.join(b, "vec_id")
+        .join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.col("vec_id")),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("bsz") / F.lit(max_bucket_size)),
+                ).cast("long"),
+            ),
+        )
+        .drop("bsz")
+    )
     a = withb.alias("a")
     c = withb.alias("b")
     pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.salt") == F.col("b.salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
@@ -143,44 +171,61 @@ def ivf_topk(
     Coarse quantizer = deterministic seed centroids (the n_centroids
     lowest vec_ids — k-means training is an offline batch concern; what
     matters at serving scale is the PLAN SHAPE, which is exactly real
-    IVF's): centroids are driver-collected and inlined (a broadcast-small
-    table), cell assignment is a single PROJECTION computing
-    argmax-dot-product over the inlined centroids (no join, no shuffle
-    over the corpus), the corpus is then implicitly partitioned by cell,
-    and each query probes only its top n_probe cells — the corpus scan
-    per query is |cell|·n_probe instead of N. Ties on equal dot product
-    resolve to the larger centroid id (array_sort struct ordering; the
-    SQL oracle mirrors with ORDER BY dot DESC, cent_id DESC)."""
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r[vec_col]])
-        for r in emb.orderBy("vec_id").limit(n_centroids)
+    IVF's): the centroid matrix is driver-collected ONCE (n_centroids ×
+    dim floats — kilobytes to a few MB) and shipped to executors inside
+    ONE Arrow-batched pandas UDF that scores every centroid per vector
+    and returns the top-probe cell ids (no join, no shuffle over the
+    corpus — a single projection, exactly a broadcast). The corpus is
+    then implicitly partitioned by cell and each query probes only its
+    top n_probe cells — the corpus scan per query is |cell|·n_probe
+    instead of N. This replaces the round-2 literal-inlined-centroid
+    projection whose Catalyst expression tree grew linearly with
+    n_centroids (fine at 8, pathological at 4k-64k); the UDF's cost is a
+    batch × centroids matrix product regardless of n_centroids.
+
+    Determinism: dots are accumulated dimension-by-dimension (vectorized
+    across the batch) — the same left-to-right summation order as the
+    SQL fold both oracles use, so cell assignment is bit-identical to
+    the DuckDB list_dot_product oracle. Ties on equal dot resolve to the
+    larger centroid id (ORDER BY dot DESC, cent_id DESC)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (
+        emb.orderBy("vec_id").limit(n_centroids)
         .select("vec_id", vec_col).collect()
-    ]
+    )
+    cent_ids = np.array([int(r["vec_id"]) for r in cent_rows])
+    cent_mat = np.array(
+        [[float(x) for x in r[vec_col]] for r in cent_rows], dtype=np.float64
+    )  # (C, dim) — captured by the UDF closure → shipped once per task
 
-    def lit_vec(v):
-        return F.array(*[F.lit(x) for x in v])
+    def _top_cells_fn(vecs):  # pd.Series -> pd.Series of array<long>
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (B, dim)
+        # dimension-at-a-time accumulation = left-to-right fold order
+        dots = np.zeros((m.shape[0], cent_mat.shape[0]))
+        for i in range(cent_mat.shape[1]):
+            dots += np.outer(m[:, i], cent_mat[:, i])
+        # argsort by (dot DESC, cent_id DESC): sort ascending on
+        # (dot, cent_id) then reverse
+        ids_b = np.broadcast_to(cent_ids, dots.shape)
+        order = np.lexsort((ids_b, dots), axis=-1)[:, ::-1]
+        top = cent_ids[order[:, :n_probe]]
+        return pd.Series(list(top))
 
-    def probe_cells(vec, top: int):
-        structs = F.array(*[
-            F.struct(_dot(vec, lit_vec(cv)).alias("d"), F.lit(cid).alias("c"))
-            for cid, cv in cents
-        ])
-        return F.slice(F.reverse(F.array_sort(structs)), 1, top)
+    top_cells = pandas_udf("array<long>")(_top_cells_fn)
 
     assigned = emb.select(
         "vec_id", vec_col,
-        probe_cells(F.col(vec_col), 1)[0]["c"].alias("cell"),
+        top_cells(F.col(vec_col))[0].alias("cell"),
     )
     queries = (
         emb.filter(F.col("vec_id").isin([int(q) for q in query_vec_ids]))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(
-                F.transform(
-                    probe_cells(F.col(vec_col), n_probe), lambda s: s["c"]
-                )
-            ).alias("cell"),
+            F.explode(top_cells(F.col(vec_col))).alias("cell"),
         )
     )
     sims = (

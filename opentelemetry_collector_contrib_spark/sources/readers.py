@@ -38,15 +38,102 @@ def read_dims(spark: SparkSession, fixture_dir: str) -> tuple[DataFrame, DataFra
     return roles, tools
 
 
-def read_lines(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+def read_lines(
+    spark: SparkSession,
+    paths: str | list[str],
+    encoding: str = "utf-8",
+) -> DataFrame:
     """filelog: each line one record + observed timestamp + source file
-    (the `log.file.name` resource attribute analog)."""
-    df = spark.read.text(paths)
+    (the `log.file.name` resource attribute analog).
+
+    ``encoding`` mirrors fileconsumer's configurable charset decode
+    (pkg/stanza/fileconsumer/config.go:74-90 + pkg/stanza/decode): UTF-8
+    and ASCII take the splittable JVM text scan; any other Python codec
+    (latin-1, cp1252, utf-16, shift_jis, …) takes a binaryFile scan +
+    one Arrow-batched decode/split pass — per-file granularity, the same
+    unit the reference's sequential reader consumes. At 100 TB,
+    non-UTF-8 sources are the rare legacy tail; keep hot pipelines on
+    UTF-8 for scan splittability."""
+    import codecs
+
+    norm = codecs.lookup(encoding).name
+    if norm in ("utf-8", "ascii"):
+        df = spark.read.text(paths)
+        return (
+            df.withColumn("observed_ts", F.current_timestamp())
+            .withColumn("source_file", F.input_file_name())
+            .withColumnRenamed("value", "body")
+        )
     return (
-        df.withColumn("observed_ts", F.current_timestamp())
-        .withColumn("source_file", F.input_file_name())
-        .withColumnRenamed("value", "body")
+        _read_lines_decoded(spark, paths, norm)
+        .withColumn("observed_ts", F.current_timestamp())
+        .drop("line_nr")
     )
+
+
+def _read_lines_decoded(
+    spark: SparkSession, paths: str | list[str], encoding: str
+) -> DataFrame:
+    """Charset-decoding line scan: binaryFile source → decode + split in
+    one mapInPandas pass, emitting (body, source_file, line_nr). Carries
+    the per-file line number so multiline recombination downstream has a
+    deterministic order (the text fast path has no line index)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                text = bytes(content).decode(encoding, errors="replace")
+                for i, ln in enumerate(text.splitlines()):
+                    rows.append((ln, path, i))
+            yield pd.DataFrame(
+                rows, columns=["body", "source_file", "line_nr"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        gen, "body string, source_file string, line_nr long"
+    )
+
+
+def read_lines_multiline(
+    spark: SparkSession,
+    paths: str | list[str],
+    line_start_pattern: str | None = None,
+    line_end_pattern: str | None = None,
+    encoding: str = "utf-8",
+    combine_with: str = "\n",
+) -> DataFrame:
+    """filelog with multiline framing: the reader-level convenience the
+    filelog YAML exposes (fileconsumer/config.go multiline block), so a
+    user porting `multiline: {line_start_pattern: ...}` does not need to
+    know to add an explicit recombine stage. Composes the decoded line
+    scan (per-file line order) with the recombine operator — exactly one
+    of the two patterns, matching split.Config validation."""
+    from ..operators.recombine import recombine
+
+    if (line_start_pattern is None) == (line_end_pattern is None):
+        raise ValueError(
+            "read_lines_multiline: exactly one of line_start_pattern / "
+            "line_end_pattern required"
+        )
+    df = _read_lines_decoded(spark, paths, encoding)
+    kwargs = {}
+    if line_start_pattern is not None:
+        kwargs["is_first_entry"] = F.col("body").rlike(line_start_pattern)
+    else:
+        kwargs["is_last_entry"] = F.col("body").rlike(line_end_pattern)
+    out = recombine(
+        df,
+        source_id="source_file",
+        order_by="line_nr",
+        combine_field="body",
+        combine_with=combine_with,
+        **kwargs,
+    )
+    return out.withColumn("observed_ts", F.current_timestamp())
 
 
 # minimal OTLP-JSON log line schema (resourceLogs envelope flattened later)

@@ -1,0 +1,95 @@
+"""File-scan charset decode + reader-level multiline framing
+(sources/readers.py — fileconsumer/config.go:74-90 encoding option and
+multiline block, pkg/stanza/decode).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.readers import (
+    read_lines,
+    read_lines_multiline,
+)
+
+
+def test_read_lines_latin1(spark, tmp_path):
+    p = tmp_path / "latin1.log"
+    p.write_bytes("café crème\nnaïve señor\n".encode("latin-1"))
+    got = read_lines(spark, str(p), encoding="latin-1")
+    rows = [r["body"] for r in got.orderBy("body").collect()]
+    assert rows == ["café crème", "naïve señor"]
+    assert set(got.columns) >= {"body", "source_file", "observed_ts"}
+
+
+def test_read_lines_utf16(spark, tmp_path):
+    p = tmp_path / "utf16.log"
+    p.write_bytes("héllo wörld\nsecond line\n".encode("utf-16"))
+    rows = [
+        r["body"]
+        for r in read_lines(spark, str(p), encoding="utf-16")
+        .orderBy("body").collect()
+    ]
+    assert rows == ["héllo wörld", "second line"]
+
+
+def test_read_lines_utf8_fast_path_unchanged(spark, tmp_path):
+    """UTF-8 stays on the splittable JVM text scan (no Python stage)."""
+    p = tmp_path / "plain.log"
+    p.write_text("a\nb\n")
+    df = read_lines(spark, str(p))  # default utf-8
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "ArrowEval" not in plan
+    assert df.count() == 2
+
+
+def test_multiline_line_start_pattern(spark, tmp_path):
+    """Java-style stack traces: a timestamped header starts each entry,
+    continuation lines glue onto it (filelog multiline YAML analog)."""
+    p = tmp_path / "app.log"
+    p.write_text(
+        "2025-01-01 ERROR boom\n"
+        "  at com.example.A(A.java:1)\n"
+        "  at com.example.B(B.java:2)\n"
+        "2025-01-01 INFO fine\n"
+        "2025-01-01 ERROR again\n"
+        "  at com.example.C(C.java:3)\n"
+    )
+    got = read_lines_multiline(
+        spark, str(p), line_start_pattern=r"^\d{4}-\d{2}-\d{2}"
+    )
+    bodies = sorted(r["body"] for r in got.collect())
+    assert len(bodies) == 3
+    assert (
+        "2025-01-01 ERROR boom\n  at com.example.A(A.java:1)\n"
+        "  at com.example.B(B.java:2)" in bodies
+    )
+    assert "2025-01-01 INFO fine" in bodies
+
+
+def test_multiline_line_end_pattern_with_encoding(spark, tmp_path):
+    """End-pattern framing composes with a non-UTF-8 charset."""
+    p = tmp_path / "frames.log"
+    p.write_bytes(
+        "début part1\npart2 END\nsuite part3\npart4 END\n".encode("latin-1")
+    )
+    got = read_lines_multiline(
+        spark, str(p), line_end_pattern=r" END$", encoding="latin-1"
+    )
+    bodies = sorted(r["body"] for r in got.collect())
+    assert bodies == [
+        "début part1\npart2 END",
+        "suite part3\npart4 END",
+    ]
+
+
+def test_multiline_requires_exactly_one_pattern(spark, tmp_path):
+    p = tmp_path / "x.log"
+    p.write_text("a\n")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_lines_multiline(spark, str(p))
+    with pytest.raises(ValueError, match="exactly one"):
+        read_lines_multiline(
+            spark, str(p), line_start_pattern="a", line_end_pattern="b"
+        )

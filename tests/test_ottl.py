@@ -616,6 +616,32 @@ def test_condition_compile(log_df):
     assert log_df.filter(c2).count() == 1
 
 
+def test_schema_url_and_scope_paths(log_df):
+    """resource.schema_url / instrumentation_scope.{version,schema_url,
+    attributes} resolve (contexts/internal/resource.go:24-31,
+    scope.go:24-36)."""
+    df = (
+        log_df.withColumn("resource_schema_url",
+                          F.lit("https://opentelemetry.io/schemas/1.21.0"))
+        .withColumn("scope_version", F.lit("2.3.1"))
+        .withColumn("scope_schema_url", F.lit("https://example.com/1.0"))
+        .withColumn(
+            "scope_attributes",
+            F.create_map(F.lit("lib"), F.lit("otelspark")),
+        )
+    )
+    c = compile_condition(
+        'resource.schema_url == "https://opentelemetry.io/schemas/1.21.0" '
+        'and instrumentation_scope.version == "2.3.1" '
+        'and instrumentation_scope.attributes["lib"] == "otelspark"'
+    )
+    assert df.filter(c).count() == 1
+    out = one(compile_statement(
+        'set(attributes["surl"], instrumentation_scope.schema_url)'
+    )(df))
+    assert out["attributes"]["surl"] == "https://example.com/1.0"
+
+
 def test_parse_errors(log_df):
     with pytest.raises(OTTLError):
         parse_statement('set(attributes["x"]')  # unbalanced

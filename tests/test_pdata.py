@@ -1,0 +1,210 @@
+"""pdata dynamic value model: typed/nested OTLP bodies and attributes
+through ingestion (pdata.parse_otlp_records → VARIANT columns) and OTTL
+typed paths (compiler VARIANT arms reproducing the compare.go matrix on
+runtime kinds — pkg/stanza/adapter/converter.go:283-326,
+pkg/ottl/contexts/ottllog/log.go:196-264, pkg/ottl/compare.go).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.ottl import (
+    OTTLError,
+    compile_condition,
+    compile_statement,
+)
+from opentelemetry_collector_contrib_spark.ottl.compiler import (
+    VARIANT,
+    Context,
+)
+from opentelemetry_collector_contrib_spark.pdata import (
+    parse_otlp_records,
+    read_otlp_json_typed,
+)
+
+NESTED_LINE = json.dumps({
+    "timeUnixNano": "1700000000000000000",
+    "severityNumber": 9,
+    "severityText": "Info",
+    "body": {"kvlistValue": {"values": [
+        {"key": "msg", "value": {"stringValue": "hello"}},
+        {"key": "items", "value": {"arrayValue": {"values": [
+            {"intValue": "7"},
+            {"kvlistValue": {"values": [
+                {"key": "name", "value": {"stringValue": "x"}}]}},
+        ]}}},
+        {"key": "ok", "value": {"boolValue": True}},
+        {"key": "pi", "value": {"doubleValue": 3.25}},
+        {"key": "retries", "value": {"intValue": "5"}},
+    ]}},
+    "attributes": [
+        {"key": "retries", "value": {"intValue": "5"}},
+        {"key": "host", "value": {"stringValue": "h1"}},
+        {"key": "ok", "value": {"boolValue": False}},
+        {"key": "tags", "value": {"arrayValue": {"values": [
+            {"stringValue": "a"}, {"stringValue": "b"}]}}},
+    ],
+    "traceId": "0af7651916cd43dd8448eb211c80319c",
+    "spanId": "b7ad6b7169203331",
+})
+
+LINES = [
+    NESTED_LINE,
+    json.dumps({"body": {"stringValue": "plain"}, "severityNumber": 5}),
+    json.dumps({"body": {"intValue": "42"}}),
+    json.dumps({"body": {"doubleValue": 2.5}}),
+    json.dumps({"body": {"boolValue": True}}),
+    json.dumps({"body": {"arrayValue": {"values": [
+        {"intValue": "1"}, {"stringValue": "two"}]}}}),
+    json.dumps({}),
+    "not json at all",
+]
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(LINES)],
+                               "i long, line string")
+    return parse_otlp_records(df).orderBy("i").cache()
+
+
+def test_body_kinds_cover_the_value_enum(typed_df):
+    kinds = [r["body_kind"] for r in typed_df.select("body_kind").collect()]
+    assert kinds == [
+        "map", "string", "int", "double", "bool", "slice", "empty", "empty",
+    ]
+
+
+def test_backcompat_erased_columns(typed_df):
+    rows = {r["i"]: r for r in typed_df.collect()}
+    # scalar bodies render as their string form, composites as JSON
+    assert rows[1]["body"] == "plain"
+    assert rows[2]["body"] == "42"
+    assert rows[3]["body"] == "2.5"
+    assert rows[4]["body"] == "true"
+    assert json.loads(rows[5]["body"]) == [1, "two"]
+    assert json.loads(rows[0]["body"])["msg"] == "hello"
+    # attributes keep the MAP<STRING,STRING> rendering
+    a = rows[0]["attributes"]
+    assert a["retries"] == "5" and a["ok"] == "false"
+    assert json.loads(a["tags"]) == ["a", "b"]
+
+
+def test_typed_nested_extraction(typed_df):
+    r = typed_df.filter(F.col("i") == 0).select(
+        F.try_variant_get("body_var", "$.items[0]", "long").alias("i0"),
+        F.try_variant_get("body_var", "$.items[1].name", "string").alias("nm"),
+        F.try_variant_get("body_var", "$.pi", "double").alias("pi"),
+        F.try_variant_get("attrs_var", "$.retries", "long").alias("retries"),
+        F.try_variant_get("attrs_var", "$.tags[1]", "string").alias("t1"),
+    ).collect()[0]
+    assert (r["i0"], r["nm"], r["pi"], r["retries"], r["t1"]) == (
+        7, "x", 3.25, 5, "b",
+    )
+
+
+def test_read_otlp_json_typed_from_files(spark, tmp_path):
+    p = tmp_path / "logs.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+    out = read_otlp_json_typed(spark, str(p))
+    assert out.count() == len(LINES)
+    got = out.filter(F.col("body_kind") == "map").select(
+        F.try_variant_get("body_var", "$.retries", "long").alias("r")
+    ).collect()
+    assert [r["r"] for r in got] == [5]
+
+
+# ---- OTTL typed paths over the variant columns ----------------------------
+
+def _ctx():
+    return Context(
+        path_map={"body": "body_var", "attributes": "attributes"},
+        path_types={"body_var": VARIANT},
+    )
+
+
+# (condition, expected truth on the nested row) — the compare.go matrix
+# applied to RUNTIME kinds: int 5 is never equal to "5"
+VARIANT_CASES = [
+    ('body["retries"] == 5', True),
+    ('body["retries"] == "5"', False),          # int vs string: mismatch
+    ('body["retries"] != "5"', True),
+    ('body["retries"] < "5"', False),           # mismatched: never ordered
+    ('body["retries"] == 5.0', True),           # int vs float as float64
+    ('body["retries"] > 4.5', True),
+    ('body["pi"] == 3.25', True),
+    ('body["pi"] > 3', True),
+    ('body["msg"] == "hello"', True),
+    ('body["msg"] != 5', True),                 # string vs int: only != true
+    ('body["ok"] == true', True),
+    ('body["ok"] == "true"', False),            # bool vs string: mismatch
+    ('body["items"][0] == 7', True),
+    ('body["items"][1]["name"] == "x"', True),
+    ('body["missing"] == nil', True),           # absent key → nil
+    ('body["missing"] != nil', False),
+    ('body["items"][9] == nil', True),          # out-of-range → nil
+    ('body["retries"] == nil', False),
+    ('body["retries"] == body["items"][0]', False),  # 5 vs 7
+    ('body["retries"] < body["items"][0]', True),
+    ('body["msg"] == body["items"][1]["name"]', False),  # hello vs x
+    ('body["retries"] == body["msg"]', False),  # int vs string variant
+    ('body["retries"] != body["msg"]', True),
+    ('body == body', True),                     # map structural equality
+    ('body["items"] == body["items"]', True),   # slice structural equality
+    ('body["ok"]', True),                       # bare truthy bool variant
+    ('body["retries"] + 1 == 6', True),         # arithmetic lift → double
+]
+
+
+@pytest.mark.parametrize("cond,expect", VARIANT_CASES)
+def test_variant_condition_matrix(typed_df, cond, expect):
+    row = typed_df.filter(F.col("i") == 0)
+    got = row.select(
+        compile_condition(cond, _ctx()).alias("c")
+    ).collect()[0]["c"]
+    assert got is expect, f"{cond}: got {got}, want {expect}"
+
+
+def test_set_attribute_from_typed_body(typed_df):
+    """set(attributes[k], body[k]) renders the runtime-typed value the
+    way pcommon.Value.AsString does (scalar → text, composite → JSON)."""
+    row = typed_df.filter(F.col("i") == 0)
+    stmts = [
+        'set(attributes["m"], body["msg"])',
+        'set(attributes["r"], body["retries"])',
+        'set(attributes["o"], body["ok"])',
+        'set(attributes["lst"], body["items"])',
+    ]
+    df = row
+    for s in stmts:
+        df = compile_statement(s, _ctx())(df)
+    a = df.select("attributes").collect()[0]["attributes"]
+    assert a["m"] == "hello"
+    assert a["r"] == "5"
+    assert a["o"] == "true"
+    assert json.loads(a["lst"]) == [7, {"name": "x"}]
+
+
+def test_set_inside_variant_rejected(typed_df):
+    with pytest.raises(OTTLError, match="variant"):
+        compile_statement('set(body["msg"], "nope")', _ctx())(typed_df)
+
+
+def test_variant_nil_vs_typed_columns(typed_df):
+    """Rows whose body is a scalar: map-key access yields nil; empty
+    bodies are nil at the root."""
+    ctx = _ctx()
+    got = typed_df.select(
+        "i",
+        compile_condition('body == nil', ctx).alias("is_nil"),
+        compile_condition('body["msg"] == nil', ctx).alias("k_nil"),
+    ).collect()
+    by_i = {r["i"]: r for r in got}
+    assert by_i[6]["is_nil"] and by_i[7]["is_nil"]  # empty + unparsable
+    assert not by_i[0]["is_nil"]
+    assert not by_i[0]["k_nil"]       # map with the key
+    assert by_i[1]["k_nil"]           # string body: no keys → nil

@@ -1,0 +1,97 @@
+"""Scale-proofing of the ANN arms (similarity.py): the IVF scorer must
+not inline centroid literals into the Catalyst tree, and LSH pair
+generation must survive a degenerate hot bucket with bounded cost.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.similarity import (
+    ivf_topk,
+    knn_join_bruteforce,
+    lsh_ann_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic spread-out vectors, dim 16
+    return spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") * (i + 3) + i * 7) % 19 - 9.0)
+            .cast("float"),
+        ).alias("embedding"),
+    ).cache()
+
+
+def test_ivf_plan_has_no_literal_centroid_arrays(emb):
+    """256 centroids must ride the broadcast numpy matrix inside one
+    ArrowEvalPython stage — not 256 inlined array literals whose
+    expression tree grows with the codebook (round-2 `weak` finding)."""
+    out = ivf_topk(emb, query_vec_ids=[0, 1], n_centroids=100, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # the old form inlined every centroid component as a double literal;
+    # the whole plan now stays small regardless of n_centroids
+    assert len(plan) < 20000, f"plan unexpectedly large: {len(plan)} chars"
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    """Probing every cell must recover the exact brute-force top-k —
+    the IVF approximation comes ONLY from probing fewer cells."""
+    got = {
+        (r["q_id"], r["rn"]): r["vec_id"]
+        for r in ivf_topk(
+            emb, query_vec_ids=[3, 77], k=5, n_centroids=6, n_probe=6
+        ).collect()
+    }
+    queries = emb.filter(F.col("vec_id").isin([3, 77]))
+    want = {
+        (r["q_id"], r["rn"]): r["vec_id"]
+        for r in knn_join_bruteforce(emb, queries, k=5).collect()
+    }
+    assert got == want
+
+
+def test_lsh_degenerate_bucket_is_salt_capped(spark):
+    """An all-identical corpus collapses into ONE bucket; the cap must
+    split it so the pair count is bounded far below n²/2."""
+    n = 300
+    same = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)), lambda i: (i + 1.0).cast("float")
+        ).alias("embedding"),
+    )
+    capped = lsh_ann_pairs(
+        same, n_planes=4, threshold=0.5, max_bucket_size=20
+    )
+    rows = capped.collect()
+    # ⌈300/20⌉ = 15 salted sub-buckets of ~20 → ≈ 15 · C(20,2) = 2850
+    # pairs max vs C(300,2) = 44850 uncapped
+    assert 0 < len(rows) <= 6000
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-9 for r in rows)
+
+    # the salt split is deterministic (same plan → same pairs)
+    again = lsh_ann_pairs(
+        same, n_planes=4, threshold=0.5, max_bucket_size=20
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in again} == {
+        (r["vec_a"], r["vec_b"]) for r in rows
+    }
+
+
+def test_lsh_below_cap_unchanged(emb):
+    """With every bucket under the cap the salt is identically 0 — the
+    pair set equals the uncapped semantics (oracle-compatibility)."""
+    a = lsh_ann_pairs(emb, n_planes=6, threshold=0.2,
+                      max_bucket_size=10**6).collect()
+    b = lsh_ann_pairs(emb, n_planes=6, threshold=0.2,
+                      max_bucket_size=500).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in a} == {
+        (r["vec_a"], r["vec_b"]) for r in b
+    }
