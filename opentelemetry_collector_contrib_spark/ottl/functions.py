@@ -280,28 +280,97 @@ def _unix(args, ctx):
 
 # ---- UserAgent (README.md:1619) -------------------------------------------
 # The reference delegates to uap-go (the public uap-core regex corpus).
-# Vendoring 1000+ regexes is out of scope; this covers the browser/tool
-# families the corpus itself highlights, entirely JVM-side, and falls back
-# to uap's "Other" family like the reference does for unmatched strings.
+# Vendoring all 1000+ regexes is out of scope; this covers the browser /
+# mobile-browser / bot / tool families plus OS and device extraction the
+# corpus itself highlights, entirely JVM-side (one chain of rlike +
+# regexp_extract whens — codegen, no UDF), and falls back to uap's
+# "Other" family for unmatched strings like the reference does.
+# Priority = list order (first match wins on overlap, uap's rule order).
 
 _UA_RULES = [
     # (family, detect regex, version-capture regex)
-    ("Edge", r"Edg(e|A|iOS)?/", r"Edg(?:e|A|iOS)?/([0-9.]+)"),
-    ("Opera", r"OPR/", r"OPR/([0-9.]+)"),
-    ("Chrome Mobile", r"Chrome/[0-9.]+ Mobile", r"Chrome/([0-9.]+)"),
-    ("Chrome", r"Chrome/", r"Chrome/([0-9.]+)"),
-    ("Firefox", r"Firefox/", r"Firefox/([0-9.]+)"),
-    ("Mobile Safari", r"Version/[0-9.]+.*Mobile.*Safari/", r"Version/([0-9.]+)"),
-    ("Safari", r"Version/[0-9.]+.*Safari/", r"Version/([0-9.]+)"),
-    ("IE", r"MSIE [0-9.]+", r"MSIE ([0-9.]+)"),
+    # -- bots / crawlers (uap-core spiders block) --
+    ("Googlebot", r"Googlebot", r"Googlebot/([0-9.]+)"),
+    ("Bingbot", r"[Bb]ingbot", r"bingbot/([0-9.]+)"),
+    ("DuckDuckBot", r"DuckDuckBot", r"DuckDuckBot[-/]([0-9.]+)"),
+    ("YandexBot", r"YandexBot", r"YandexBot/([0-9.]+)"),
+    ("Applebot", r"Applebot", r"Applebot/([0-9.]+)"),
+    ("AhrefsBot", r"AhrefsBot", r"AhrefsBot/([0-9.]+)"),
+    ("SemrushBot", r"SemrushBot", r"SemrushBot/([0-9.]+)"),
+    ("Slackbot", r"Slackbot", r"Slackbot[ /]([0-9.]+)"),
+    ("Twitterbot", r"Twitterbot", r"Twitterbot/([0-9.]+)"),
+    ("FacebookBot", r"facebookexternalhit", r"facebookexternalhit/([0-9.]+)"),
+    # -- programmatic clients --
     ("curl", r"^curl/", r"^curl/([0-9.]+)"),
     ("Wget", r"^Wget/", r"^Wget/([0-9.]+)"),
     ("Python Requests", r"^python-requests/", r"^python-requests/([0-9.]+)"),
+    ("Python-urllib", r"^Python-urllib/", r"^Python-urllib/([0-9.]+)"),
     ("Go-http-client", r"^Go-http-client/", r"^Go-http-client/([0-9.]+)"),
     ("Apache-HttpClient", r"^Apache-HttpClient/",
      r"^Apache-HttpClient/([0-9.]+)"),
     ("okhttp", r"^okhttp/", r"^okhttp/([0-9.]+)"),
+    ("Java", r"^Java/", r"^Java/([0-9._]+)"),
+    ("axios", r"^axios/", r"^axios/([0-9.]+)"),
+    ("node-fetch", r"^node-fetch/", r"^node-fetch/([0-9.]+)"),
+    ("PostmanRuntime", r"^PostmanRuntime/", r"^PostmanRuntime/([0-9.]+)"),
+    # -- embedded / headless --
+    ("HeadlessChrome", r"HeadlessChrome/", r"HeadlessChrome/([0-9.]+)"),
+    ("Electron", r"Electron/", r"Electron/([0-9.]+)"),
+    ("PhantomJS", r"PhantomJS/", r"PhantomJS/([0-9.]+)"),
+    # -- browsers (desktop + mobile variants; uap family names) --
+    ("Edge Mobile", r"EdgA/", r"EdgA/([0-9.]+)"),
+    ("Edge", r"Edg(e|iOS)?/", r"Edg(?:e|iOS)?/([0-9.]+)"),
+    ("Opera Mobile", r"OPR/[0-9.]+.*Mobile|Opera Mobi",
+     r"(?:OPR|Version)/([0-9.]+)"),
+    ("Opera", r"OPR/|^Opera/", r"(?:OPR|Version|Opera)/([0-9.]+)"),
+    ("Samsung Internet", r"SamsungBrowser/", r"SamsungBrowser/([0-9.]+)"),
+    ("Yandex Browser", r"YaBrowser/", r"YaBrowser/([0-9.]+)"),
+    ("UC Browser", r"UCBrowser/", r"UCBrowser/([0-9.]+)"),
+    ("Chrome Mobile iOS", r"CriOS/", r"CriOS/([0-9.]+)"),
+    ("Firefox iOS", r"FxiOS/", r"FxiOS/([0-9.]+)"),
+    ("Chrome Mobile WebView", r"; wv\).*Chrome/", r"Chrome/([0-9.]+)"),
+    ("Chrome Mobile", r"Chrome/[0-9.]+ Mobile", r"Chrome/([0-9.]+)"),
+    ("Chrome", r"Chrome/", r"Chrome/([0-9.]+)"),
+    ("Firefox Mobile", r"Firefox/[0-9.]+.*(Mobile|Tablet)|Mobile.*Firefox/",
+     r"Firefox/([0-9.]+)"),
+    ("Firefox", r"Firefox/", r"Firefox/([0-9.]+)"),
+    ("IE Mobile", r"IEMobile", r"IEMobile[ /]([0-9.]+)"),
+    ("IE", r"MSIE [0-9.]+|Trident/.*rv:", r"(?:MSIE |rv:)([0-9.]+)"),
+    ("Mobile Safari", r"Version/[0-9.]+.*Mobile.*Safari/",
+     r"Version/([0-9.]+)"),
+    ("Safari", r"Version/[0-9.]+.*Safari/", r"Version/([0-9.]+)"),
 ]
+
+# OS families (uap-core os_parsers essentials). (name, detect,
+# version-capture, fixed-version) — fixed-version used when the token
+# encodes the marketing version (Windows NT mapping).
+_UA_OS_RULES = [
+    ("Windows Phone", r"Windows Phone(?: OS)? [0-9.]+",
+     r"Windows Phone(?: OS)? ([0-9.]+)", None),
+    ("Windows", r"Windows NT 10\.0", None, "10"),
+    ("Windows", r"Windows NT 6\.3", None, "8.1"),
+    ("Windows", r"Windows NT 6\.2", None, "8"),
+    ("Windows", r"Windows NT 6\.1", None, "7"),
+    ("Windows", r"Windows NT 6\.0", None, "Vista"),
+    ("Windows", r"Windows NT 5\.1", None, "XP"),
+    ("Chrome OS", r"CrOS ", r"CrOS [^ ]+ ([0-9.]+)", None),
+    ("Android", r"Android [0-9.]+", r"Android ([0-9.]+)", None),
+    ("iOS", r"(iPhone|CPU) OS [0-9_]+",
+     r"(?:iPhone|CPU) OS ([0-9_]+)", None),
+    ("Mac OS X", r"Mac OS X 1[0-9][_.0-9]*",
+     r"Mac OS X (1[0-9][_.0-9]*)", None),
+    ("Ubuntu", r"Ubuntu", None, None),
+    ("Linux", r"Linux", None, None),
+]
+
+# Device families: specific hardware first, Android model capture, else
+# the uap desktop convention ("Mac", "Other").
+_UA_DEVICE_RULES = [
+    ("iPhone", r"iPhone"),
+    ("iPad", r"iPad"),
+    ("Mac", r"Macintosh"),
+]
+_ANDROID_MODEL_RX = r"; ([^;)]+) Build/"
 
 
 def _user_agent(args, ctx):
@@ -314,10 +383,42 @@ def _user_agent(args, ctx):
         ver = F.when(
             hit, F.nullif(F.regexp_extract(c, vrx, 1), F.lit(""))
         ).otherwise(ver)
+
+    os_name = F.lit("Other")
+    os_ver = F.lit(None).cast("string")
+    for fam, detect, vrx, fixed in reversed(_UA_OS_RULES):
+        hit = c.rlike(detect)
+        os_name = F.when(hit, F.lit(fam)).otherwise(os_name)
+        if fixed is not None:
+            v = F.lit(fixed)
+        elif vrx is not None:
+            # uap renders iOS/macOS underscore versions dotted
+            v = F.nullif(
+                F.replace(
+                    F.regexp_extract(c, vrx, 1), F.lit("_"), F.lit(".")
+                ),
+                F.lit(""),
+            )
+        else:
+            v = F.lit(None).cast("string")
+        os_ver = F.when(hit, v).otherwise(os_ver)
+
+    android_model = F.nullif(
+        F.regexp_extract(c, _ANDROID_MODEL_RX, 1), F.lit("")
+    )
+    device = F.when(
+        c.rlike(r"Android"), F.coalesce(android_model, F.lit("Other"))
+    ).otherwise(F.lit("Other"))
+    for fam, detect in reversed(_UA_DEVICE_RULES):
+        device = F.when(c.rlike(detect), F.lit(fam)).otherwise(device)
+
     m = F.create_map(
         F.lit("user_agent.name"), name,
         F.lit("user_agent.version"), ver,
         F.lit("user_agent.original"), c,
+        F.lit("os.name"), os_name,
+        F.lit("os.version"), os_ver,
+        F.lit("device.name"), device,
     )
     return F.map_filter(m, lambda _, v: v.isNotNull())
 

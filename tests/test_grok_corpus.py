@@ -1,0 +1,164 @@
+"""Grok base-pattern corpus (functions/grok.py BASE_PATTERNS — the
+public Elastic/logstash grok-patterns + httpd set go-grok defaults to,
+ottlfuncs/README.md:615-705). Each case: pattern expression + input line
+→ expected named captures.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.functions.grok import (
+    BASE_PATTERNS,
+    GrokPattern,
+)
+
+COMBINED = (
+    '192.168.1.10 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif?size=big HTTP/1.0" 200 2326 '
+    '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"'
+)
+
+CASES = [
+    (
+        "%{COMBINEDAPACHELOG}",
+        COMBINED,
+        {
+            "clientip": "192.168.1.10",
+            "ident": "-",
+            "auth": "frank",
+            "timestamp": "10/Oct/2000:13:55:36 -0700",
+            "verb": "GET",
+            "request": "/apache_pb.gif?size=big",
+            "httpversion": "1.0",
+            "response": "200",
+            "bytes": "2326",
+            "referrer": '"http://www.example.com/start.html"',
+            "agent": '"Mozilla/4.08 [en] (Win98)"',
+        },
+    ),
+    (
+        "%{COMMONAPACHELOG}",
+        '10.0.0.1 - - [25/Dec/2021:00:00:01 +0000] "POST /api/v1 HTTP/1.1"'
+        " 503 -",
+        {
+            "clientip": "10.0.0.1",
+            "verb": "POST",
+            "request": "/api/v1",
+            "response": "503",
+            "bytes": None,
+        },
+    ),
+    (
+        "%{SYSLOGTIMESTAMP:ts} %{SYSLOGHOST:host} %{SYSLOGPROG}: "
+        "%{GREEDYDATA:msg}",
+        "Oct  9 14:12:01 web-01 sshd[4321]: Accepted publickey for root",
+        {
+            "ts": "Oct  9 14:12:01",
+            "host": "web-01",
+            "program": "sshd",
+            "pid": "4321",
+            "msg": "Accepted publickey for root",
+        },
+    ),
+    (
+        "%{IPV6:addr}",
+        "2001:db8:85a3::8a2e:370:7334",
+        {"addr": "2001:db8:85a3::8a2e:370:7334"},
+    ),
+    (
+        "%{MAC:mac1} %{MAC:mac2}",
+        "00:1b:63:84:45:e6 001b.6384.45e6",
+        {"mac1": "00:1b:63:84:45:e6", "mac2": "001b.6384.45e6"},
+    ),
+    (
+        "%{EMAILADDRESS:mail}",
+        "contact bob.smith+tag@corp.example.org today",
+        {"mail": "bob.smith+tag@corp.example.org"},
+    ),
+    (
+        "%{URI:uri}",
+        "fetched https://user@www.example.com:8443/a/b?x=1&y=2 ok",
+        {"uri": "https://user@www.example.com:8443/a/b?x=1&y=2"},
+    ),
+    (
+        "%{DATESTAMP_RFC2822:d}",
+        "Mon, 02 Jan 2006 15:04:05 -0700",
+        {"d": "Mon, 02 Jan 2006 15:04:05 -0700"},
+    ),
+    (
+        "%{SYSLOGFACILITY} %{GREEDYDATA:rest}",
+        "<13.6> up",
+        {"facility": "13", "priority": "6", "rest": "up"},
+    ),
+    (
+        "%{WINPATH:p}",
+        r"C:\Users\admin\file.txt",
+        {"p": r"C:\Users\admin\file.txt"},
+    ),
+    (
+        "%{UUID:u}",
+        "id 550e8400-e29b-41d4-a716-446655440000 done",
+        {"u": "550e8400-e29b-41d4-a716-446655440000"},
+    ),
+    (
+        "%{QUOTEDSTRING:q}",
+        "said 'it\\'s fine' then",
+        {"q": "'it\\'s fine'"},
+    ),
+    (
+        "pid=%{BASE16NUM:h} took %{BASE10NUM:s}s",
+        "pid=0x1F4a took 2.75s",
+        {"h": "0x1F4a", "s": "2.75"},
+    ),
+    (
+        "%{HOSTPORT:hp}",
+        "dial tcp 10.2.3.4:8080 refused",
+        {"hp": "10.2.3.4:8080"},
+    ),
+]
+
+
+@pytest.mark.parametrize("expr,line,want", CASES)
+def test_grok_pattern_corpus(expr, line, want):
+    """Driver-side regex semantics (no Spark needed: the compiled regex
+    IS what the vectorized UDF executes per batch)."""
+    g = GrokPattern(expr)
+    m = g.regex.search(line)
+    assert m, f"{expr!r} did not match {line!r}"
+    got = m.groupdict()
+    for k, v in want.items():
+        assert got.get(k) == v, f"{expr}: field {k}={got.get(k)!r}, want {v!r}"
+
+
+def test_full_library_compiles():
+    """Every base pattern must expand to a valid Python regex (catches
+    Oniguruma leftovers) and the library covers the go-grok default
+    surface."""
+    for name in BASE_PATTERNS:
+        GrokPattern(f"%{{{name}:x}}")
+    expected = {
+        "USERNAME", "USER", "EMAILADDRESS", "UUID", "URN", "MAC", "IPV4",
+        "IPV6", "IPORHOST", "HOSTPORT", "URI", "URIPATH", "MONTH", "DAY",
+        "TIME", "DATE", "DATESTAMP", "SYSLOGTIMESTAMP", "SYSLOGPROG",
+        "HTTPDATE", "QUOTEDSTRING", "COMMONAPACHELOG", "COMBINEDAPACHELOG",
+        "LOGLEVEL", "NUMBER", "WORD", "GREEDYDATA",
+    }
+    assert expected <= set(BASE_PATTERNS)
+
+
+def test_combined_apachelog_vectorized(spark):
+    """End-to-end through the Arrow/RE2 engine on a DataFrame."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(COMBINED,), ("not a log line",)],
+                               "line string")
+    g = GrokPattern("%{COMBINEDAPACHELOG}")
+    out = g.apply(df, "line")
+    rows = sorted(
+        out.select("clientip", "response", "agent").collect(),
+        key=lambda r: (r["clientip"] is None, r["clientip"] or ""),
+    )
+    assert rows[0]["clientip"] == "192.168.1.10"
+    assert rows[0]["response"] == "200"
+    assert rows[1]["clientip"] is None

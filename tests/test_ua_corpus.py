@@ -1,0 +1,92 @@
+"""UserAgent converter corpus (ottl/functions.py _UA_RULES — uap-core
+family/OS/device essentials; reference delegates to uap-go,
+ottlfuncs/func_user_agent.go). Real-world UA strings → expected
+family / version / os / device.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.ottl.compiler import (
+    Context,
+    compile_value,
+)
+from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+UAS = [
+    # (ua, name, version, os.name, os.version, device.name)
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/125.0.0.0 Safari/537.36",
+     "Chrome", "125.0.0.0", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.4 Safari/605.1.15",
+     "Safari", "17.4", "Mac OS X", "10.15.7", "Mac"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Mobile/15E148 "
+     "Safari/604.1",
+     "Mobile Safari", "17.4", "iOS", "17.4", "iPhone"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/117.0.5938.117 "
+     "Mobile/15E148 Safari/604.1",
+     "Chrome Mobile iOS", "117.0.5938.117", "iOS", "16.6", "iPhone"),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8 Build/UQ1A.240205.002; wv) "
+     "AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 "
+     "Chrome/122.0.6261.64 Mobile Safari/537.36",
+     "Chrome Mobile WebView", "122.0.6261.64", "Android", "14", "Pixel 8"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile "
+     "Safari/537.36",
+     "Samsung Internet", "23.0", "Android", "13", "Other"),
+    ("Mozilla/5.0 (Android 12; Mobile; rv:126.0) Gecko/126.0 Firefox/126.0",
+     "Firefox Mobile", "126.0", "Android", "12", "Other"),
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "11.0", "Windows", "7", "Other"),
+    ("Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.0; Trident/5.0)",
+     "IE", "9.0", "Windows", "Vista", "Other"),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     "Chrome", "120.0.0.0", "Chrome OS", "14541.0.0", "Other"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; "
+     "+http://www.google.com/bot.html)",
+     "Googlebot", "2.1", "Other", None, "Other"),
+    ("Mozilla/5.0 (compatible; bingbot/2.0; "
+     "+http://www.bing.com/bingbot.htm)",
+     "Bingbot", "2.0", "Other", None, "Other"),
+    ("Slackbot 1.0 (+https://api.slack.com/robots)",
+     "Slackbot", "1.0", "Other", None, "Other"),
+    ("PostmanRuntime/7.36.0", "PostmanRuntime", "7.36.0",
+     "Other", None, "Other"),
+    ("Java/17.0.2", "Java", "17.0.2", "Other", None, "Other"),
+    ("axios/1.6.7", "axios", "1.6.7", "Other", None, "Other"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like "
+     "Gecko) HeadlessChrome/119.0.6045.9 Safari/537.36",
+     "HeadlessChrome", "119.0.6045.9", "Linux", None, "Other"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 OPR/110.0.0.0",
+     "Opera", "110.0.0.0", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (Linux; Android 10; VOG-L29 Build/HUAWEIVOG-L29) "
+     "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 Mobile "
+     "Safari/537.36 EdgA/99.0.1150.78",
+     "Edge Mobile", "99.0.1150.78", "Android", "10", "VOG-L29"),
+    ("totally-unknown-thing", "Other", None, "Other", None, "Other"),
+]
+
+
+@pytest.mark.parametrize(
+    "ua,name,ver,os_name,os_ver,device", UAS,
+    ids=[u[1] + "/" + (u[2] or "-") for u in UAS],
+)
+def test_user_agent_corpus(spark, ua, name, ver, os_name, os_ver, device):
+    node = _Parser(f'UserAgent("{ua}")').value()
+    got = (
+        spark.range(1)
+        .select(compile_value(node, Context()).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got["user_agent.name"] == name, ua
+    assert got.get("user_agent.version") == ver, ua
+    assert got["os.name"] == os_name, ua
+    assert got.get("os.version") == os_ver, ua
+    assert got["device.name"] == device, ua
+    assert got["user_agent.original"] == ua
