@@ -228,3 +228,100 @@ def sum_connector_stream(
             F.col("w.start").alias("interval_start"), *dims, "total", "n"
         )
     )
+
+
+def sliding_count_stream(
+    enriched: DataFrame,
+    dims: list[str] | None = None,
+    window_duration: str = "2 minutes",
+    slide_duration: str = "1 minute",
+    watermark: str = "4 minutes",
+) -> DataFrame:
+    """Sliding-window count connector on a stream (the batch
+    `sliding_counts` aggregate's stateful form — each event lands in
+    window/slide overlapping windows; F.window with a slide maintains
+    them in the state store, the watermark evicts closed ones). Emission
+    contract: a (window, dims) row appends exactly once when the
+    watermark passes the window end — the reference's interval-tick
+    export (processor/intervalprocessor/processor.go:97-231 pattern)."""
+    dims = dims or ["severity_text"]
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide_duration).alias("w"),
+            *dims,
+        )
+        .agg(F.count(F.lit(1)).alias("log_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *dims,
+            "log_count",
+        )
+    )
+
+
+def percentile_connector_stream(
+    enriched: DataFrame,
+    value_col: str,
+    dims: list[str] | None = None,
+    interval: str = "1 minute",
+    watermark: str = "2 minutes",
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Percentile/SLO connector on a stream: per watermarked window,
+    approx_percentile sketches per dim combo. ONLY the sketch form is
+    offered on streams — exact `percentile` buffers every value in the
+    state store (unbounded per hot window); the t-digest-style sketch is
+    bounded and mergeable, which is what a 100 TB stream needs. Labels
+    reuse the batch connector's collision-free scheme."""
+    dims = dims or ["severity_text"]
+
+    # same label derivation as the batch percentile_connector
+    def _label(p: float) -> str:
+        scaled = p * 100
+        if scaled == int(scaled):
+            return f"p{int(scaled)}"
+        return "p" + format(scaled, "g").replace(".", "")
+
+    labels = [_label(p) for p in percentiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentile labels collide: {labels}")
+    aggs = [
+        F.round(
+            F.expr(
+                f"approx_percentile({value_col}, {p}, {accuracy})"
+            ).cast("double"),
+            6,
+        ).alias(lbl)
+        for p, lbl in zip(percentiles, labels)
+    ]
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval).alias("w"), *dims)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("interval_start"), *dims, *labels)
+    )
+
+
+def stratified_sample_stream(
+    stream: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Stratified sampler on a stream. The batch gate
+    (textops.stratified_sample) is a pure deterministic hash filter — no
+    RNG state, no aggregation — so the streaming form IS the batch form:
+    stateless, watermark-free, and restart-idempotent by construction
+    (a replayed micro-batch re-derives the identical keep decision,
+    where Bernoulli sampling would re-draw). Exposed as a named stage so
+    config pipelines can reference it uniformly."""
+    from ..textops import stratified_sample
+
+    return stratified_sample(
+        stream, strata_col, rates, key_col=key_col,
+        default_rate=default_rate,
+    )

@@ -213,3 +213,154 @@ def test_count_and_sum_connector_streams_match_batch(
         )
     )
     assert got_sum == want_sum
+
+
+def test_sliding_count_stream_matches_batch(spark, sf_dir, stream_input):
+    """Sliding-window streaming counts == the same F.window batch agg."""
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        sliding_count_stream,
+    )
+
+    stream = read_transcripts_stream(spark, stream_input)
+    sc = sliding_count_stream(
+        stream, dims=["role"], window_duration="2 minutes",
+        slide_duration="1 minute",
+    )
+    _run_to_memory(sc, "sliding_stream", "complete")
+    got = sorted(map(tuple, spark.table("sliding_stream").collect()))
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(
+                F.window("ts", "2 minutes", "1 minute").alias("w"), "role"
+            )
+            .agg(F.count(F.lit(1)).alias("log_count"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "role", "log_count",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # every event lands in exactly window/slide = 2 windows
+    n_events = batch.count()
+    assert sum(r[-1] for r in got) == 2 * n_events
+
+
+def test_percentile_connector_stream_matches_batch_sketch(
+    spark, sf_dir, stream_input
+):
+    """Streaming approx_percentile sketches == the same sketch in batch
+    (identical algorithm + accuracy → identical output)."""
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        percentile_connector_stream,
+    )
+
+    stream = read_transcripts_stream(spark, stream_input)
+    pc = percentile_connector_stream(
+        stream, "turn_idx", dims=["role"], interval="5 minutes",
+        percentiles=(0.5, 0.95, 0.995),
+    )
+    assert {"p50", "p95", "p995"} <= set(pc.columns)
+    _run_to_memory(pc, "pct_stream", "complete")
+    got = sorted(map(tuple, spark.table("pct_stream").collect()))
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(F.window("ts", "5 minutes").alias("w"), "role")
+            .agg(
+                *[
+                    F.round(
+                        F.expr(
+                            f"approx_percentile(turn_idx, {p}, 10000)"
+                        ).cast("double"),
+                        6,
+                    ).alias(lbl)
+                    for p, lbl in [(0.5, "p50"), (0.95, "p95"),
+                                   (0.995, "p995")]
+                ]
+            )
+            .select(F.col("w.start").alias("interval_start"), "role",
+                    "p50", "p95", "p995")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stratified_sample_stream_restart_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """The streaming sampler keeps the SAME rows when the stream is
+    drained twice from a checkpoint (deterministic hash gate — a retried
+    or resumed micro-batch cannot re-draw)."""
+    import shutil
+
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        stratified_sample_stream,
+    )
+    from opentelemetry_collector_contrib_spark.textops import (
+        stratified_sample,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "transcripts.parquet"),
+        in_dir / "part0.parquet",
+    )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rates = {"user": 0.5, "assistant": 0.25}
+
+    def drain():
+        stream = read_transcripts_stream(spark, str(in_dir))
+        sampled = stratified_sample_stream(
+            stream, "role", rates, key_col="conv_id", default_rate=0.1
+        )
+        q = (
+            sampled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got1 = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("conv_id", "turn_idx").collect())
+    )
+    # batch parity: identical gate, identical rows
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = sorted(
+        map(tuple, stratified_sample(
+            batch, "role", rates, key_col="conv_id", default_rate=0.1
+        ).select("conv_id", "turn_idx").collect())
+    )
+    assert got1 == want and 0 < len(got1) < batch.count()
+
+    # resume from checkpoint with NO new input: nothing re-emitted
+    drain()
+    got2 = sorted(
+        map(tuple, spark.read.parquet(out_dir)
+            .select("conv_id", "turn_idx").collect())
+    )
+    assert got2 == got1
+
+    # new file lands → only ITS sampled rows append, old rows untouched
+    shutil.copy(
+        os.path.join(sf_dir, "transcripts.parquet"),
+        in_dir / "part1.parquet",
+    )
+    drain()
+    got3 = spark.read.parquet(out_dir)
+    assert got3.count() == 2 * len(got1)
