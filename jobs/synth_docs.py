@@ -1,0 +1,96 @@
+"""Synthesize a deterministic documents.parquet at an arbitrary doc
+count for dedup scale campaigns (testdata tops out at 5k docs; the
+campaign tier needs >=500k). No external data: text is generated from
+pure Column expressions seeded by doc_id.
+
+Dup structure mirrors a real crawl corpus: ids with id%8==1 are a NEAR
+duplicate of id-1 (same 40-word body, last 3 words differ -> 3-shingle
+Jaccard ~0.90, above the 0.8 campaign threshold), everything else is
+unique. Expected: ~12.5% of docs are near-dup twins -> pairs ~= N/8,
+survivors ~= N - N/8. Deterministic across runs and engines (hash-free
+arithmetic word choice), so campaign numbers are reproducible.
+
+Usage: python jobs/synth_docs.py --out data/synth500k --docs 500000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "amber", "basalt",
+    "cobalt", "dune", "ember", "flint", "granite", "harbor", "iris",
+    "jasper", "krypton", "lumen", "mantle", "nectar", "onyx", "prism",
+    "quartz", "raven", "slate", "topaz", "umbra", "vertex", "willow",
+    "zephyr",
+]
+WORDS_PER_DOC = 40
+TWIN_TAIL = 3  # words rewritten in the near-dup twin
+
+
+def synth_documents(spark, n_docs: int):
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    ids = spark.range(0, n_docs).select(F.col("id").alias("doc_id"))
+    # twin ids (id%8==1) share the seed of id-1
+    seed = F.when(
+        F.col("doc_id") % 8 == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    is_twin = (F.col("doc_id") % 8 == 1).cast("int")
+
+    def word_at(i):
+        # xxhash64 mixing: arithmetic schemes have short periods in the
+        # seed, which collapses thousands of docs onto identical text
+        # and blows candidate buckets up quadratically
+        base = F.pmod(F.xxhash64(seed, F.lit(i)), F.lit(len(VOCAB)))
+        twin_alt = F.pmod(
+            F.xxhash64(seed, F.lit(i), F.lit("alt")), F.lit(len(VOCAB))
+        )
+        idx = F.when(
+            (F.lit(i) >= WORDS_PER_DOC - TWIN_TAIL) & (is_twin == 1),
+            twin_alt,
+        ).otherwise(base)
+        return F.element_at(vocab, (idx + 1).cast("int"))
+
+    text = F.concat_ws(" ", *[word_at(i) for i in range(WORDS_PER_DOC)])
+    return ids.select(
+        "doc_id",
+        text.alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("en"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    spark = get_spark("synth-docs", cores=args.cores)
+    os.makedirs(args.out, exist_ok=True)
+    out = os.path.join(args.out, "documents.parquet")
+    synth_documents(spark, args.docs).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(out)
+    print(f"wrote {args.docs} docs to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

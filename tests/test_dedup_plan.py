@@ -38,6 +38,21 @@ def test_verify_stage_is_candidate_gated(spark):
     assert "LeftSemi" in plan
 
 
+def test_verify_gate_holds_at_campaign_tier(spark):
+    """Plan assertion at the 500k-doc campaign tier (BASELINE.md): the
+    LeftSemi candidate gate must hold on the exact generator the
+    campaign runs (plan-only — no execution)."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from synth_docs import synth_documents
+
+    docs = synth_documents(spark, 500_000)
+    out = minhash_dedup_pairs(docs, threshold=0.8, hash_fn="xxhash64")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 def test_dedup_pairs_match_unoptimized_semantics(spark):
     docs = _docs(spark)
     got = {
