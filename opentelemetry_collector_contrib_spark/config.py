@@ -156,7 +156,57 @@ def _rx_parquet(
     return source if source is not None else spark.read.parquet(cfg["path"])
 
 
-_RECEIVERS = {"transcripts": _rx_transcripts, "parquet": _rx_parquet}
+def _rx_filelog(
+    spark: SparkSession, cfg: dict, source: DataFrame | None = None
+) -> DataFrame:
+    """filelog receiver YAML surface (receiver/filelogreceiver/filelog.go
+    + fileconsumer/config.go): `include` paths, `encoding`, and the
+    `multiline: {line_start_pattern | line_end_pattern}` block — wired to
+    read_lines / read_lines_multiline so a ported collector config needs
+    no manual recombine stage."""
+    from .sources.readers import read_lines, read_lines_multiline
+
+    if source is not None:
+        return source
+    paths = cfg.get("include") or cfg["path"]
+    if isinstance(paths, list) and len(paths) == 1:
+        paths = paths[0]
+    encoding = cfg.get("encoding", "utf-8")
+    ml = cfg.get("multiline") or {}
+    if ml:
+        return read_lines_multiline(
+            spark, paths,
+            line_start_pattern=ml.get("line_start_pattern"),
+            line_end_pattern=ml.get("line_end_pattern"),
+            encoding=encoding,
+        )
+    return read_lines(spark, paths, encoding=encoding)
+
+
+def _rx_otlpjsonfile(
+    spark: SparkSession, cfg: dict, source: DataFrame | None = None
+) -> DataFrame:
+    """otlpjsonfile receiver: flat fast path by default; `typed: true`
+    switches to the pdata dynamic value model (VARIANT body/attrs)."""
+    from .pdata import read_otlp_json_typed
+    from .sources.readers import read_otlp_json
+
+    if source is not None:
+        return source
+    paths = cfg.get("include") or cfg["path"]
+    if isinstance(paths, list) and len(paths) == 1:
+        paths = paths[0]
+    if cfg.get("typed"):
+        return read_otlp_json_typed(spark, paths)
+    return read_otlp_json(spark, paths)
+
+
+_RECEIVERS = {
+    "transcripts": _rx_transcripts,
+    "parquet": _rx_parquet,
+    "filelog": _rx_filelog,
+    "otlpjsonfile": _rx_otlpjsonfile,
+}
 
 
 # ---------------------------------------------------------------------------

@@ -587,3 +587,62 @@ def test_new_connectors_and_deltatorate(spark, tmp_path):
     assert {"conv_id", "session_id", "n_events"} <= set(sess.columns)
     # sessions per conv >= 1 and every conv appears
     assert sess.select("conv_id").distinct().count() > 0
+
+
+def test_filelog_receiver_yaml_multiline_encoding(spark, tmp_path):
+    """A ported filelog YAML block (include + encoding + multiline) works
+    without a manual recombine stage (fileconsumer/config.go:74-90)."""
+    p = tmp_path / "app.log"
+    p.write_bytes(
+        "2025-01-01 ERROR boom\n  détail one\n2025-01-01 INFO ok\n"
+        .encode("latin-1")
+    )
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"filelog": {
+            "include": [str(p)],
+            "encoding": "latin-1",
+            "multiline": {"line_start_pattern": r"^\d{4}-\d{2}-\d{2}"},
+        }},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["filelog"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    bodies = sorted(r["body"] for r in out.collect())
+    assert bodies == ["2025-01-01 ERROR boom\n  détail one",
+                      "2025-01-01 INFO ok"]
+
+
+def test_otlpjsonfile_receiver_typed(spark, tmp_path):
+    """`typed: true` surfaces the pdata dynamic value model through the
+    YAML front end."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    p = tmp_path / "otlp.jsonl"
+    p.write_text(_json.dumps({
+        "severityNumber": 9,
+        "body": {"kvlistValue": {"values": [
+            {"key": "n", "value": {"intValue": "7"}}]}},
+        "attributes": [{"key": "ok", "value": {"boolValue": True}}],
+    }) + "\n")
+
+    out = CollectorConfig({
+        "receivers": {"otlpjsonfile": {"path": str(p), "typed": True}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["otlpjsonfile"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    r = out.select(
+        "body_kind",
+        F.try_variant_get("body_var", "$.n", "long").alias("n"),
+        F.try_variant_get("attrs_var", "$.ok", "boolean").alias("ok"),
+    ).collect()[0]
+    assert (r["body_kind"], r["n"], r["ok"]) == ("map", 7, True)
