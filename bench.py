@@ -98,14 +98,39 @@ def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
             try:
                 # sinks: ONE pass — multi-match tag, explode, partitioned
                 # parquet write (the actual exporter fan-out, not noop)
+                from opentelemetry_collector_contrib_spark.operators.aggregate import (
+                    count_connector,
+                    sum_connector,
+                )
                 from opentelemetry_collector_contrib_spark.plans.flagship import (
                     build_router,
                 )
 
                 build_router().write_routed(outs["enriched"], sink_dir)
-                for k in ("metrics_counts", "metrics_durations",
-                          "conversation_rollup"):
-                    _materialize(outs[k])
+                # metrics derive from the sinks ALREADY WRITTEN: the
+                # routed parquet IS the tagged table (tags_multi maps
+                # unmatched → default), so counts/durations are pruned
+                # columnar reads of 4-5 columns instead of two more full
+                # parse passes over the raw text. Same results as
+                # run_flagship's plans (route → sink rename only).
+                tagged = spark.read.parquet(sink_dir).withColumnRenamed(
+                    "route", "sink"
+                )
+                _materialize(count_connector(
+                    tagged,
+                    dims={"sink": None, "severity_text": "DEFAULT",
+                          "tool": "<none>", "role": "<none>"},
+                ))
+                _materialize(sum_connector(
+                    tagged,
+                    source_attribute="dur_ms",
+                    dims={"sink": None, "role": "<none>"},
+                    metric_name="total_dur_ms",
+                ))
+                # the conversation rollup needs each source row exactly
+                # once (multi-matched rows are duplicated in the sinks),
+                # so it recomputes from the enriched plan
+                _materialize(outs["conversation_rollup"])
             finally:
                 shutil.rmtree(sink_dir, ignore_errors=True)
             dt = time.monotonic() - t0
