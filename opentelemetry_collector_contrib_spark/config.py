@@ -48,6 +48,9 @@ connectors   routing {table: [{condition, pipelines}], default_pipelines,
              sliding_count {dims, ts_col, window, slide, source_attribute}
              session {keys, ts_col, gap_seconds, source_attribute}
 exporters    file {path, group_by, rotation.max_records_per_file, compression}
+             otlpjsonfile {path, compression}  OTLP-JSON lines (the
+                                        reference fileexporter's output
+                                        shape; pdata.write_otlp_json)
              debug / noop              DataFrame returned, not written
 
 Unknown component types raise ConfigError — silently skipping a stage a
@@ -689,7 +692,8 @@ class CollectorConfig:
             for e in pcfg.get("exporters", []) or []:
                 if self._is_connector(e):
                     continue
-                if _base_type(e) not in ("file", "debug", "noop"):
+                if _base_type(e) not in ("file", "otlpjsonfile", "debug",
+                                         "noop"):
                     raise ConfigError(f"unsupported exporter {e!r} in {pname!r}")
                 self._component("exporters", e)
 
@@ -894,6 +898,15 @@ class CollectorConfig:
             ecfg = self._component("exporters", exp)
             if _base_type(exp) == "file":
                 self._file_writer(df, ecfg).parquet(ecfg["path"])
+                written[exp] = ecfg["path"]
+            elif _base_type(exp) == "otlpjsonfile":
+                # the reference fileexporter's OTLP-JSON output shape
+                from .pdata import write_otlp_json
+
+                write_otlp_json(
+                    df, ecfg["path"],
+                    compression=ecfg.get("compression"),
+                )
                 written[exp] = ecfg["path"]
             else:  # debug / noop → return the DataFrame
                 written[exp] = df

@@ -226,6 +226,160 @@ def read_otlp_json_typed(
 
 
 # ---------------------------------------------------------------------------
+# exporter side: canonical log shape → OTLP-JSON lines (the reverse of
+# parse_otlp_records — exporter/fileexporter writes OTLP JSON, so sink
+# parity needs the encoder, not just the reader)
+# ---------------------------------------------------------------------------
+
+def _plain_to_any(v):
+    """Plain python value → OTLP AnyValue JSON object (the inverse of
+    _any_value_plain; protobuf JSON mapping: int64 as decimal string).
+    bytes provenance is not recoverable from plain JSON (base64 text
+    re-encodes as stringValue — documented fidelity note)."""
+    if v is None:
+        return {}
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    if isinstance(v, str):
+        return {"stringValue": v}
+    if isinstance(v, list):
+        return {"arrayValue": {"values": [_plain_to_any(x) for x in v]}}
+    if isinstance(v, dict):
+        return {
+            "kvlistValue": {
+                "values": [
+                    {"key": k, "value": _plain_to_any(x)}
+                    for k, x in v.items()
+                ]
+            }
+        }
+    return {}
+
+
+def _otlp_record_encode_fn(rows: pd.DataFrame) -> pd.Series:
+    def present(v):  # pandas renders SQL NULL numerics as NaN
+        return v is not None and not (isinstance(v, float) and pd.isna(v))
+
+    out = []
+    for r in rows.itertuples(index=False):
+        rec = {}
+        if present(r.ts_nano):
+            rec["timeUnixNano"] = str(int(r.ts_nano))
+        if present(r.severity_number):
+            rec["severityNumber"] = int(r.severity_number)
+        if present(r.severity_text):
+            rec["severityText"] = r.severity_text
+        if present(r.body_json):
+            rec["body"] = _plain_to_any(json.loads(r.body_json))
+        elif present(r.body_raw):
+            rec["body"] = {"stringValue": r.body_raw}
+        if present(r.attrs_json):
+            attrs = json.loads(r.attrs_json)
+            if attrs:
+                rec["attributes"] = [
+                    {"key": k, "value": _plain_to_any(v)}
+                    for k, v in attrs.items()
+                ]
+        if present(r.trace_id):
+            rec["traceId"] = r.trace_id
+        if present(r.span_id):
+            rec["spanId"] = r.span_id
+        if present(r.flags):
+            rec["flags"] = int(r.flags)
+        if present(r.dropped):
+            rec["droppedAttributesCount"] = int(r.dropped)
+        out.append(
+            json.dumps(rec, ensure_ascii=False, separators=(",", ":"))
+        )
+    return pd.Series(out)
+
+
+def to_otlp_json_lines(df: DataFrame) -> DataFrame:
+    """Canonical log shape → one OTLP-JSON LogRecord line per row
+    (column ``line``). Typed frames (body_var/attrs_var VARIANT) encode
+    their full nested tree; erased frames (plain ``body`` string +
+    MAP<STRING,STRING> attributes) encode scalars as stringValue —
+    matching what the reference's fileexporter emits for each shape.
+    JVM side renders variants to plain JSON (to_json); the one Arrow
+    pass re-wraps plain JSON into AnyValue encoding."""
+    cols = set(df.columns)
+
+    def has(c):
+        return c in cols
+
+    # typed frames carry plain JSON; erased string bodies ride raw and
+    # are wrapped as stringValue inside the UDF (no driver-side quoting)
+    body_json = (
+        F.to_json(F.col("body_var")) if has("body_var")
+        else F.lit(None).cast("string")
+    )
+    body_raw = (
+        F.col("body").cast("string")
+        if has("body") and not has("body_var")
+        else F.lit(None).cast("string")
+    )
+
+    if has("attrs_var"):
+        attrs_json = F.to_json(F.col("attrs_var"))
+    elif has("attributes"):
+        attrs_json = F.to_json(F.col("attributes"))
+    else:
+        attrs_json = F.lit(None).cast("string")
+
+    enc_in = F.struct(
+        (
+            F.unix_micros(F.col("ts")) * 1000 if has("ts")
+            else F.lit(None).cast("long")
+        ).alias("ts_nano"),
+        (
+            F.col("severity_number") if has("severity_number")
+            else F.lit(None).cast("int")
+        ).alias("severity_number"),
+        (
+            F.col("severity_text") if has("severity_text")
+            else F.lit(None).cast("string")
+        ).alias("severity_text"),
+        body_json.alias("body_json"),
+        body_raw.alias("body_raw"),
+        attrs_json.alias("attrs_json"),
+        (
+            F.col("trace_id") if has("trace_id")
+            else F.lit(None).cast("string")
+        ).alias("trace_id"),
+        (
+            F.col("span_id") if has("span_id")
+            else F.lit(None).cast("string")
+        ).alias("span_id"),
+        (F.col("flags") if has("flags") else F.lit(None).cast("int"))
+        .alias("flags"),
+        (
+            F.col("dropped_attributes_count")
+            if has("dropped_attributes_count")
+            else F.lit(None).cast("int")
+        ).alias("dropped"),
+    )
+    if "enc" not in _UDF_CACHE:
+        _UDF_CACHE["enc"] = pandas_udf("string")(_otlp_record_encode_fn)
+    return df.select(_UDF_CACHE["enc"](enc_in).alias("line"))
+
+
+def write_otlp_json(df: DataFrame, path: str, mode: str = "overwrite",
+                    compression: str | None = None) -> None:
+    """otlpjsonfile exporter: one OTLP-JSON LogRecord per line, text
+    files (optionally compressed) — the fileexporter's OTLP-JSON output
+    shape, distributed."""
+    w = to_otlp_json_lines(df).withColumnRenamed("line", "value").write
+    w = w.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+# ---------------------------------------------------------------------------
 # variant helpers shared by the OTTL compiler and queries
 # ---------------------------------------------------------------------------
 

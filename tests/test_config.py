@@ -646,3 +646,37 @@ def test_otlpjsonfile_receiver_typed(spark, tmp_path):
         F.try_variant_get("attrs_var", "$.ok", "boolean").alias("ok"),
     ).collect()[0]
     assert (r["body_kind"], r["n"], r["ok"]) == ("map", 7, True)
+
+
+def test_otlpjsonfile_exporter_roundtrip(spark, tmp_path):
+    """The otlpjsonfile exporter writes OTLP-JSON lines the otlpjsonfile
+    receiver can re-ingest (fileexporter output-shape parity)."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("b1", {"k": "v1"}, 9), ("b2", {"k": "v2"}, 17)],
+        "body string, attributes map<string,string>, severity_number int",
+    ).write.parquet(src)
+    out = str(tmp_path / "otlp_lines")
+
+    CollectorConfig({
+        "receivers": {"parquet": {"path": src}},
+        "exporters": {"otlpjsonfile": {"path": out}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet"], "exporters": ["otlpjsonfile"],
+        }}},
+    }).run(spark)
+
+    lines = [r["value"] for r in spark.read.text(out).collect()]
+    recs = sorted(
+        (_json.loads(ln) for ln in lines),
+        key=lambda r: r["body"]["stringValue"],
+    )
+    assert [r["body"]["stringValue"] for r in recs] == ["b1", "b2"]
+    assert recs[1]["severityNumber"] == 17
+    assert recs[0]["attributes"] == [
+        {"key": "k", "value": {"stringValue": "v1"}}
+    ]

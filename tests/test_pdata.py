@@ -208,3 +208,70 @@ def test_variant_nil_vs_typed_columns(typed_df):
     assert not by_i[0]["is_nil"]
     assert not by_i[0]["k_nil"]       # map with the key
     assert by_i[1]["k_nil"]           # string body: no keys → nil
+
+
+# ---- exporter side: OTLP-JSON encode round trip ---------------------------
+
+def test_otlp_json_roundtrip_typed(spark, typed_df, tmp_path):
+    """read → encode → re-read is a fixed point for typed frames: every
+    canonical column (kinds, variant trees, severities, ids) survives."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        to_otlp_json_lines,
+        write_otlp_json,
+    )
+
+    src = typed_df.filter(F.col("body_kind") != "empty")
+    out = str(tmp_path / "otlp_out")
+    write_otlp_json(src, out)
+    back = parse_otlp_records(
+        spark.read.text(out).withColumnRenamed("value", "line")
+    )
+
+    def canon(df):
+        def body_norm(r):
+            # composite erased renderings differ only in JSON key order
+            # (variant to_json sorts keys; the reader preserves input
+            # order) — compare them structurally
+            if r["body_kind"] in ("map", "slice"):
+                return json.dumps(json.loads(r["body"]), sort_keys=True)
+            return r["body"]
+
+        return sorted(
+            (
+                r["body_kind"],
+                body_norm(r),
+                None if r["body_var"] is None else str(r["body_var"]),
+                r["severity_number"],
+                r["severity_text"],
+                None if r["attrs_var"] is None else str(r["attrs_var"]),
+                r["trace_id"],
+                r["span_id"],
+                str(r["ts"]),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(back) == canon(src)
+    # one line per record, parseable standalone
+    lines = [r["line"] for r in to_otlp_json_lines(src).collect()]
+    assert all(json.loads(ln) for ln in lines)
+
+
+def test_otlp_json_encode_erased_frame(spark):
+    """Erased frames (plain body string + MAP<STRING,STRING> attrs)
+    encode as stringValue records — incl. bodies with quotes/newlines."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        to_otlp_json_lines,
+    )
+
+    df = spark.createDataFrame(
+        [('he said "hi"\nline2', {"k": "v"}, 9)],
+        "body string, attributes map<string,string>, severity_number int",
+    )
+    line = to_otlp_json_lines(df).collect()[0]["line"]
+    rec = json.loads(line)
+    assert rec["body"] == {"stringValue": 'he said "hi"\nline2'}
+    assert rec["attributes"] == [
+        {"key": "k", "value": {"stringValue": "v"}}
+    ]
+    assert rec["severityNumber"] == 9
