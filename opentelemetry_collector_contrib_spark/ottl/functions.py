@@ -31,13 +31,32 @@ def literal_arg(node):
 
 
 def _vals(args, ctx):
-    from .compiler import compile_value
+    """Compile converter args. Runtime-typed VARIANT values render to
+    their pcommon.Value.AsString form (scalar → text, composite → JSON)
+    so every string/number-domain converter works on typed body paths;
+    type-check converters (IsMap/Len/…) use _raw_one for the kind."""
+    from .compiler import VARIANT, compile_value, static_type
 
-    return [compile_value(a, ctx) for a in args]
+    out = []
+    for a in args:
+        c = compile_value(a, ctx)
+        if static_type(a, ctx) == VARIANT:
+            from ..pdata import variant_render
+
+            c = variant_render(c)
+        out.append(c)
+    return out
 
 
 def _one(args, ctx) -> Column:
     return _vals(args, ctx)[0]
+
+
+def _raw_one(args, ctx) -> Column:
+    """First arg WITHOUT variant rendering (kind-aware converters)."""
+    from .compiler import compile_value
+
+    return compile_value(args[0], ctx)
 
 
 def _stype(node, ctx) -> str:
@@ -120,6 +139,27 @@ def _len(args, ctx):
         return F.size(_one(args, ctx))
     if fn_name in _MAP_FNS:
         return F.size(F.map_keys(_one(args, ctx)))
+    if _stype(node, ctx) == "variant":
+        # pcommon Len: Slice/Map → element count, Str → char count
+        from ..pdata import variant_kind, variant_render
+
+        v = _raw_one(args, ctx)
+        k = variant_kind(v)
+        return (
+            F.when(
+                k == "slice",
+                F.size(F.try_variant_get(v, "$", "array<variant>")),
+            )
+            .when(
+                k == "map",
+                F.size(
+                    F.map_keys(
+                        F.try_variant_get(v, "$", "map<string,variant>")
+                    )
+                ),
+            )
+            .otherwise(F.length(variant_render(v)))
+        )
     if isinstance(node, Path) and _stype(node, ctx) in ("map", "array"):
         return F.size(_one(args, ctx))
     return F.length(_one(args, ctx).cast("string"))
@@ -216,8 +256,17 @@ def _typecheck(expect: str):
         "string": lambda c: c.isNotNull(),
     }[expect]
 
+    variant_kind_name = {
+        "bool": "bool", "int": "int", "float": "double",
+        "string": "string",
+    }[expect]
+
     def fn(args, ctx):
         t = _stype(args[0], ctx)
+        if t == "variant":
+            from ..pdata import variant_kind
+
+            return variant_kind(_raw_one(args, ctx)) == variant_kind_name
         if t == "dynamic":
             c = _one(args, ctx)
             return F.coalesce(dyn_check(c), F.lit(False))
@@ -230,6 +279,10 @@ def _typecheck(expect: str):
 
 def _is_map(args, ctx):
     t = _stype(args[0], ctx)
+    if t == "variant":
+        from ..pdata import variant_kind
+
+        return variant_kind(_raw_one(args, ctx)) == "map"
     if t == "dynamic":
         c = _one(args, ctx)
         return F.coalesce(
@@ -240,6 +293,10 @@ def _is_map(args, ctx):
 
 def _is_list(args, ctx):
     t = _stype(args[0], ctx)
+    if t == "variant":
+        from ..pdata import variant_kind
+
+        return variant_kind(_raw_one(args, ctx)) == "slice"
     if t == "dynamic":
         c = _one(args, ctx)
         return F.coalesce(

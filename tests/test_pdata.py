@@ -275,3 +275,42 @@ def test_otlp_json_encode_erased_frame(spark):
         {"key": "k", "value": {"stringValue": "v"}}
     ]
     assert rec["severityNumber"] == 9
+
+
+# ---- converters over typed (VARIANT) paths --------------------------------
+
+CONVERTER_CASES = [
+    ('Len(body["items"])', 2),                # slice → element count
+    ('Len(body)', 5),                         # map → key count
+    ('Len(body["msg"])', 5),                  # string → char count
+    ('IsMap(body)', True),
+    ('IsMap(body["items"])', False),
+    ('IsList(body["items"])', True),
+    ('IsList(body)', False),
+    ('IsString(body["msg"])', True),
+    ('IsString(body["retries"])', False),
+    ('IsInt(body["retries"])', True),
+    ('IsInt(body["pi"])', False),
+    ('IsDouble(body["pi"])', True),
+    ('IsBool(body["ok"])', True),
+    ('Int(body["retries"])', 5),              # render → cast
+    ('Double(body["pi"])', 3.25),
+    ('String(body["retries"])', "5"),
+    ('ConvertCase(body["msg"], "upper")', "HELLO"),
+]
+
+
+@pytest.mark.parametrize("expr,expect", CONVERTER_CASES)
+def test_converters_on_variant_paths(typed_df, expr, expect):
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        compile_value,
+    )
+    from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+    node = _Parser(expr).value()
+    got = (
+        typed_df.filter(F.col("i") == 0)
+        .select(compile_value(node, _ctx()).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert got == expect, f"{expr}: {got!r} != {expect!r}"
