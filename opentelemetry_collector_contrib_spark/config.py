@@ -190,8 +190,10 @@ def _rx_otlpjsonfile(
     spark: SparkSession, cfg: dict, source: DataFrame | None = None
 ) -> DataFrame:
     """otlpjsonfile receiver: flat fast path by default; `typed: true`
-    switches to the pdata dynamic value model (VARIANT body/attrs)."""
-    from .pdata import read_otlp_json_typed
+    switches to the pdata dynamic value model (VARIANT body/attrs);
+    `envelope: true` reads full ExportLogsServiceRequest lines (the
+    shape the reference receiver consumes) incl. resource/scope."""
+    from .pdata import read_otlp_json_envelope, read_otlp_json_typed
     from .sources.readers import read_otlp_json
 
     if source is not None:
@@ -199,6 +201,8 @@ def _rx_otlpjsonfile(
     paths = cfg.get("include") or cfg["path"]
     if isinstance(paths, list) and len(paths) == 1:
         paths = paths[0]
+    if cfg.get("envelope"):
+        return read_otlp_json_envelope(spark, paths)
     if cfg.get("typed"):
         return read_otlp_json_typed(spark, paths)
     return read_otlp_json(spark, paths)

@@ -103,58 +103,9 @@ def _otlp_record_extract_fn(lines: pd.Series) -> pd.DataFrame:
             rec = json.loads(line) if line else {}
         except (json.JSONDecodeError, TypeError):
             rec = {}
-        bk, bv = _any_value_plain(rec.get("body"))
-        body_json = None if bv is None and bk == KIND_EMPTY else json.dumps(
-            bv, ensure_ascii=False, separators=(",", ":")
-        )
-        if bk in (KIND_MAP, KIND_SLICE):
-            body_str = body_json
-        elif bv is None:
-            body_str = None
-        elif bk == KIND_BOOL:
-            body_str = "true" if bv else "false"
-        else:
-            body_str = str(bv)
-        attrs_plain = {}
-        attrs_str = {}
-        for kv in rec.get("attributes") or []:
-            if not isinstance(kv, dict):
-                continue
-            k = kv.get("key")
-            ak, av = _any_value_plain(kv.get("value"))
-            attrs_plain[k] = av
-            if ak in (KIND_MAP, KIND_SLICE):
-                attrs_str[k] = json.dumps(
-                    av, ensure_ascii=False, separators=(",", ":")
-                )
-            elif av is None:
-                attrs_str[k] = None
-            elif ak == KIND_BOOL:
-                attrs_str[k] = "true" if av else "false"
-            else:
-                attrs_str[k] = str(av)
-        sev = rec.get("severityNumber")
-        flags = rec.get("flags")
-        dropped = rec.get("droppedAttributesCount")
-        rows.append(
-            (
-                rec.get("timeUnixNano"),
-                rec.get("observedTimeUnixNano"),
-                int(sev) if sev is not None else None,
-                rec.get("severityText"),
-                bk,
-                body_json,
-                body_str,
-                json.dumps(
-                    attrs_plain, ensure_ascii=False, separators=(",", ":")
-                ),
-                attrs_str,
-                rec.get("traceId"),
-                rec.get("spanId"),
-                int(flags) if flags is not None else None,
-                int(dropped) if dropped is not None else None,
-            )
-        )
+        if not isinstance(rec, dict):
+            rec = {}
+        rows.append(_record_fields(rec))
     return pd.DataFrame(
         rows,
         columns=[
@@ -226,6 +177,169 @@ def read_otlp_json_typed(
 
 
 # ---------------------------------------------------------------------------
+# resourceLogs envelope form — what the reference otlpjsonfile receiver
+# actually consumes: each line is a whole ExportLogsServiceRequest
+# (plog.JSONUnmarshaler; receiver/otlpjsonfilereceiver/file.go), i.e.
+# {"resourceLogs":[{"resource":…,"scopeLogs":[{"scope":…,
+# "logRecords":[…]}]}]}. One line fans out to N records → mapInPandas.
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_SCHEMA = (
+    _RECORD_SCHEMA
+    + ", resource_json string, resource_attrs map<string,string>, "
+    "resource_schema_url string, scope string, scope_version string, "
+    "scope_schema_url string"
+)
+
+
+def _record_fields(rec: dict) -> tuple:
+    """One LogRecord dict → the _RECORD_SCHEMA tuple (shared by the
+    line-per-record and envelope paths)."""
+    bk, bv = _any_value_plain(rec.get("body"))
+    body_json = None if bv is None and bk == KIND_EMPTY else json.dumps(
+        bv, ensure_ascii=False, separators=(",", ":")
+    )
+    if bk in (KIND_MAP, KIND_SLICE):
+        body_str = body_json
+    elif bv is None:
+        body_str = None
+    elif bk == KIND_BOOL:
+        body_str = "true" if bv else "false"
+    else:
+        body_str = str(bv)
+    attrs_plain = {}
+    attrs_str = {}
+    for kv in rec.get("attributes") or []:
+        if not isinstance(kv, dict):
+            continue
+        k = kv.get("key")
+        ak, av = _any_value_plain(kv.get("value"))
+        attrs_plain[k] = av
+        if ak in (KIND_MAP, KIND_SLICE):
+            attrs_str[k] = json.dumps(
+                av, ensure_ascii=False, separators=(",", ":")
+            )
+        elif av is None:
+            attrs_str[k] = None
+        elif ak == KIND_BOOL:
+            attrs_str[k] = "true" if av else "false"
+        else:
+            attrs_str[k] = str(av)
+    sev = rec.get("severityNumber")
+    flags = rec.get("flags")
+    dropped = rec.get("droppedAttributesCount")
+    return (
+        rec.get("timeUnixNano"),
+        rec.get("observedTimeUnixNano"),
+        int(sev) if sev is not None else None,
+        rec.get("severityText"),
+        bk,
+        body_json,
+        body_str,
+        json.dumps(attrs_plain, ensure_ascii=False, separators=(",", ":")),
+        attrs_str,
+        rec.get("traceId"),
+        rec.get("spanId"),
+        int(flags) if flags is not None else None,
+        int(dropped) if dropped is not None else None,
+    )
+
+
+def read_otlp_json_envelope(
+    spark: SparkSession, paths: str | list[str]
+) -> DataFrame:
+    """otlpjsonfile receiver over ENVELOPE lines: each input line is one
+    ExportLogsServiceRequest; every LogRecord inside becomes a row
+    carrying its resource attributes (erased map + plain-JSON for
+    parse_json), resource/scope schema_urls, and scope name/version —
+    exactly the columns the OTTL resource.*/instrumentation_scope.*
+    paths bind to. Bare LogRecord lines (no resourceLogs key) pass
+    through unchanged, so mixed files work."""
+    import pandas as pd
+
+    lines = spark.read.text(paths).withColumnRenamed("value", "line")
+
+    def gen(batches):
+        cols = [
+            "time_unix_nano", "observed_unix_nano", "severity_number",
+            "severity_text", "body_kind", "body_json", "body_str",
+            "attrs_json", "attrs_str", "trace_id", "span_id", "flags",
+            "dropped_attributes_count", "resource_json", "resource_attrs",
+            "resource_schema_url", "scope", "scope_version",
+            "scope_schema_url",
+        ]
+        for pdf in batches:
+            rows = []
+            for line in pdf["line"]:
+                try:
+                    top = json.loads(line) if line else {}
+                except (json.JSONDecodeError, TypeError):
+                    top = {}
+                if not isinstance(top, dict):
+                    top = {}
+                if "resourceLogs" not in top:
+                    rows.append(
+                        (*_record_fields(top), None, {}, None, None, None,
+                         None)
+                    )
+                    continue
+                for rl in top.get("resourceLogs") or []:
+                    res = (rl.get("resource") or {})
+                    _, res_plain = _any_value_plain(
+                        {"kvlistValue": {"values": res.get("attributes")
+                                         or []}}
+                    )
+                    res_json = json.dumps(
+                        res_plain, ensure_ascii=False,
+                        separators=(",", ":"),
+                    )
+                    res_str = {
+                        k: (
+                            json.dumps(v, ensure_ascii=False,
+                                       separators=(",", ":"))
+                            if isinstance(v, (dict, list))
+                            else ("true" if v is True else
+                                  "false" if v is False else
+                                  None if v is None else str(v))
+                        )
+                        for k, v in (res_plain or {}).items()
+                    }
+                    r_surl = rl.get("schemaUrl")
+                    for sl in rl.get("scopeLogs") or []:
+                        scope = sl.get("scope") or {}
+                        for rec in sl.get("logRecords") or []:
+                            rows.append((
+                                *_record_fields(rec),
+                                res_json,
+                                res_str,
+                                r_surl,
+                                scope.get("name"),
+                                scope.get("version"),
+                                sl.get("schemaUrl"),
+                            ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = lines.mapInPandas(gen, _ENVELOPE_SCHEMA)
+    return raw.select(
+        F.timestamp_micros(
+            (F.col("time_unix_nano").cast("long") / 1000).cast("long")
+        ).alias("ts"),
+        "severity_number",
+        "severity_text",
+        F.col("body_str").alias("body"),
+        "body_kind",
+        F.parse_json(F.col("body_json")).alias("body_var"),
+        F.col("attrs_str").alias("attributes"),
+        F.parse_json(F.col("attrs_json")).alias("attrs_var"),
+        F.col("resource_attrs").alias("resource"),
+        F.parse_json(F.col("resource_json")).alias("resource_var"),
+        "resource_schema_url",
+        "scope", "scope_version", "scope_schema_url",
+        "trace_id", "span_id", "flags", "dropped_attributes_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # exporter side: canonical log shape → OTLP-JSON lines (the reverse of
 # parse_otlp_records — exporter/fileexporter writes OTLP JSON, so sink
 # parity needs the encoder, not just the reader)
@@ -267,6 +381,7 @@ def _otlp_record_encode_fn(rows: pd.DataFrame) -> pd.Series:
     out = []
     for r in rows.itertuples(index=False):
         rec = {}
+        envelope = bool(getattr(r, "envelope", False))
         if present(r.ts_nano):
             rec["timeUnixNano"] = str(int(r.ts_nano))
         if present(r.severity_number):
@@ -292,13 +407,34 @@ def _otlp_record_encode_fn(rows: pd.DataFrame) -> pd.Series:
             rec["flags"] = int(r.flags)
         if present(r.dropped):
             rec["droppedAttributesCount"] = int(r.dropped)
+        if envelope:
+            # one ExportLogsServiceRequest per line (the unit the
+            # reference's plog JSON marshaler emits per export)
+            scope = {}
+            if present(getattr(r, "scope", None)):
+                scope["name"] = r.scope
+            if present(getattr(r, "scope_version", None)):
+                scope["version"] = r.scope_version
+            resource = {}
+            res_json = getattr(r, "resource_json", None)
+            if present(res_json):
+                res_plain = json.loads(res_json)
+                if res_plain:
+                    resource["attributes"] = [
+                        {"key": k, "value": _plain_to_any(v)}
+                        for k, v in res_plain.items()
+                    ]
+            rec = {"resourceLogs": [{
+                "resource": resource,
+                "scopeLogs": [{"scope": scope, "logRecords": [rec]}],
+            }]}
         out.append(
             json.dumps(rec, ensure_ascii=False, separators=(",", ":"))
         )
     return pd.Series(out)
 
 
-def to_otlp_json_lines(df: DataFrame) -> DataFrame:
+def to_otlp_json_lines(df: DataFrame, envelope: bool = False) -> DataFrame:
     """Canonical log shape → one OTLP-JSON LogRecord line per row
     (column ``line``). Typed frames (body_var/attrs_var VARIANT) encode
     their full nested tree; erased frames (plain ``body`` string +
@@ -361,6 +497,18 @@ def to_otlp_json_lines(df: DataFrame) -> DataFrame:
             if has("dropped_attributes_count")
             else F.lit(None).cast("int")
         ).alias("dropped"),
+        F.lit(envelope).alias("envelope"),
+        (
+            F.to_json(F.col("resource_var")) if has("resource_var")
+            else F.to_json(F.col("resource")) if has("resource")
+            else F.lit(None).cast("string")
+        ).alias("resource_json"),
+        (F.col("scope") if has("scope") else F.lit(None).cast("string"))
+        .alias("scope"),
+        (
+            F.col("scope_version") if has("scope_version")
+            else F.lit(None).cast("string")
+        ).alias("scope_version"),
     )
     if "enc" not in _UDF_CACHE:
         _UDF_CACHE["enc"] = pandas_udf("string")(_otlp_record_encode_fn)
@@ -368,11 +516,16 @@ def to_otlp_json_lines(df: DataFrame) -> DataFrame:
 
 
 def write_otlp_json(df: DataFrame, path: str, mode: str = "overwrite",
-                    compression: str | None = None) -> None:
-    """otlpjsonfile exporter: one OTLP-JSON LogRecord per line, text
-    files (optionally compressed) — the fileexporter's OTLP-JSON output
-    shape, distributed."""
-    w = to_otlp_json_lines(df).withColumnRenamed("line", "value").write
+                    compression: str | None = None,
+                    envelope: bool = False) -> None:
+    """otlpjsonfile exporter: one OTLP-JSON line per record, text files
+    (optionally compressed) — the fileexporter's OTLP-JSON output shape,
+    distributed. ``envelope=True`` wraps each record as a one-record
+    ExportLogsServiceRequest carrying its resource/scope (what plog's
+    JSON marshaler emits; re-ingestable by read_otlp_json_envelope)."""
+    w = to_otlp_json_lines(df, envelope=envelope).withColumnRenamed(
+        "line", "value"
+    ).write
     w = w.mode(mode)
     if compression:
         w = w.option("compression", compression)

@@ -1485,6 +1485,78 @@ FROM mapped GROUP BY 1, 2""",
 FROM events""",
     )
 
+    # ---- e_otlp_envelope: resourceLogs envelope ingestion -----------------
+    # Each line is a full ExportLogsServiceRequest with TWO LogRecords
+    # (the shape the reference otlpjsonfile receiver consumes); the
+    # envelope reader fans out 2 rows per event carrying resource/scope.
+    def e_otlp_envelope(spark, sf_dir):
+        from .pdata import parse_otlp_records  # noqa: F401 (sibling API)
+        from .pdata import read_otlp_json_envelope
+
+        ev = _ev(spark, sf_dir)
+        line = F.format_string(
+            '{"resourceLogs":[{"resource":{"attributes":['
+            '{"key":"service.name","value":{"stringValue":"svc%d"}},'
+            '{"key":"shard","value":{"intValue":"%d"}}]},'
+            '"schemaUrl":"https://opentelemetry.io/schemas/1.21.0",'
+            '"scopeLogs":[{"scope":{"name":"lib%d","version":"1.%d"},'
+            '"logRecords":['
+            '{"severityNumber":9,"body":{"stringValue":"%s"}},'
+            '{"severityNumber":17,"body":{"kvlistValue":{"values":['
+            '{"key":"n","value":{"intValue":"%d"}}]}}}]}]}]}',
+            (F.col("user_id") % 4).cast("int"),
+            (F.col("event_id") % 16).cast("int"),
+            (F.col("user_id") % 3).cast("int"),
+            (F.col("event_id") % 2).cast("int"),
+            F.col("event_type"),
+            F.col("event_id"),
+        )
+        # go through an actual file so the receiver surface is exercised
+        # (stable path under data/ — overwritten per run, not leaked)
+        tmp = os.path.join(
+            "data", f"_otlp_env_{os.path.basename(os.path.normpath(sf_dir))}"
+        )
+        ev.select(line.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(tmp)
+        df = read_otlp_json_envelope(spark, tmp)
+        return df.groupBy(
+            F.col("resource")["service.name"].alias("svc"),
+            "scope",
+            "severity_number",
+            "body_kind",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.try_variant_get("body_var", "$.n", "long")
+            ).alias("sum_n"),
+            F.sum(
+                F.try_variant_get("resource_var", "$.shard", "long")
+            ).alias("sum_shard"),
+        )
+
+    reg(
+        "e_otlp_envelope",
+        e_otlp_envelope,
+        """WITH per_event AS (
+  SELECT 'svc' || (user_id % 4)::VARCHAR AS svc,
+         'lib' || (user_id % 3)::VARCHAR AS scope,
+         (event_id % 16)::BIGINT AS shard,
+         event_id
+  FROM events
+), fanout AS (
+  SELECT svc, scope, 9 AS severity_number, 'string' AS body_kind,
+         NULL::BIGINT AS n_val, shard FROM per_event
+  UNION ALL
+  SELECT svc, scope, 17, 'map', event_id, shard FROM per_event
+)
+SELECT svc, scope, severity_number, body_kind,
+       count(*)::BIGINT AS n,
+       sum(n_val)::BIGINT AS sum_n,
+       sum(shard)::BIGINT AS sum_shard
+FROM fanout GROUP BY 1, 2, 3, 4""",
+    )
+
     # time bucketing (time_parser + logdedup interval analog)
     def e_time_bucket(spark, sf_dir):
         df = _ev(spark, sf_dir)

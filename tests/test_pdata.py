@@ -314,3 +314,100 @@ def test_converters_on_variant_paths(typed_df, expr, expect):
         .collect()[0]["x"]
     )
     assert got == expect, f"{expr}: {got!r} != {expect!r}"
+
+
+# ---- resourceLogs envelope form -------------------------------------------
+
+ENVELOPE_LINE = json.dumps({"resourceLogs": [{
+    "resource": {"attributes": [
+        {"key": "service.name", "value": {"stringValue": "checkout"}},
+        {"key": "replicas", "value": {"intValue": "3"}},
+    ]},
+    "schemaUrl": "https://opentelemetry.io/schemas/1.21.0",
+    "scopeLogs": [{
+        "scope": {"name": "mylib", "version": "2.0"},
+        "schemaUrl": "https://example.com/1.0",
+        "logRecords": [
+            {"timeUnixNano": "1700000000000000000", "severityNumber": 9,
+             "body": {"stringValue": "r1"}},
+            {"severityNumber": 17,
+             "body": {"kvlistValue": {"values": [
+                 {"key": "n", "value": {"intValue": "7"}}]}}},
+        ],
+    }],
+}]})
+
+
+def test_envelope_reader_fans_out_records(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.pdata import (
+        read_otlp_json_envelope,
+    )
+
+    p = tmp_path / "envelopes.jsonl"
+    # an envelope line AND a bare record line in the same file
+    p.write_text(ENVELOPE_LINE + "\n"
+                 + json.dumps({"body": {"stringValue": "bare"}}) + "\n")
+    out = read_otlp_json_envelope(spark, str(p))
+    rows = sorted(out.collect(), key=lambda r: (r["body"] or ""))
+    assert [r["body"] for r in rows] == ["bare", "r1", '{"n":7}']
+    env_rows = [r for r in rows if r["body"] in ("r1", '{"n":7}')]
+    for r in env_rows:
+        assert r["resource"]["service.name"] == "checkout"
+        assert r["resource"]["replicas"] == "3"
+        assert r["resource_schema_url"] == (
+            "https://opentelemetry.io/schemas/1.21.0"
+        )
+        assert (r["scope"], r["scope_version"]) == ("mylib", "2.0")
+        assert r["scope_schema_url"] == "https://example.com/1.0"
+    # typed access into the resource + nested body
+    typed = out.filter(F.col("body_kind") == "map").select(
+        F.try_variant_get("resource_var", "$['service.name']", "string")
+        .alias("svc"),
+        F.try_variant_get("resource_var", "$.replicas", "long")
+        .alias("rep"),
+        F.try_variant_get("body_var", "$.n", "long").alias("n"),
+    ).collect()[0]
+    assert (typed["svc"], typed["rep"], typed["n"]) == ("checkout", 3, 7)
+    bare = [r for r in rows if r["body"] == "bare"][0]
+    assert bare["resource"] == {} and bare["scope"] is None
+
+
+def test_envelope_reader_binds_ottl_scope_paths(spark, tmp_path):
+    """The envelope columns ARE the OTTL resource/scope path targets."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        read_otlp_json_envelope,
+    )
+
+    p = tmp_path / "env.jsonl"
+    p.write_text(ENVELOPE_LINE + "\n")
+    df = read_otlp_json_envelope(spark, str(p))
+    c = compile_condition(
+        'resource.attributes["service.name"] == "checkout" and '
+        'instrumentation_scope.name == "mylib" and '
+        'instrumentation_scope.version == "2.0" and '
+        'resource.schema_url == "https://opentelemetry.io/schemas/1.21.0"',
+        Context(path_map={"resource.attributes": "resource"}),
+    )
+    assert df.filter(c).count() == 2
+
+
+def test_envelope_write_roundtrip(spark, tmp_path):
+    """envelope=True writes one-record ExportLogsServiceRequests that
+    read_otlp_json_envelope re-ingests with resource/scope intact."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        read_otlp_json_envelope,
+        write_otlp_json,
+    )
+
+    p = tmp_path / "env_in.jsonl"
+    p.write_text(ENVELOPE_LINE + "\n")
+    df = read_otlp_json_envelope(spark, str(p))
+    out = str(tmp_path / "env_out")
+    write_otlp_json(df, out, envelope=True)
+    back = read_otlp_json_envelope(spark, out)
+    canon = lambda d: sorted(
+        (r["body"], r["severity_number"], r["resource"]["service.name"],
+         r["resource"]["replicas"], r["scope"], r["scope_version"])
+        for r in d.collect()
+    )
+    assert canon(back) == canon(df)
