@@ -38,7 +38,7 @@ def minhash_signatures(
     """doc_id → sig_0..sig_{k-1}: min over distinct word n-gram shingles of
     k independent seeded hash functions. One explode + one hash-agg;
     map-side partial min keeps the shuffle at k longs per doc."""
-    sh = docs.select(
+    sh = _spread_small_input(docs).select(
         "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     aggs = [
@@ -46,6 +46,20 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _spread_small_input(docs: DataFrame) -> DataFrame:
+    """Compute-bound guard for tiny scans: a single small parquet file
+    arrives as ONE partition, serializing the k×shingles hash work onto
+    one core (measured 3.3 s single-task at 5k docs / 32 cores). If the
+    scan has fewer partitions than the cluster has slots, round-robin it
+    out first — the shuffle moves kilobytes; real 100 TB corpora already
+    have >cores partitions and pass through untouched."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
 
 
 def lsh_candidate_pairs(
@@ -99,6 +113,7 @@ def minhash_dedup_pairs(
     Σ_pairs(shingles per doc) — linear in candidates, independent of
     corpus². (Round-1 version intersected with a full-corpus
     ngram_jaccard_pairs; at 100 TB that IS the job.)"""
+    docs = _spread_small_input(docs)
     sigs = minhash_signatures(docs, num_hashes, n, text_col, hash_fn)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
 
