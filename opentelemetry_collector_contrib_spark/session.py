@@ -51,6 +51,12 @@ def get_spark(
         # non-mmap Arrow allocator (below) eliminate it. Measured on
         # local[32], sf0.5: 72 s → 3 s for the parse stage.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # file-split floor: the default 4 MiB openCostInBytes caps a
+        # 25 MiB single-file scan at ~7 splits, pinning the (CPU-bound)
+        # parse UDF to 7 of 32 cores. 1 MiB lets totalSize/parallelism
+        # win instead; on a real multi-file 100 TB table the
+        # maxPartitionBytes bound dominates and this floor is moot.
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
         # fresh python worker per task: long-lived reused workers accumulate
         # fragmented allocator state under Arrow batch churn — after a few
