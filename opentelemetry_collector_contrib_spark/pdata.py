@@ -150,6 +150,9 @@ def parse_otlp_records(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.timestamp_micros(
             (F.col("r.time_unix_nano").cast("long") / 1000).cast("long")
         ).alias("ts"),
+        F.timestamp_micros(
+            (F.col("r.observed_unix_nano").cast("long") / 1000).cast("long")
+        ).alias("observed_ts"),
         F.col("r.severity_number").alias("severity_number"),
         F.col("r.severity_text").alias("severity_text"),
         F.col("r.body_str").alias("body"),
@@ -248,16 +251,27 @@ def _record_fields(rec: dict) -> tuple:
 def read_otlp_json_envelope(
     spark: SparkSession, paths: str | list[str]
 ) -> DataFrame:
-    """otlpjsonfile receiver over ENVELOPE lines: each input line is one
+    """otlpjsonfile receiver over ENVELOPE lines (batch file scan) —
+    see parse_otlp_envelopes for the record semantics."""
+    lines = spark.read.text(paths).withColumnRenamed("value", "line")
+    return parse_otlp_envelopes(lines, "line")
+
+
+def parse_otlp_envelopes(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """ENVELOPE lines → typed canonical rows: each line is one
     ExportLogsServiceRequest; every LogRecord inside becomes a row
-    carrying its resource attributes (erased map + plain-JSON for
-    parse_json), resource/scope schema_urls, and scope name/version —
-    exactly the columns the OTTL resource.*/instrumentation_scope.*
-    paths bind to. Bare LogRecord lines (no resourceLogs key) pass
-    through unchanged, so mixed files work."""
+    carrying its resource attributes (erased map + VARIANT),
+    resource/scope schema_urls, and scope name/version — exactly the
+    columns the OTTL resource.*/instrumentation_scope.* paths bind to.
+    Bare LogRecord lines (no resourceLogs key) pass through unchanged,
+    so mixed files work. Pure DataFrame ops (mapInPandas + parse_json),
+    so the SAME function runs under readStream for a tailing receiver.
+    """
     import pandas as pd
 
-    lines = spark.read.text(paths).withColumnRenamed("value", "line")
+    lines = (
+        df.withColumnRenamed(line_col, "line") if line_col != "line" else df
+    )
 
     def gen(batches):
         cols = [
@@ -324,6 +338,9 @@ def read_otlp_json_envelope(
         F.timestamp_micros(
             (F.col("time_unix_nano").cast("long") / 1000).cast("long")
         ).alias("ts"),
+        F.timestamp_micros(
+            (F.col("observed_unix_nano").cast("long") / 1000).cast("long")
+        ).alias("observed_ts"),
         "severity_number",
         "severity_text",
         F.col("body_str").alias("body"),

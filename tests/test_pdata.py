@@ -411,3 +411,50 @@ def test_envelope_write_roundtrip(spark, tmp_path):
         for r in d.collect()
     )
     assert canon(back) == canon(df)
+
+
+def test_observed_ts_exposed(spark):
+    line = json.dumps({
+        "timeUnixNano": "1700000000000000000",
+        "observedTimeUnixNano": "1700000005000000000",
+        "body": {"stringValue": "x"},
+    })
+    df = spark.createDataFrame([(line,)], "line string")
+    r = parse_otlp_records(df).select("ts", "observed_ts").collect()[0]
+    assert (r["observed_ts"] - r["ts"]).total_seconds() == 5.0
+
+
+def test_envelope_reader_works_under_readStream(spark, tmp_path):
+    """The envelope fan-out (mapInPandas + parse_json) is stream-legal:
+    the same parse function tails a directory via readStream."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        parse_otlp_envelopes,
+        read_otlp_json_envelope,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.jsonl").write_text(ENVELOPE_LINE + "\n")
+
+    lines = (
+        spark.readStream.format("text")
+        .load(str(in_dir))
+        .withColumnRenamed("value", "line")
+    )
+    q = (
+        parse_otlp_envelopes(lines)
+        .writeStream.format("memory")
+        .queryName("env_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["body"], r["scope"]) for r in spark.table("env_stream").collect()
+    )
+    want = sorted(
+        (r["body"], r["scope"])
+        for r in read_otlp_json_envelope(spark, str(in_dir)).collect()
+    )
+    assert got == want and len(got) == 2
