@@ -178,6 +178,16 @@ class Context:
                 parts.append(f"['{k}']")
         return "".join(parts)
 
+    def _is_string_accessor(self, path: Path) -> bool:
+        """body.string on a variant column (ottllog/log.go:205-215
+        accessStringBody): the pcommon AsString rendering, typed STRING."""
+        col, _ = self.resolve(path)
+        return (
+            len(path.parts) == 2
+            and path.parts[1] == "string"
+            and self.path_types.get(col) == VARIANT
+        )
+
     def getter(self, path: Path) -> Column:
         col, keys = self.resolve(path)
         if self.path_types.get(col) == VARIANT:
@@ -188,6 +198,10 @@ class Context:
                 c = F.try_variant_get(
                     c, self._variant_json_path(keys), "variant"
                 )
+            if self._is_string_accessor(path):
+                from ..pdata import variant_render
+
+                return variant_render(c)
             return c
         c = F.col(col)
         for i, k in enumerate(keys):
@@ -219,6 +233,8 @@ class Context:
     def path_type(self, path: Path) -> str:
         col, keys = self.resolve(path)
         if self.path_types.get(col) == VARIANT:
+            if self._is_string_accessor(path):
+                return STRING
             return VARIANT  # runtime-typed at any depth
         if keys:
             return DYNAMIC  # map value: type-erased pcommon.Value rendering

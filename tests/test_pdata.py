@@ -458,3 +458,19 @@ def test_envelope_reader_works_under_readStream(spark, tmp_path):
         for r in read_otlp_json_envelope(spark, str(in_dir)).collect()
     )
     assert got == want and len(got) == 2
+
+
+def test_body_string_accessor(typed_df):
+    """body.string on a variant body = pcommon AsString rendering, typed
+    STRING (ottllog/log.go accessStringBody) — so string comparisons
+    work even on int/map bodies."""
+    ctx = _ctx()
+    got = typed_df.select(
+        "i",
+        compile_condition('body.string == "42"', ctx).alias("int42"),
+        compile_condition('body.string == "plain"', ctx).alias("plain"),
+    ).collect()
+    by_i = {r["i"]: r for r in got}
+    assert by_i[2]["int42"] is True        # int body 42 renders "42"
+    assert by_i[1]["plain"] is True
+    assert by_i[0]["int42"] is False       # map body renders JSON
