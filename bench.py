@@ -34,6 +34,8 @@ import subprocess
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +108,9 @@ def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
                     build_router,
                 )
 
-                build_router().write_routed(outs["enriched"], sink_dir)
+                build_router().write_routed(
+                    outs["enriched"], sink_dir, mark_first=True
+                )
                 # metrics derive from the sinks ALREADY WRITTEN: the
                 # routed parquet IS the tagged table (tags_multi maps
                 # unmatched → default), so counts/durations are pruned
@@ -128,9 +132,18 @@ def run_bench(sf_dir: str, cores: str, out_json: bool = True) -> dict:
                     metric_name="total_dur_ms",
                 ))
                 # the conversation rollup needs each source row exactly
-                # once (multi-matched rows are duplicated in the sinks),
-                # so it recomputes from the enriched plan
-                _materialize(outs["conversation_rollup"])
+                # once: the _first_route mark on the written sinks gives
+                # that without re-parsing the raw text (pruned columnar
+                # read + pushed boolean filter)
+                from opentelemetry_collector_contrib_spark.operators.group import (
+                    conversation_rollup,
+                )
+
+                once = (
+                    spark.read.parquet(sink_dir)
+                    .filter(F.col("_first_route"))
+                )
+                _materialize(conversation_rollup(once, salted=True))
             finally:
                 shutil.rmtree(sink_dir, ignore_errors=True)
             dt = time.monotonic() - t0

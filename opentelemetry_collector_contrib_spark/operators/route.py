@@ -101,6 +101,7 @@ class Router:
         fmt: str = "parquet",
         max_records_per_file: int | None = None,
         compression: str | None = None,
+        mark_first: bool = False,
     ) -> None:
         """Scale path: ONE pass over the input — tag (or explode the
         multi-match tag array), then a single partitionBy(route) write.
@@ -111,9 +112,28 @@ class Router:
         (exporter/fileexporter/config.go:22-96 rotation max_megabytes →
         here a row cap: Spark's write tasks roll to a new file at the
         cap); ``compression`` maps the exporter's compression option
-        (zstd there; any Spark codec here, e.g. zstd/snappy/gzip)."""
+        (zstd there; any Spark codec here, e.g. zstd/snappy/gzip).
+
+        ``mark_first`` adds a ``_first_route`` boolean marking each
+        source row's FIRST route copy, so downstream consumers that need
+        every source row exactly once (corpus-level aggregates over the
+        written sinks) can filter instead of re-reading + re-parsing the
+        raw input — multi-matched rows are otherwise duplicated across
+        sink partitions by design."""
         if self.match_once:
             tagged = self.tag(df)
+            if mark_first:
+                tagged = tagged.withColumn("_first_route", F.lit(True))
+        elif mark_first:
+            tagged = (
+                self.tags_multi(df)
+                .select(
+                    "*",
+                    F.posexplode_outer("routes").alias("_pos", "route"),
+                )
+                .withColumn("_first_route", F.col("_pos") == 0)
+                .drop("routes", "_pos")
+            )
         else:
             tagged = self.tags_multi(df).withColumn(
                 "route", F.explode_outer("routes")
