@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import word_shingles
+from .textops import _spread_small_input, word_shingles
 
 
 def _seed_hash(sh_col, seed: int, hash_fn: str = "md5"):
@@ -46,20 +46,6 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
-
-
-def _spread_small_input(docs: DataFrame) -> DataFrame:
-    """Compute-bound guard for tiny scans: a single small parquet file
-    arrives as ONE partition, serializing the k×shingles hash work onto
-    one core (measured 3.3 s single-task at 5k docs / 32 cores). If the
-    scan has fewer partitions than the cluster has slots, round-robin it
-    out first — the shuffle moves kilobytes; real 100 TB corpora already
-    have >cores partitions and pass through untouched."""
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
 
 
 def lsh_candidate_pairs(

@@ -48,6 +48,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread_small_input(docs: DataFrame) -> DataFrame:
+    """Compute-bound guard for tiny scans: a single small parquet file
+    arrives as ONE partition, serializing fan-out-heavy work (shingle
+    explode, per-bit hashing) onto one core. If the scan has fewer
+    partitions than the cluster has slots, round-robin it out first —
+    the shuffle moves kilobytes; real corpora already have >cores
+    partitions and pass through untouched."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     text_col: str = "text",
@@ -90,6 +104,7 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """SimHash over whitespace tokens (md5-derived token hashes).
     bit_j(sig) = majority vote of token-hash bit j (+1/-1 weights)."""
+    docs = _spread_small_input(docs)
     toks = docs.select(
         "doc_id", F.explode(_words(F.col(text_col))).alias("tok")
     ).withColumn("h", _md5_int(F.col("tok")))
