@@ -35,6 +35,12 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="growing transcripts dir")
     ap.add_argument("--out", required=True, help="cumulative output dir")
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--rollup-dir",
+        default=None,
+        help="also maintain an incremental severity×role count rollup "
+        "(MaintainedRollup) kept exact under rewrites via retract",
+    )
     args = ap.parse_args()
 
     from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
@@ -60,9 +66,33 @@ def main() -> int:
     else:
         print(
             f"poll: batch_id={rec['batch_id']} files={rec['n_new_files']} "
-            f"rows={rec['rows_out']}"
+            f"rows={rec['rows_out']} supersedes={rec.get('supersedes', [])}"
         )
         src.metrics().show()
+        if args.rollup_dir:
+            from pyspark.sql import functions as F
+
+            from opentelemetry_collector_contrib_spark.sources.incremental import (  # noqa: E501
+                MaintainedRollup,
+            )
+
+            roll = MaintainedRollup(
+                spark, args.rollup_dir,
+                keys=["severity_text", "role"], sum_cols=["dur_ms"],
+            )
+            # a rewrite superseded old batches: retract their partials
+            # BEFORE adding the replacement so the merged rollup stays
+            # exactly equal to a full recompute
+            for b in rec.get("supersedes", []):
+                roll.retract(b)
+            if rec["batch_id"] is not None:
+                roll.update(
+                    src.table().filter(
+                        F.col("batch_id") == rec["batch_id"]
+                    ),
+                    rec["batch_id"],
+                )
+            roll.snapshot().orderBy("severity_text", "role").show()
     spark.stop()
     return 0
 

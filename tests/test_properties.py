@@ -176,3 +176,63 @@ def test_seeded_shuffle_permutation_property(spark, n, seed):
         r["shuffle_rank"] for r in seeded_shuffle(docs, seed=seed).collect()
     ]
     assert sorted(ranks) == list(range(n))
+
+
+# ---- pdata dynamic value model: conversion laws ---------------------------
+
+_JSON_LEAF = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text("abc0 _ä", max_size=8),
+)
+_JSON_TREE = st.recursive(
+    _JSON_LEAF,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text("kxy1", min_size=1, max_size=4), children,
+                        max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(tree=_JSON_TREE)
+@_SET
+def test_anyvalue_encode_decode_is_identity(tree):
+    """plain → AnyValue → plain is the identity for every JSON tree the
+    OTLP value model can carry (converter.go upsertToAttributeVal ∘ its
+    inverse). Driver-side law — the same functions run inside the Arrow
+    UDFs."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        _any_value_plain,
+        _plain_to_any,
+    )
+
+    _, back = _any_value_plain(_plain_to_any(tree))
+    assert back == tree
+
+
+@given(tree=_JSON_TREE)
+@_SET
+def test_otlp_record_roundtrip_through_spark(spark, tree):
+    """Full engine round trip: a record whose body is ANY value tree
+    survives encode → file-less parse → re-encode with kind and typed
+    leaves intact."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.pdata import (
+        _plain_to_any,
+        parse_otlp_records,
+        to_otlp_json_lines,
+    )
+
+    line = _json.dumps({"body": _plain_to_any(tree), "severityNumber": 5})
+    df = spark.createDataFrame([(line,)], "line string")
+    parsed = parse_otlp_records(df)
+    line2 = to_otlp_json_lines(parsed).collect()[0]["line"]
+    rec2 = _json.loads(line2)
+    from opentelemetry_collector_contrib_spark.pdata import _any_value_plain
+
+    _, back = _any_value_plain(rec2.get("body", {}))
+    assert back == tree
