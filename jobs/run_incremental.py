@@ -69,30 +69,26 @@ def main() -> int:
             f"rows={rec['rows_out']} supersedes={rec.get('supersedes', [])}"
         )
         src.metrics().show()
-        if args.rollup_dir:
-            from pyspark.sql import functions as F
+    if args.rollup_dir:
+        from opentelemetry_collector_contrib_spark.sources.incremental import (  # noqa: E501
+            MaintainedRollup,
+            sync_rollup,
+        )
 
-            from opentelemetry_collector_contrib_spark.sources.incremental import (  # noqa: E501
-                MaintainedRollup,
-            )
-
-            roll = MaintainedRollup(
-                spark, args.rollup_dir,
-                keys=["severity_text", "role"], sum_cols=["dur_ms"],
-            )
-            # a rewrite superseded old batches: retract their partials
-            # BEFORE adding the replacement so the merged rollup stays
-            # exactly equal to a full recompute
-            for b in rec.get("supersedes", []):
-                roll.retract(b)
-            if rec["batch_id"] is not None:
-                roll.update(
-                    src.table().filter(
-                        F.col("batch_id") == rec["batch_id"]
-                    ),
-                    rec["batch_id"],
-                )
+        roll = MaintainedRollup(
+            spark, args.rollup_dir,
+            keys=["severity_text", "role"], sum_cols=["dur_ms"],
+        )
+        # full reconciliation EVERY run (not just after a successful
+        # poll): heals a crash between the ingest commit and the rollup
+        # update, first-time enablement over existing batches, and
+        # supersessions — idempotent, no-op when already in sync
+        sync = sync_rollup(src, roll)
+        print(f"rollup sync: {sync}")
+        if roll.committed_batches():
             roll.snapshot().orderBy("severity_text", "role").show()
+        else:
+            print("rollup: no committed batches")
     spark.stop()
     return 0
 

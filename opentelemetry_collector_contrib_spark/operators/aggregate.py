@@ -270,6 +270,25 @@ def session_window_agg(
     )
 
 
+def percentile_labels(percentiles) -> list[str]:
+    """Collision-free column names for percentile points, shared by the
+    batch and streaming connectors: p50/p95/p99 for whole-percent points;
+    finer quantiles strip the decimal point (0.999 → p999) so
+    0.99/0.995/0.999 never collide. Identical labels raise."""
+    def _label(p: float) -> str:
+        scaled = p * 100
+        if scaled == int(scaled):
+            return f"p{int(scaled)}"
+        return "p" + format(scaled, "g").replace(".", "")
+
+    labels = [_label(p) for p in percentiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"percentile labels collide: {labels} from {tuple(percentiles)}"
+        )
+    return labels
+
+
 def percentile_connector(
     df,
     value_col: str,
@@ -294,20 +313,7 @@ def percentile_connector(
     df, names = _with_dims(df, dims)
     fn = "approx_percentile" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
-
-    def _label(p: float) -> str:
-        # p50/p95/p99 for whole-percent points; finer quantiles strip the
-        # decimal point (0.999 → p999) so 0.99/0.995/0.999 never collide
-        scaled = p * 100
-        if scaled == int(scaled):
-            return f"p{int(scaled)}"
-        return "p" + format(scaled, "g").replace(".", "")
-
-    labels = [_label(p) for p in percentiles]
-    if len(set(labels)) != len(labels):
-        raise ValueError(
-            f"percentile labels collide: {labels} from {percentiles}"
-        )
+    labels = percentile_labels(percentiles)
     aggs = [
         F.round(
             F.expr(f"{fn}({value_col}, {p}{acc})").cast("double"), 6

@@ -516,27 +516,41 @@ def _variant_vs_typed(op: str, v: Column, t: Column, ty: str,
     k = variant_kind(v)
     vn, tn = _vnull(v), t.isNull()
     both, anyn = vn & tn, vn | tn
+
+    def sided(a, b):
+        return (a, b) if variant_left else (b, a)
+
     if ty in _NUMERIC:
         valid = k.isin("int", "double")
         d = F.try_variant_get(v, "$", "double")
-        tt = t.cast("double")
-        ll, rr = (d, tt) if variant_left else (tt, d)
+        raw = _raw_cmp(op, *sided(d, t.cast("double")))
+        if ty == INT:
+            # int × int compares EXACT int64 (compare.go compareInt64s);
+            # only the mixed int/float arm converts to float64 — double
+            # lowering would false-equal distinct ids beyond 2^53
+            li = F.try_variant_get(v, "$", "long")
+            raw = F.when(
+                k == "int", _raw_cmp(op, *sided(li, t.cast("long")))
+            ).otherwise(raw)
     elif ty == STRING:
         valid = k == "string"
-        s = F.try_variant_get(v, "$", "string")
-        ll, rr = (s, t) if variant_left else (t, s)
+        raw = _raw_cmp(op, *sided(F.try_variant_get(v, "$", "string"), t))
     elif ty == BOOL:
         valid = k == "bool"
-        b = F.try_variant_get(v, "$", "boolean").cast("int")
-        tt = t.cast("int")
-        ll, rr = (b, tt) if variant_left else (tt, b)
+        raw = _raw_cmp(
+            op,
+            *sided(
+                F.try_variant_get(v, "$", "boolean").cast("int"),
+                t.cast("int"),
+            ),
+        )
     else:
         # time/bytes/array/map literals never match a JSON-borne kind
         return _invalid(op)
     return (
         F.when(anyn, _nil_result(op, both))
         .when(~valid, _invalid(op))
-        .otherwise(_raw_cmp(op, ll, rr))
+        .otherwise(raw)
     )
 
 
@@ -548,10 +562,21 @@ def _variant_vs_variant(op: str, l: Column, r: Column) -> Column:
     both, anyn = ln & rn, ln | rn
     numeric_l = kl.isin("int", "double")
     numeric_r = kr.isin("int", "double")
-    num_raw = _raw_cmp(
-        op,
-        F.try_variant_get(l, "$", "double"),
-        F.try_variant_get(r, "$", "double"),
+    # both-int pairs compare EXACT int64 (compare.go compareInt64s);
+    # only mixed int/float lowers to float64
+    num_raw = F.when(
+        (kl == "int") & (kr == "int"),
+        _raw_cmp(
+            op,
+            F.try_variant_get(l, "$", "long"),
+            F.try_variant_get(r, "$", "long"),
+        ),
+    ).otherwise(
+        _raw_cmp(
+            op,
+            F.try_variant_get(l, "$", "double"),
+            F.try_variant_get(r, "$", "double"),
+        )
     )
     str_raw = _raw_cmp(
         op,

@@ -117,6 +117,14 @@ def _otlp_record_extract_fn(lines: pd.Series) -> pd.DataFrame:
     )
 
 
+def _ns_to_us(c) -> F.Column:
+    """Unix-nano string → micros via INTEGER division: double division
+    ((long)/1000).cast(long) mis-rounds for realistic epoch nanos (they
+    exceed 2^53), flipping ~0.03% of timestamps by 1 µs."""
+    return F.try_divide(c.cast("long") - F.pmod(c.cast("long"), F.lit(1000)),
+                        F.lit(1000)).cast("long")
+
+
 _UDF_CACHE: dict = {}
 
 
@@ -148,10 +156,10 @@ def parse_otlp_records(df: DataFrame, line_col: str = "line") -> DataFrame:
     return df.select(
         *passthrough,
         F.timestamp_micros(
-            (F.col("r.time_unix_nano").cast("long") / 1000).cast("long")
+            _ns_to_us(F.col("r.time_unix_nano"))
         ).alias("ts"),
         F.timestamp_micros(
-            (F.col("r.observed_unix_nano").cast("long") / 1000).cast("long")
+            _ns_to_us(F.col("r.observed_unix_nano"))
         ).alias("observed_ts"),
         F.col("r.severity_number").alias("severity_number"),
         F.col("r.severity_text").alias("severity_text"),
@@ -228,13 +236,22 @@ def _record_fields(rec: dict) -> tuple:
             attrs_str[k] = "true" if av else "false"
         else:
             attrs_str[k] = str(av)
-    sev = rec.get("severityNumber")
-    flags = rec.get("flags")
-    dropped = rec.get("droppedAttributesCount")
+    def _int_or_none(v):
+        # protobuf canonical JSON may encode enums as NAMES
+        # ("SEVERITY_NUMBER_WARN") and malformed lines can put anything
+        # here — one bad line must degrade to NULL, not kill the job
+        try:
+            return int(v) if v is not None else None
+        except (TypeError, ValueError):
+            return None
+
+    sev = _int_or_none(rec.get("severityNumber"))
+    flags = _int_or_none(rec.get("flags"))
+    dropped = _int_or_none(rec.get("droppedAttributesCount"))
     return (
         rec.get("timeUnixNano"),
         rec.get("observedTimeUnixNano"),
-        int(sev) if sev is not None else None,
+        sev,
         rec.get("severityText"),
         bk,
         body_json,
@@ -243,8 +260,8 @@ def _record_fields(rec: dict) -> tuple:
         attrs_str,
         rec.get("traceId"),
         rec.get("spanId"),
-        int(flags) if flags is not None else None,
-        int(dropped) if dropped is not None else None,
+        flags,
+        dropped,
     )
 
 
@@ -336,10 +353,10 @@ def parse_otlp_envelopes(df: DataFrame, line_col: str = "line") -> DataFrame:
     raw = lines.mapInPandas(gen, _ENVELOPE_SCHEMA)
     return raw.select(
         F.timestamp_micros(
-            (F.col("time_unix_nano").cast("long") / 1000).cast("long")
+            _ns_to_us(F.col("time_unix_nano"))
         ).alias("ts"),
         F.timestamp_micros(
-            (F.col("observed_unix_nano").cast("long") / 1000).cast("long")
+            _ns_to_us(F.col("observed_unix_nano"))
         ).alias("observed_ts"),
         "severity_number",
         "severity_text",

@@ -1512,9 +1512,12 @@ FROM events""",
             F.col("event_id"),
         )
         # go through an actual file so the receiver surface is exercised
-        # (stable path under data/ — overwritten per run, not leaked)
+        # (repo-anchored path, overwritten per run — never cwd-relative:
+        # the harness may run from any working directory)
         tmp = os.path.join(
-            "data", f"_otlp_env_{os.path.basename(os.path.normpath(sf_dir))}"
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            f"_otlp_env_{os.path.basename(os.path.normpath(sf_dir))}",
         )
         ev.select(line.alias("value")).coalesce(4).write.mode(
             "overwrite"

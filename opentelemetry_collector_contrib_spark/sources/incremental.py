@@ -345,6 +345,9 @@ class MaintainedRollup:
             [b for b in self._load_manifest() if b != batch_id]
         )
 
+    def committed_batches(self) -> list[int]:
+        return self._load_manifest()
+
     def snapshot(self) -> DataFrame:
         """Merged aggregate across manifest-committed batches only."""
         committed = self._load_manifest()
@@ -362,3 +365,29 @@ class MaintainedRollup:
         aggs = [F.sum("n").alias("n")]
         aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols]
         return merged.groupBy(*self.keys).agg(*aggs)
+
+
+def sync_rollup(src: IncrementalFileSource, roll: MaintainedRollup) -> dict:
+    """Reconcile a MaintainedRollup against the ingest source's committed
+    state — the idempotent recovery step that makes the rollup exact no
+    matter when it runs: after a crash between the ingest commit and the
+    rollup update, after enabling the rollup on a table with existing
+    batches, or after a poll superseded batches. Retracts manifest
+    entries the source no longer counts, adds committed batches the
+    manifest lacks (reading each back from its batch directory). Safe to
+    run on every poll; a fully-synced state is a no-op."""
+    state = src._load_state()
+    dead = set(state.get("superseded", []))
+    committed = {
+        b["batch_id"] for b in state["batches"] if b["batch_id"] not in dead
+    }
+    have = set(roll.committed_batches())
+    retracted = sorted(have - committed)
+    for b in retracted:
+        roll.retract(b)
+    added = sorted(committed - have)
+    if added:
+        tbl = src.table()
+        for b in added:
+            roll.update(tbl.filter(F.col("batch_id") == b), b)
+    return {"retracted": retracted, "added": added}

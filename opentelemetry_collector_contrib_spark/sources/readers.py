@@ -77,7 +77,13 @@ def _read_lines_decoded(
     """Charset-decoding line scan: binaryFile source → decode + split in
     one mapInPandas pass, emitting (body, source_file, line_nr). Carries
     the per-file line number so multiline recombination downstream has a
-    deterministic order (the text fast path has no line index)."""
+    deterministic order (the text fast path has no line index).
+
+    Bounds (inherent to whole-file decode, same unit the reference's
+    sequential reader holds): each file is materialized per task —
+    binaryFile caps files at 2 GiB and multi-GiB files pressure worker
+    memory. Split oversized legacy logs upstream, or transcode to UTF-8
+    (the splittable fast path) before ingest."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(paths)
@@ -87,8 +93,14 @@ def _read_lines_decoded(
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 text = bytes(content).decode(encoding, errors="replace")
-                for i, ln in enumerate(text.splitlines()):
-                    rows.append((ln, path, i))
+                # \n / \r\n framing ONLY — str.splitlines() would also
+                # break on NEL/U+2028/VT/FF, splitting records that the
+                # JVM text scan and the reference's newline framing keep
+                # whole (e.g. cp1252 0x85 decoded mid-line)
+                if text.endswith("\n"):
+                    text = text[:-1]
+                for i, ln in enumerate(text.split("\n")):
+                    rows.append((ln.rstrip("\r"), path, i))
             yield pd.DataFrame(
                 rows, columns=["body", "source_file", "line_nr"]
             )

@@ -276,18 +276,10 @@ def percentile_connector_stream(
     state store (unbounded per hot window); the t-digest-style sketch is
     bounded and mergeable, which is what a 100 TB stream needs. Labels
     reuse the batch connector's collision-free scheme."""
+    from ..operators.aggregate import percentile_labels
+
     dims = dims or ["severity_text"]
-
-    # same label derivation as the batch percentile_connector
-    def _label(p: float) -> str:
-        scaled = p * 100
-        if scaled == int(scaled):
-            return f"p{int(scaled)}"
-        return "p" + format(scaled, "g").replace(".", "")
-
-    labels = [_label(p) for p in percentiles]
-    if len(set(labels)) != len(labels):
-        raise ValueError(f"percentile labels collide: {labels}")
+    labels = percentile_labels(percentiles)
     aggs = [
         F.round(
             F.expr(

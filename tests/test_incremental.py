@@ -298,3 +298,53 @@ def test_table_excludes_uncommitted_batch_dirs(spark, tmp_path):
     tbl = src.table()
     assert tbl.count() == 20
     assert tbl.filter(F.col("id") >= 900).count() == 0
+
+
+def test_sync_rollup_reconciles_all_gaps(spark, tmp_path):
+    """sync_rollup heals every divergence mode: late enablement over
+    existing batches, a missed update after a crash, and supersession —
+    and is a no-op when in sync."""
+    from opentelemetry_collector_contrib_spark.sources.incremental import (
+        MaintainedRollup,
+        sync_rollup,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    agg_dir = str(tmp_path / "agg")
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    roll = MaintainedRollup(spark, agg_dir, keys=["k"], sum_cols=["v"])
+
+    tf = lambda df: df.withColumn("k", F.col("id") % 3)
+    _write_part(spark, input_dir, "day=1", 0, 60)
+    src.poll(tf)
+    _write_part(spark, input_dir, "day=2", 60, 100)
+    src.poll(tf)
+
+    # late enablement: two committed batches, empty manifest
+    sync = sync_rollup(src, roll)
+    assert sync == {"retracted": [], "added": [0, 1]}
+
+    def want():
+        return {
+            r["k"]: (r["n"], r["sum_v"])
+            for r in src.table().groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    assert got == want()
+
+    # in-sync re-run is a no-op
+    assert sync_rollup(src, roll) == {"retracted": [], "added": []}
+
+    # rewrite supersedes batch 0 (carrying day=2? no — each batch owns
+    # one file here, so only batch 0 dies) and adds batch 2; a crash
+    # "before the rollup update" is simulated by just calling sync
+    _write_part(spark, input_dir, "day=1", 0, 10)
+    src.poll(tf)
+    sync = sync_rollup(src, roll)
+    assert 0 in sync["retracted"] and sync["added"]
+    got2 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
+    assert got2 == want()

@@ -474,3 +474,31 @@ def test_body_string_accessor(typed_df):
     assert by_i[2]["int42"] is True        # int body 42 renders "42"
     assert by_i[1]["plain"] is True
     assert by_i[0]["int42"] is False       # map body renders JSON
+
+
+def test_variant_int64_compares_exact_beyond_2_53(spark):
+    """Distinct int64 ids beyond 2^53 must NOT compare equal (compare.go
+    compareInt64s is exact; double lowering would false-equal them) —
+    and ns->us timestamp conversion must truncate exactly."""
+    line = json.dumps({
+        "timeUnixNano": "1723948800123456999",
+        "body": {"kvlistValue": {"values": [
+            {"key": "a", "value": {"intValue": "9007199254740993"}},
+            {"key": "b", "value": {"intValue": "9007199254740992"}},
+        ]}},
+    })
+    df = parse_otlp_records(
+        spark.createDataFrame([(line,)], "line string")
+    )
+    ctx = _ctx()
+    r = df.select(
+        compile_condition('body["a"] == body["b"]', ctx).alias("eq"),
+        compile_condition('body["a"] != body["b"]', ctx).alias("ne"),
+        compile_condition('body["a"] > body["b"]', ctx).alias("gt"),
+        compile_condition('body["a"] == 9007199254740993', ctx).alias("lit_eq"),
+        compile_condition('body["b"] == 9007199254740993', ctx).alias("lit_ne"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).collect()[0]
+    assert r["eq"] is False and r["ne"] is True and r["gt"] is True
+    assert r["lit_eq"] is True and r["lit_ne"] is False
+    assert r["us"] == 1723948800123456  # exact integer truncation
