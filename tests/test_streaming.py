@@ -364,3 +364,51 @@ def test_stratified_sample_stream_restart_idempotent(
     drain()
     got3 = spark.read.parquet(out_dir)
     assert got3.count() == 2 * len(got1)
+
+
+def test_sliding_count_stream_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Append-mode sliding counts with a checkpoint: draining twice emits
+    nothing new; windows emit exactly once as the watermark closes them."""
+    import shutil
+
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        sliding_count_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "transcripts.parquet"),
+        in_dir / "part0.parquet",
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = read_transcripts_stream(spark, str(in_dir))
+        sc = sliding_count_stream(
+            stream, dims=["role"], window_duration="2 minutes",
+            slide_duration="1 minute", watermark="2 minutes",
+        )
+        q = (
+            sc.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0  # closed windows were flushed on the drain
+    # no duplicate emission on a resumed drain with no new data
+    drain()
+    assert spark.read.parquet(out).count() == n1
+    # emitted (window, role) keys are unique — exactly-once per window
+    df = spark.read.parquet(out)
+    assert (
+        df.select("window_start", "window_end", "role").distinct().count()
+        == n1
+    )
