@@ -130,11 +130,16 @@ _UDF_CACHE: dict = {}
 
 def _otlp_record_extract(col):
     # pandas_udf construction needs an active SparkSession (returnType DDL
-    # parsing) — build lazily, once per process, like the grok engine does
+    # parsing) — build lazily, once per process, like the grok engine does.
+    # asNondeterministic: Catalyst otherwise re-inlines the UDF into every
+    # downstream filter that references its fields, running the whole
+    # AnyValue re-encode once PER FILTER instead of once per row (plan
+    # showed 2× ArrowEvalPython under two pushed filters — the same trap
+    # operators/parse.py documents for the grok extraction)
     if "rec" not in _UDF_CACHE:
         _UDF_CACHE["rec"] = pandas_udf(_RECORD_SCHEMA)(
             _otlp_record_extract_fn
-        )
+        ).asNondeterministic()
     return _UDF_CACHE["rec"](col)
 
 

@@ -502,3 +502,23 @@ def test_variant_int64_compares_exact_beyond_2_53(spark):
     assert r["eq"] is False and r["ne"] is True and r["gt"] is True
     assert r["lit_eq"] is True and r["lit_ne"] is False
     assert r["us"] == 1723948800123456  # exact integer truncation
+
+
+def test_single_udf_evaluation_under_filters(spark):
+    """The ingest UDF must appear ONCE in the physical plan even when
+    downstream filters reference its fields — Catalyst would otherwise
+    re-run the whole AnyValue re-encode per filter (the grok
+    asNondeterministic trap, operators/parse.py)."""
+    df = spark.createDataFrame(
+        [(json.dumps({"body": {"stringValue": "x"},
+                      "severityNumber": 9}),)],
+        "line string",
+    )
+    out = (
+        parse_otlp_records(df)
+        .filter(F.col("severity_number") >= 9)
+        .filter(F.col("body") != "")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert out.count() == 1
