@@ -214,7 +214,10 @@ def ivf_topk(
         top = cent_ids[order[:, :n_probe]]
         return pd.Series(list(top))
 
-    top_cells = pandas_udf("array<long>")(_top_cells_fn)
+    # asNondeterministic: the join-key null filter otherwise re-inlines
+    # the scorer, re-running the batch×centroids product per reference
+    # (3 ArrowEvalPython nodes measured where the DAG needs 2)
+    top_cells = pandas_udf("array<long>")(_top_cells_fn).asNondeterministic()
 
     assigned = emb.select(
         "vec_id", vec_col,
