@@ -712,8 +712,21 @@ def compile_bool(node, ctx: Context) -> Column:
         return F.lit(bool(node.value))
     # bare value as condition (e.g. IsMatch(...))
     if static_type(node, ctx) == VARIANT:
+        from ..pdata import KIND_BOOL, variant_kind
+
+        # Gate on the variant KIND: try_variant_get(…,"boolean") would
+        # coerce int 1 / string "true" to true, but the reference errors
+        # on non-bool conditions and ignore-mode resolves them to false
+        # (ottl/parser.go condition eval) — so every non-bool kind is
+        # false here, not coerced.
         c = compile_value(node, ctx)
-        return F.coalesce(F.try_variant_get(c, "$", "boolean"), F.lit(False))
+        return F.coalesce(
+            F.when(
+                variant_kind(c) == F.lit(KIND_BOOL),
+                F.try_variant_get(c, "$", "boolean"),
+            ),
+            F.lit(False),
+        )
     return _truthy(compile_value(node, ctx))
 
 

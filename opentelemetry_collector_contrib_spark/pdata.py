@@ -118,11 +118,13 @@ def _otlp_record_extract_fn(lines: pd.Series) -> pd.DataFrame:
 
 
 def _ns_to_us(c) -> F.Column:
-    """Unix-nano string → micros via INTEGER division: double division
-    ((long)/1000).cast(long) mis-rounds for realistic epoch nanos (they
-    exceed 2^53), flipping ~0.03% of timestamps by 1 µs."""
-    return F.try_divide(c.cast("long") - F.pmod(c.cast("long"), F.lit(1000)),
-                        F.lit(1000)).cast("long")
+    """Unix-nano string → micros via EXACT integer division. Any path
+    through long `/` (including try_divide) is double division in Spark:
+    epoch nanos exceed 2^53, so the double cast silently truncates ~1.5%
+    of realistic timestamps 1 µs low (1764638455574544273 → …543).
+    decimal(20,0) arithmetic keeps all 19 digits; floor is exact
+    truncation (nanos are non-negative)."""
+    return F.floor(c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
 
 
 _UDF_CACHE: dict = {}
@@ -423,6 +425,8 @@ def _otlp_record_encode_fn(rows: pd.DataFrame) -> pd.Series:
         envelope = bool(getattr(r, "envelope", False))
         if present(r.ts_nano):
             rec["timeUnixNano"] = str(int(r.ts_nano))
+        if present(getattr(r, "observed_nano", None)):
+            rec["observedTimeUnixNano"] = str(int(r.observed_nano))
         if present(r.severity_number):
             rec["severityNumber"] = int(r.severity_number)
         if present(r.severity_text):
@@ -463,10 +467,13 @@ def _otlp_record_encode_fn(rows: pd.DataFrame) -> pd.Series:
                         {"key": k, "value": _plain_to_any(v)}
                         for k, v in res_plain.items()
                     ]
-            rec = {"resourceLogs": [{
-                "resource": resource,
-                "scopeLogs": [{"scope": scope, "logRecords": [rec]}],
-            }]}
+            scope_logs = {"scope": scope, "logRecords": [rec]}
+            if present(getattr(r, "scope_schema_url", None)):
+                scope_logs["schemaUrl"] = r.scope_schema_url
+            res_logs = {"resource": resource, "scopeLogs": [scope_logs]}
+            if present(getattr(r, "resource_schema_url", None)):
+                res_logs["schemaUrl"] = r.resource_schema_url
+            rec = {"resourceLogs": [res_logs]}
         out.append(
             json.dumps(rec, ensure_ascii=False, separators=(",", ":"))
         )
@@ -511,6 +518,10 @@ def to_otlp_json_lines(df: DataFrame, envelope: bool = False) -> DataFrame:
             else F.lit(None).cast("long")
         ).alias("ts_nano"),
         (
+            F.unix_micros(F.col("observed_ts")) * 1000
+            if has("observed_ts") else F.lit(None).cast("long")
+        ).alias("observed_nano"),
+        (
             F.col("severity_number") if has("severity_number")
             else F.lit(None).cast("int")
         ).alias("severity_number"),
@@ -548,6 +559,14 @@ def to_otlp_json_lines(df: DataFrame, envelope: bool = False) -> DataFrame:
             F.col("scope_version") if has("scope_version")
             else F.lit(None).cast("string")
         ).alias("scope_version"),
+        (
+            F.col("resource_schema_url") if has("resource_schema_url")
+            else F.lit(None).cast("string")
+        ).alias("resource_schema_url"),
+        (
+            F.col("scope_schema_url") if has("scope_schema_url")
+            else F.lit(None).cast("string")
+        ).alias("scope_schema_url"),
     )
     if "enc" not in _UDF_CACHE:
         _UDF_CACHE["enc"] = pandas_udf("string")(_otlp_record_encode_fn)

@@ -680,58 +680,13 @@ FROM {_TR}""",
     _register_media(reg)
     _register_scale_paths(reg)
     _register_relational(reg)
-    return _driver_window_order(queries, oracles)
-
-
-# The driver's per-round correctness artifact records only the FIRST 50
-# registry entries (confirmed: CORRECTNESS_r02.json == first 50 of the
-# round-2 insertion order, leaving the TPC-H joins, the stanza parser
-# tail, and the dedup cluster chain invisible to the hard signal). This
-# explicit window puts one green representative of EVERY operator family
-# inside the cap; everything after slot 50 is still verified by
-# tools/check_correctness.py (all 90+) and pytest.
-_DRIVER_WINDOW: list[str] = [
-    # core pipeline
-    "t_parse", "t_enrich", "t_route_match_once", "t_counts",
-    "t_conv_rollup", "t_recombine", "t_ottl_transform", "t_config_pipeline",
-    # processors
-    "t_filter_include_exclude", "t_sampler", "t_attributes_actions",
-    "t_redact", "t_groupbyattrs", "t_logdedup", "t_sum_durations",
-    "t_pii_scrub",
-    # stanza parser surface + pdata typed-value ingestion
-    "e_json_parse", "e_csv_parse", "e_kv_parse", "e_jsonarray_parse",
-    "e_uri_parse", "e_trace_parse", "e_syslog_parse", "e_syslog5424_parse",
-    "e_container_parse", "e_otlp_nested",
-    # metrics/stateful aggregates
-    "e_delta_rate", "e_cum_to_delta", "e_delta_to_cum", "e_interval_last",
-    "e_sliding_counts", "e_session_counts", "e_value_percentiles",
-    # dedup / text curation (simhash representative lives past the cap —
-    # still verified by the local 91-query gate + pytest)
-    "d_exact_dedup", "d_minhash_sig", "d_minhash_pairs", "d_dup_clusters",
-    "d_dedup_survivors", "d_contamination",
-    "d_stratified_sample", "d_curation_pipeline",
-    # similarity / embeddings
-    "s_cosine_topk", "s_ivf_topk", "s_ann_pairs", "d_embed_dedup",
-    # multimodal
-    "m_features",
-    # relational shapes (agg, multi-join, outer join, having-subquery)
-    "q1_pricing_summary", "q3_shipping_priority", "q13_order_distribution",
-    "q18_large_orders",
-]
-
-
-def _driver_window_order(
-    queries: dict, oracles: dict
-) -> tuple[dict, dict]:
-    missing = [n for n in _DRIVER_WINDOW if n not in queries]
-    assert not missing, f"_DRIVER_WINDOW names not registered: {missing}"
-    assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
-    rest = [n for n in queries if n not in set(_DRIVER_WINDOW)]
-    order = [*_DRIVER_WINDOW, *rest]
-    return (
-        {n: queries[n] for n in order},
-        {n: oracles[n] for n in order if n in oracles},
-    )
+    # Registry is emitted in NATURAL registration order (the order the
+    # operators were built), never reordered: the driver's correctness
+    # artifact samples a prefix of this dict, and a hand-picked ordering
+    # would let this repo choose what that external signal sees (flagged
+    # in round-3 review). Full coverage of ALL entries — including any
+    # past the driver's sampling window — is tools/check_correctness.py.
+    return queries, oracles
 
 
 # ---------------------------------------------------------------------------

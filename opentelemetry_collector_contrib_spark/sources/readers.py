@@ -181,11 +181,11 @@ OTLP_LOG_SCHEMA = T.StructType(
 def read_otlp_json(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """otlpjsonfile receiver: one OTLP-JSON LogRecord per line → canonical
     flat columns. attributes kv-array → MAP."""
+    from ..pdata import _ns_to_us
+
     df = spark.read.schema(OTLP_LOG_SCHEMA).json(paths)
     return df.select(
-        F.timestamp_micros(
-            (F.col("timeUnixNano").cast("long") / 1000).cast("long")
-        ).alias("ts"),
+        F.timestamp_micros(_ns_to_us(F.col("timeUnixNano"))).alias("ts"),
         F.col("severityNumber").alias("severity_number"),
         F.col("severityText").alias("severity_text"),
         F.col("body.stringValue").alias("body"),

@@ -407,10 +407,109 @@ def test_envelope_write_roundtrip(spark, tmp_path):
     back = read_otlp_json_envelope(spark, out)
     canon = lambda d: sorted(
         (r["body"], r["severity_number"], r["resource"]["service.name"],
-         r["resource"]["replicas"], r["scope"], r["scope_version"])
+         r["resource"]["replicas"], r["scope"], r["scope_version"],
+         r["resource_schema_url"], r["scope_schema_url"])
         for r in d.collect()
     )
     assert canon(back) == canon(df)
+    # schema_urls must actually be present (not None == None vacuity)
+    assert {r["resource_schema_url"] for r in back.collect()} == {
+        "https://opentelemetry.io/schemas/1.21.0"
+    }
+    assert {r["scope_schema_url"] for r in back.collect()} == {
+        "https://example.com/1.0"
+    }
+
+
+def test_write_preserves_observed_ts(spark, tmp_path):
+    """read → write → read keeps observedTimeUnixNano (reference plog
+    JSON marshaling emits it; logs.go ObservedTimestamp)."""
+    from opentelemetry_collector_contrib_spark.pdata import (
+        read_otlp_json_typed,
+        write_otlp_json,
+    )
+
+    line = json.dumps({
+        "timeUnixNano": "1700000000000000000",
+        "observedTimeUnixNano": "1700000005000001000",
+        "body": {"stringValue": "x"},
+    })
+    p = tmp_path / "obs.jsonl"
+    p.write_text(line + "\n")
+    out = str(tmp_path / "obs_out")
+    write_otlp_json(read_otlp_json_typed(spark, str(p)), out)
+    raw = json.loads(
+        spark.read.text(out).collect()[0]["value"]
+    )
+    assert raw["observedTimeUnixNano"] == "1700000005000001000"
+    back = read_otlp_json_typed(spark, out).collect()[0]
+    assert back["observed_ts"] is not None
+    assert (back["observed_ts"] - back["ts"]).total_seconds() == 5.000001
+
+
+def test_ns_to_us_exact_integer_division(spark):
+    """Epoch nanos exceed 2^53 — double division truncates ~1.5% of
+    realistic values 1 µs low (1764638455574544273 → …543 under
+    (long/1000).cast(long)). The decimal path must be exact."""
+    from opentelemetry_collector_contrib_spark.pdata import _ns_to_us
+
+    vals = [
+        "1764638455574544273",  # the empirically mis-rounding value
+        "1764638455574544999",
+        "999", "1000", "1001", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(_ns_to_us(F.col("v"))).collect()]
+    assert got == [1764638455574544, 1764638455574544, 0, 1, 1, None]
+
+
+def test_flat_reader_ts_matches_typed_reader(spark, tmp_path):
+    """read_otlp_json (flat fast path) and parse_otlp_records (typed)
+    must agree on ts for the same input — both use _ns_to_us now."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_otlp_json,
+    )
+
+    line = json.dumps({
+        "timeUnixNano": "1764638455574544273",
+        "body": {"stringValue": "x"},
+    })
+    p = tmp_path / "flat.jsonl"
+    p.write_text(line + "\n")
+    flat_ts = read_otlp_json(spark, str(p)).collect()[0]["ts"]
+    typed_ts = parse_otlp_records(
+        spark.createDataFrame([(line,)], "line string")
+    ).collect()[0]["ts"]
+    assert flat_ts == typed_ts
+    assert F.lit(None) is not None  # guard: collect path exercised
+    us = spark.createDataFrame([(flat_ts,)], "ts timestamp").select(
+        F.unix_micros("ts")
+    ).collect()[0][0]
+    assert us == 1764638455574544
+
+
+def test_bare_variant_condition_requires_bool_kind(typed_df):
+    """A non-bool variant used as a bare condition is FALSE, never
+    coerced (reference errors on non-bool conditions; ignore-mode
+    resolves the statement to no-op) — int 1 / string "true" must not
+    become true via variant boolean coercion."""
+    cases = [
+        ("1", False), ("true", True), ('"true"', False),
+        ('{"a":1}', False), ("1.0", False),
+    ]
+    df = spark_of(typed_df).createDataFrame(
+        [(j,) for j, _ in cases], "j string"
+    ).select(F.parse_json(F.col("j")).alias("body_var"))
+    got = [
+        r[0] for r in df.select(
+            compile_condition("body", _ctx()).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def spark_of(df):
+    return df.sparkSession
 
 
 def test_observed_ts_exposed(spark):
