@@ -246,18 +246,48 @@ class Context:
         value, cond = self._fold_failures(value, cond)
         col, keys = self.resolve(path)
         if self.path_types.get(col) == VARIANT and keys:
-            raise OTTLError(
-                "setting inside a variant body is not supported — variant "
-                "columns are immutable trees; set the whole column or use "
-                "an erased side-column target"
+            # set(body["k"], v) / set(body["a"][0]["b"], v) on a runtime-
+            # typed column: rebuild the variant tree JVM-side
+            # (pdata.variant_set_path = map.go SetMapValue + value.go
+            # setIndexableValue — missing intermediates are created,
+            # non-indexable intermediates and the top-level target not
+            # being a map/slice are statement errors → error modes).
+            from ..pdata import to_variant, variant_set_path
+
+            # lift to VARIANT; to_variant is identity-safe on variant
+            # input, so callers that already lifted (set) and callers
+            # that pass strings (replace_pattern) both land here
+            value = to_variant(value)
+            try:
+                new, fail = variant_set_path(F.col(col), keys, value)
+            except ValueError as e:
+                raise OTTLError(str(e)) from None
+            self.note_failure(
+                fail,
+                f"cannot set {col}{keys}: target not indexable or index "
+                "out of bounds",
+            )
+            _, cond = self._fold_failures(None, cond)
+            # func_set.go: a nil value is a no-op, never a delete
+            noop = value.isNull() | F.is_variant_null(value)
+            guard = (~noop) if cond is None else (cond & ~noop)
+            return df.withColumn(
+                col, F.when(guard, new).otherwise(F.col(col))
             )
         if not keys:
+            if self.path_types.get(col) == VARIANT:
+                # whole-column set on a runtime-typed target: lift (a
+                # no-op for values already lifted by _ed_set — to_variant
+                # is identity-safe on variant input) so editors that
+                # produce strings (replace_pattern/_match) type-check
+                # against the variant column in the cond guard below
+                from ..pdata import to_variant
+
+                value = to_variant(value)
             new = value
             if cond is not None and col in df.columns:
                 new = F.when(cond, value).otherwise(F.col(col))
             return df.withColumn(col, new)
-        if len(keys) > 2:
-            raise OTTLError("map indexing deeper than 2 keys not supported")
         if any(isinstance(k, int) and k < 0 for k in keys):
             raise OTTLError("negative slice index")
         if isinstance(keys[0], int):
@@ -299,42 +329,19 @@ class Context:
             )
             return df.withColumn(col, guarded)
         base = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
-        if len(keys) == 2 and isinstance(keys[1], int):
-            # attributes["tags"][1] = v — slice stored as a JSON array
-            # string under a map key: lift, set element, re-serialize,
-            # fall through to the single-key upsert
-            k1, idx = keys
-            inner = F.from_json(base.getItem(k1).cast("string"),
-                                "array<string>")
-            self.note_failure(
-                inner.isNull() | (F.size(inner) <= F.lit(idx)),
-                f"index {idx} out of bounds",
+        if len(keys) > 1:
+            # attributes["a"]["b"]…[i]… = v at ARBITRARY depth: below the
+            # physical MAP<STRING,STRING>, nested maps/slices ride as
+            # JSON object/array strings (the type-erasure convention the
+            # getter and _ed_append share) — rebuild bottom-up, missing
+            # intermediate maps are created (map.go SetMapValue PutEmpty
+            # → value.go Empty arm), slice indexes are bounds-checked
+            # statement errors.
+            value = self._erased_set_deep(
+                base.getItem(keys[0]).cast("string"), keys[1:], value
             )
             _, cond = self._fold_failures(None, cond)
-            value = F.to_json(F.transform(
-                inner,
-                lambda x, j: F.when(j == F.lit(idx),
-                                    value.cast("string")).otherwise(x),
-            ))
-            keys = [k1]
-        elif len(keys) == 2:
-            # attributes["foo"]["bar"] = v — the inner map is stored as a
-            # JSON object string (same type-erasure convention as append's
-            # slices): lift, upsert, re-serialize, fall through to the
-            # single-key upsert of the rendered value
-            k1, k2 = keys
-            inner = F.coalesce(
-                F.from_json(base.getItem(k1), "map<string,string>"),
-                F.create_map().cast("map<string,string>"),
-            )
-            inner_up = F.map_concat(
-                F.map_filter(inner, lambda mk, _: mk != F.lit(k2)),
-                F.when(value.isNotNull(),
-                       F.create_map(F.lit(k2), value.cast("string")))
-                .otherwise(F.create_map().cast("map<string,string>")),
-            )
-            value = F.to_json(inner_up)
-            keys = [k1]
+            keys = [keys[0]]
         k = keys[0]
         upserted = F.map_concat(
             F.map_filter(base, lambda mk, _: mk != F.lit(k)),
@@ -346,6 +353,54 @@ class Context:
             F.when(cond, upserted).otherwise(F.col(col))
         )
         return df.withColumn(col, new)
+
+    def _erased_set_deep(self, cur: Column, keys: list, value: Column):
+        """Rebuild one level of the type-erased nesting convention:
+        ``cur`` is the STRING rendering of a nested value (JSON object /
+        array text). String keys upsert (missing/unparsable intermediates
+        coalesce to an empty map — SetMapValue creates them); int keys
+        are bounds-checked slice element replaces (failure predicates
+        feed the caller's error-mode fold). Returns the re-serialized
+        JSON text for the parent's upsert."""
+        k, rest = keys[0], keys[1:]
+        if isinstance(k, str):
+            inner = F.coalesce(
+                F.from_json(cur, "map<string,string>"),
+                F.create_map().cast("map<string,string>"),
+            )
+            if rest:
+                newv = self._erased_set_deep(
+                    inner.getItem(k).cast("string"), rest, value
+                )
+                entry = F.create_map(F.lit(k), newv)
+            else:
+                # leaf upsert: a NULL value removes the key (the erased
+                # columns' historical convention)
+                entry = F.when(
+                    value.isNotNull(),
+                    F.create_map(F.lit(k), value.cast("string")),
+                ).otherwise(F.create_map().cast("map<string,string>"))
+            return F.to_json(
+                F.map_concat(
+                    F.map_filter(inner, lambda mk, _: mk != F.lit(k)), entry
+                )
+            )
+        idx = int(k)
+        arr = F.from_json(cur, "array<string>")
+        self.note_failure(
+            arr.isNull() | (F.size(arr) <= F.lit(idx)),
+            f"index {idx} out of bounds",
+        )
+        newv = (
+            self._erased_set_deep(F.get(arr, idx).cast("string"), rest, value)
+            if rest else value.cast("string")
+        )
+        return F.to_json(
+            F.transform(
+                arr,
+                lambda x, j: F.when(j == F.lit(idx), newv).otherwise(x),
+            )
+        )
 
     def guard_map(self, df: DataFrame, col: str, new: Column,
                   cond: Column | None) -> DataFrame:
@@ -764,75 +819,139 @@ def _map_target(ctx: Context, path: Path) -> str:
     return col
 
 
+def _map_edit(ctx, df, target, fn, cond, *, fn_variant=None):
+    """Shared map-editor dispatch: ``fn(map_col) → map_col`` applies to
+    an erased MAP<STRING,STRING> column directly; for a runtime-typed
+    (VARIANT) target the object is lifted to MAP<STRING,VARIANT>,
+    edited, and rebuilt (pdata.variant_map_edit), with non-map kinds a
+    statement error (the reference's PMapGetter coercion failure →
+    error modes). Key-only lambdas work on both; pass ``fn_variant``
+    when value handling differs."""
+    col = _map_target(ctx, target)
+    if ctx.path_types.get(col) == VARIANT:
+        from ..pdata import variant_map_edit
+
+        new, fail = variant_map_edit(F.col(col), fn_variant or fn)
+        ctx.note_failure(fail, f"{col} is not a map")
+        return ctx.guard_map(df, col, new, cond)
+    return ctx.guard_map(df, col, fn(F.col(col)), cond)
+
+
 def _ed_set(stmt, ctx, df, cond):
     target, value = stmt.editor.args
     vcol = compile_value(value, ctx)
+    tcol, tkeys = ctx.resolve(target)
+    target_is_variant = ctx.path_types.get(tcol) == VARIANT
     if static_type(value, ctx) == VARIANT:
-        tcol, _ = ctx.resolve(target)
-        if ctx.path_types.get(tcol) != VARIANT:
+        if not target_is_variant:
             # writing a runtime-typed value into an erased string/map
             # column: pcommon.Value.AsString rendering (scalar → text,
             # composite → JSON), same convention as round-2 ingestion
             from ..pdata import variant_render
 
             vcol = variant_render(vcol)
+    elif target_is_variant and not tkeys:
+        # statically-typed value replacing a whole runtime-typed column:
+        # lift to VARIANT JVM-side (value.go SetValue any→pcommon.Value;
+        # for the body.string accessor the reference stores the string
+        # value — a variant string here). Keyed variant targets are
+        # lifted inside Context.setter itself.
+        from ..pdata import to_variant
+
+        vcol = to_variant(vcol)
     return ctx.setter(df, target, vcol, cond)
 
 
 def _ed_delete_key(stmt, ctx, df, cond):
     target, key = stmt.editor.args
-    col = _map_target(ctx, target)
     k = literal_arg(key)
-    new = F.map_filter(F.col(col), lambda mk, _: mk != F.lit(k))
-    return ctx.guard_map(df, col, new, cond)
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.map_filter(m, lambda mk, _: mk != F.lit(k)), cond,
+    )
 
 
 def _ed_delete_matching_keys(stmt, ctx, df, cond):
     target, pat = stmt.editor.args
-    col = _map_target(ctx, target)
     p = literal_arg(pat)
-    new = F.map_filter(F.col(col), lambda mk, _: ~mk.rlike(p))
-    return ctx.guard_map(df, col, new, cond)
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.map_filter(m, lambda mk, _: ~mk.rlike(p)), cond,
+    )
 
 
 def _ed_keep_matching_keys(stmt, ctx, df, cond):
     target, pat = stmt.editor.args
-    col = _map_target(ctx, target)
     p = literal_arg(pat)
-    new = F.map_filter(F.col(col), lambda mk, _: mk.rlike(p))
-    return ctx.guard_map(df, col, new, cond)
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.map_filter(m, lambda mk, _: mk.rlike(p)), cond,
+    )
 
 
 def _ed_keep_keys(stmt, ctx, df, cond):
     target, keys = stmt.editor.args
-    col = _map_target(ctx, target)
     keep = F.array(*[F.lit(literal_arg(k)) for k in keys.items])
-    new = F.map_filter(F.col(col), lambda mk, _: F.array_contains(keep, mk))
-    return ctx.guard_map(df, col, new, cond)
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.map_filter(m, lambda mk, _: F.array_contains(keep, mk)),
+        cond,
+    )
 
 
 def _ed_truncate_all(stmt, ctx, df, cond):
     target, limit = stmt.editor.args
-    col = _map_target(ctx, target)
     n = int(literal_arg(limit))
-    new = F.transform_values(F.col(col), lambda _, v: F.substring(v, 1, n))
-    return ctx.guard_map(df, col, new, cond)
+
+    def fn_variant(m):
+        # func_truncate_all.go truncates only STRING values; other kinds
+        # pass through untouched
+        from ..pdata import KIND_STR, to_variant, variant_kind
+
+        return F.transform_values(
+            m,
+            lambda _, v: F.when(
+                variant_kind(v) == F.lit(KIND_STR),
+                to_variant(
+                    F.substring(F.try_variant_get(v, "$", "string"), 1, n)
+                ),
+            ).otherwise(v),
+        )
+
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.transform_values(m, lambda _, v: F.substring(v, 1, n)),
+        cond, fn_variant=fn_variant,
+    )
 
 
 def _ed_limit(stmt, ctx, df, cond):
     # limit(target, n, priority_keys[]) — keep priority keys first, then
     # others in sorted-key order up to n total (README.md:232)
     target, limit, prio = stmt.editor.args
-    col = _map_target(ctx, target)
     n = int(literal_arg(limit))
     pk = F.array(*[F.lit(literal_arg(k)) for k in prio.items])
-    ent = F.map_entries(F.col(col))
-    prio_ent = F.filter(ent, lambda e: F.array_contains(pk, e["key"]))
-    rest = F.array_sort(F.filter(ent, lambda e: ~F.array_contains(pk, e["key"])))
-    new = F.map_from_entries(
-        F.slice(F.concat(prio_ent, rest), 1, n)
+
+    def _limit(m, by_key: bool):
+        ent = F.map_entries(m)
+        prio_ent = F.filter(ent, lambda e: F.array_contains(pk, e["key"]))
+        rest = F.filter(ent, lambda e: ~F.array_contains(pk, e["key"]))
+        if by_key:
+            # variant values aren't orderable — sort entries by key only
+            rest = F.array_sort(
+                rest,
+                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                .when(a["key"] > b["key"], F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+        else:
+            rest = F.array_sort(rest)
+        return F.map_from_entries(F.slice(F.concat(prio_ent, rest), 1, n))
+
+    return _map_edit(
+        ctx, df, target, lambda m: _limit(m, False), cond,
+        fn_variant=lambda m: _limit(m, True),
     )
-    return ctx.guard_map(df, col, new, cond)
 
 
 _HASH_FNS = {
@@ -853,6 +972,7 @@ def _ed_replace_pattern(stmt, ctx, df, cond):
     args = stmt.editor.args
     target, pat, repl = args[:3]
     c = compile_value(target, ctx)
+    c, cond = _string_gate(ctx, target, c, cond)
     p = literal_arg(pat)
     fn_node = args[3] if len(args) > 3 else stmt.editor.kwargs.get("function")
     if fn_node is not None:
@@ -870,44 +990,87 @@ def _ed_replace_pattern(stmt, ctx, df, cond):
     return ctx.setter(df, target, new, cond)
 
 
+def _string_gate(ctx, target, c, cond):
+    """replace_pattern/replace_match target semantics on a runtime-typed
+    value: the reference is a silent no-op unless the value is a STRING
+    (func_replace_pattern.go:118 `originalVal.(string)`) — gate the
+    statement condition on the variant kind and hand the editor the
+    extracted string."""
+    if not (isinstance(target, Path) and ctx.path_type(target) == VARIANT):
+        return c, cond
+    from ..pdata import KIND_STR, variant_kind
+
+    is_str = variant_kind(c) == F.lit(KIND_STR)
+    cond = is_str if cond is None else (cond & is_str)
+    return F.try_variant_get(c, "$", "string"), cond
+
+
 def _ed_replace_match(stmt, ctx, df, cond):
     # glob match on whole value → replace whole value (README.md:325)
     target, glob, repl = stmt.editor.args[:3]
     c = compile_value(target, ctx)
+    c, cond = _string_gate(ctx, target, c, cond)
     rx = _glob_to_rx(literal_arg(glob))
     new = F.when(c.rlike(rx), F.lit(literal_arg(repl))).otherwise(c)
     return ctx.setter(df, target, new, cond)
 
 
+def _variant_string_value_edit(fn):
+    """Per-value edit over a variant map that the reference applies only
+    to STRING values (replace_all_* skip non-string kinds)."""
+    from ..pdata import KIND_STR, to_variant, variant_kind
+
+    return lambda m: F.transform_values(
+        m,
+        lambda _, v: F.when(
+            variant_kind(v) == F.lit(KIND_STR),
+            to_variant(fn(F.try_variant_get(v, "$", "string"))),
+        ).otherwise(v),
+    )
+
+
 def _ed_replace_all_patterns(stmt, ctx, df, cond):
     # replace_all_patterns(target_map, "key"|"value", regex, replacement)
     target, mode, pat, repl = stmt.editor.args[:4]
-    col = _map_target(ctx, target)
     m, p, r = literal_arg(mode), literal_arg(pat), literal_arg(repl)
     if m == "value":
-        new = F.transform_values(
-            F.col(col), lambda _, v: F.regexp_replace(v, p, r)
+        return _map_edit(
+            ctx, df, target,
+            lambda mp: F.transform_values(
+                mp, lambda _, v: F.regexp_replace(v, p, r)
+            ),
+            cond,
+            fn_variant=_variant_string_value_edit(
+                lambda s: F.regexp_replace(s, p, r)
+            ),
         )
-    else:
-        new = F.map_from_entries(F.transform(
-            F.map_entries(F.col(col)),
+
+    def rekey(mp):
+        return F.map_from_entries(F.transform(
+            F.map_entries(mp),
             lambda e: F.struct(
                 F.regexp_replace(e["key"], p, r).alias("key"),
                 e["value"].alias("value"),
             ),
         ))
-    return ctx.guard_map(df, col, new, cond)
+
+    return _map_edit(ctx, df, target, rekey, cond, fn_variant=rekey)
 
 
 def _ed_replace_all_matches(stmt, ctx, df, cond):
     target, glob, repl = stmt.editor.args[:3]
-    col = _map_target(ctx, target)
     rx = _glob_to_rx(literal_arg(glob))
     r = literal_arg(repl)
-    new = F.transform_values(
-        F.col(col), lambda _, v: F.when(v.rlike(rx), F.lit(r)).otherwise(v)
+    return _map_edit(
+        ctx, df, target,
+        lambda m: F.transform_values(
+            m, lambda _, v: F.when(v.rlike(rx), F.lit(r)).otherwise(v)
+        ),
+        cond,
+        fn_variant=_variant_string_value_edit(
+            lambda s: F.when(s.rlike(rx), F.lit(r)).otherwise(s)
+        ),
     )
-    return ctx.guard_map(df, col, new, cond)
 
 
 def _ed_merge_maps(stmt, ctx, df, cond):
@@ -915,7 +1078,20 @@ def _ed_merge_maps(stmt, ctx, df, cond):
     target, source, mode = stmt.editor.args
     col = _map_target(ctx, target)
     src = compile_value(source, ctx)
-    if static_type(source, ctx) == DYNAMIC:
+    src_t = static_type(source, ctx)
+    if ctx.path_types.get(col) == VARIANT:
+        return _merge_maps_variant(
+            ctx, df, col, src, src_t, literal_arg(mode), cond
+        )
+    if src_t == VARIANT:
+        # runtime-typed source into an erased target: type-erase values
+        # (AsString convention, matching ingestion)
+        from ..pdata import variant_object_map, variant_render
+
+        src = F.transform_values(
+            variant_object_map(src), lambda _, v: variant_render(v)
+        )
+    elif src_t == DYNAMIC:
         # a map stored inside a map value is its JSON rendering — lift it
         src = F.from_json(src.cast("string"), "map<string,string>")
     t = F.coalesce(F.col(col), F.create_map().cast("map<string,string>"))
@@ -939,6 +1115,52 @@ def _ed_merge_maps(stmt, ctx, df, cond):
     return ctx.guard_map(df, col, new, cond)
 
 
+def _merge_maps_variant(ctx, df, col, src, src_t, mode, cond):
+    """merge_maps onto a runtime-typed (VARIANT) target: both sides are
+    lifted to MAP<STRING,VARIANT>, merged with the func_merge_maps.go
+    strategy, and the object rebuilt. A non-map target or source is a
+    statement error (PMapGetter coercion)."""
+    from ..pdata import (
+        to_variant,
+        variant_from_object_map,
+        variant_object_map,
+    )
+
+    t = variant_object_map(F.col(col))
+    if src_t == VARIANT:
+        s = variant_object_map(src)
+    else:
+        # erased map<string,string> source: lift values to variant strings
+        s = F.transform_values(src, lambda _, v: to_variant(v))
+    ctx.note_failure(t.isNull(), f"{col} is not a map")
+    if src_t == VARIANT:
+        ctx.note_failure(s.isNull(), "merge_maps source is not a map")
+    if mode == "upsert":
+        new = F.map_concat(
+            F.map_filter(t, lambda k, _: ~F.array_contains(F.map_keys(s), k)),
+            s,
+        )
+    elif mode == "insert":
+        new = F.map_concat(
+            t, F.map_filter(s, lambda k, _: ~F.array_contains(F.map_keys(t), k))
+        )
+    elif mode == "update":
+        new = F.map_from_entries(
+            F.transform(
+                F.map_entries(t),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.coalesce(
+                        F.element_at(s, e["key"]), e["value"]
+                    ).alias("value"),
+                ),
+            )
+        )
+    else:
+        raise OTTLError(f"merge_maps mode {mode!r}")
+    return ctx.guard_map(df, col, variant_from_object_map(new), cond)
+
+
 def _ed_append(stmt, ctx, df, cond):
     """append(target, value|values[]) — slice semantics (README.md:65):
     appends to a slice, CREATING one from the current scalar if needed.
@@ -953,6 +1175,37 @@ def _ed_append(stmt, ctx, df, cond):
                  or stmt.editor.kwargs.get("values"))
         if value is None:
             raise OTTLError("append requires a value or values argument")
+    if isinstance(target, Path) and ctx.path_type(target) == VARIANT:
+        # runtime-typed target (func_append.go): nil/empty → fresh slice
+        # of the appended values; scalar → [scalar, …]; slice → extend;
+        # map → statement error. All JVM-side on ARRAY<VARIANT>.
+        from ..pdata import (
+            KIND_MAP,
+            _variant_missing,
+            to_variant,
+            variant_array,
+            variant_kind,
+        )
+
+        items = value.items if isinstance(value, ListExpr) else [value]
+        appended_v = F.array(
+            *[to_variant(compile_value(i, ctx)) for i in items]
+        )
+        cur = compile_value(target, ctx)
+        arr = variant_array(cur)
+        missing = _variant_missing(cur)
+        as_slice = (
+            F.when(missing, F.array().cast("array<variant>"))
+            .when(arr.isNotNull(), arr)
+            .otherwise(F.array(cur))
+        )
+        ctx.note_failure(
+            (~missing) & (variant_kind(cur) == F.lit(KIND_MAP)),
+            "append: unsupported type of target field (map)",
+        )
+        new = F.to_variant_object(F.concat(as_slice, appended_v))
+        return ctx.setter(df, target, new, cond)
+
     if isinstance(value, ListExpr):
         vals = [compile_value(i, ctx).cast("string") for i in value.items]
     else:
@@ -1006,6 +1259,13 @@ def _ed_flatten(stmt, ctx, df, cond):
     depth = int(literal_arg(args[2])) if len(args) > 2 else (
         int(literal_arg(kw["depth"])) if "depth" in kw else None)
     col = _map_target(ctx, target)
+    if ctx.path_types.get(col) == VARIANT:
+        raise OTTLError(
+            "flatten on a runtime-typed (variant) target is not supported "
+            "yet — set/delete_key/keep_keys/merge_maps/append and the "
+            "replace_* editors are; flatten needs per-row recursion over "
+            "unknown shapes"
+        )
     dtype = df.schema[col].dataType
 
     if isinstance(dtype, T.MapType):

@@ -594,6 +594,125 @@ def write_otlp_json(df: DataFrame, path: str, mode: str = "overwrite",
 # variant helpers shared by the OTTL compiler and queries
 # ---------------------------------------------------------------------------
 
+def to_variant(col) -> F.Column:
+    """Any Spark column → VARIANT, JVM-side (no JSON text round trip, so
+    int64 stays exact past 2^53). Mirrors the any→pcommon.Value switch
+    in contexts/internal/value.go SetValue: the struct wrapper gives
+    to_variant_object a nested shape, the "$.v" extraction unwraps it."""
+    return F.try_variant_get(
+        F.to_variant_object(F.struct(col.alias("v"))), "$.v", "variant"
+    )
+
+
+def variant_object_map(c) -> F.Column:
+    """VARIANT object → MAP<STRING,VARIANT>; SQL NULL for any other kind
+    (the 'is this a pcommon.Map' gate every map editor needs)."""
+    return F.try_variant_get(c, "$", "map<string,variant>")
+
+
+def variant_array(c) -> F.Column:
+    """VARIANT array → ARRAY<VARIANT>; SQL NULL for any other kind."""
+    return F.try_variant_get(c, "$", "array<variant>")
+
+
+def variant_from_object_map(m) -> F.Column:
+    """MAP<STRING,VARIANT> → VARIANT object (exact binary rebuild —
+    to_variant_object keeps nested variants as-is). Key order is
+    canonical (sorted), matching what parse_json already produced at
+    ingestion; pcommon.Map equality is order-insensitive."""
+    return F.to_variant_object(m)
+
+
+def _variant_empty_object_map() -> F.Column:
+    return variant_object_map(F.parse_json(F.lit("{}")))
+
+
+def _variant_missing(c) -> F.Column:
+    """pcommon 'no usable value here': SQL NULL (key absent) or variant
+    null (ValueTypeEmpty) — both are re-creatable targets in
+    setIndexableValue's Empty arm."""
+    return c.isNull() | F.is_variant_null(c)
+
+
+def variant_set_path(cur, keys: list, val, creatable: bool = False):
+    """Set ``val`` (a VARIANT column) at ``keys`` inside variant ``cur``,
+    rebuilding the tree bottom-up, all JVM-side → ``(new_variant,
+    fail_pred)``.
+
+    Semantics = contexts/internal/map.go SetMapValue +
+    value.go setIndexableValue:
+    - string key into a map: upsert (missing keys are created);
+    - string key into a MISSING/EMPTY intermediate: creates the map
+      (PutEmpty → SetEmptyMap) — but only below the top level
+      (``creatable``): the top-level target itself must already be a
+      map/slice (ottllog accessBodyKey errors on other body kinds);
+    - int key into a slice: bounds-checked element replace;
+    - int key into a MISSING/EMPTY intermediate (creatable): creates a
+      slice of ``idx`` empties + the value at ``idx`` (the SetEmptySlice
+      append loop);
+    - any other intermediate kind → failure predicate (statement error →
+    error-mode handling upstream)."""
+    if not keys:
+        return val, F.lit(False)
+    k = keys[0]
+    missing = _variant_missing(cur)
+    if isinstance(k, str):
+        if "'" in k:
+            raise ValueError(f"unsupported quote in map key {k!r}")
+        m_raw = variant_object_map(cur)
+        child = F.try_variant_get(cur, f"$['{k}']", "variant")
+        new_child, fail_sub = variant_set_path(
+            child, keys[1:], val, creatable=True
+        )
+        if creatable:
+            m = F.when(missing, _variant_empty_object_map()).otherwise(m_raw)
+            fail_here = (~missing) & m_raw.isNull()
+        else:
+            m = m_raw
+            fail_here = m_raw.isNull()  # covers missing too: must BE a map
+        new = variant_from_object_map(
+            F.map_concat(
+                F.map_filter(m, lambda mk, _: mk != F.lit(k)),
+                F.create_map(F.lit(k), new_child),
+            )
+        )
+        return new, F.coalesce(fail_here | fail_sub, F.lit(True))
+    idx = int(k)
+    if idx < 0:
+        raise ValueError(f"negative slice index {idx}")
+    arr_raw = variant_array(cur)
+    child = F.try_variant_get(cur, f"$[{idx}]", "variant")
+    new_child, fail_sub = variant_set_path(
+        child, keys[1:], val, creatable=True
+    )
+    nul = F.lit(None).cast("variant")
+    oob = arr_raw.isNotNull() & (F.size(arr_raw) <= F.lit(idx))
+    if creatable:
+        pad = F.concat(F.array_repeat(nul, idx), F.array(nul))
+        arr = F.when(missing, pad).otherwise(arr_raw)
+        fail_here = ((~missing) & arr_raw.isNull()) | oob
+    else:
+        arr = arr_raw
+        fail_here = arr_raw.isNull() | oob
+    new = F.to_variant_object(
+        F.transform(
+            arr,
+            lambda x, j: F.when(j == F.lit(idx), new_child).otherwise(x),
+        )
+    )
+    return new, F.coalesce(fail_here | fail_sub, F.lit(True))
+
+
+def variant_map_edit(c, fn):
+    """Apply ``fn(map<string,variant>) → map`` to a variant OBJECT and
+    rebuild → ``(new_variant, fail_pred)``; non-object kinds fail (the
+    reference's PMapGetter coercion error for delete_key/keep_keys/…)."""
+    m = variant_object_map(c)
+    return variant_from_object_map(fn(m)), F.coalesce(
+        m.isNull(), F.lit(True)
+    )
+
+
 def variant_render(c) -> F.Column:
     """pcommon.Value.AsString rendering of a variant: scalar → its string
     form, map/slice → JSON text, empty → NULL. Matches the type-erased

@@ -1515,6 +1515,83 @@ SELECT svc, scope, severity_number, body_kind,
 FROM fanout GROUP BY 1, 2, 3, 4""",
     )
 
+    # ---- e_otlp_mutate: OTTL mutation INSIDE variant bodies ---------------
+    # The transformprocessor mutates map bodies in place as a matter of
+    # course (ottllog/log.go accessBodyKey → internal/map.go SetMapValue);
+    # this exercises the full round-4 mutation surface over runtime-typed
+    # VARIANT columns: conditional key upsert, deep intermediate-map
+    # creation, conditional delete_key, string-kind-gated replace_pattern,
+    # slice append with scalar promotion, and truncate_all's string-only
+    # rule — every leaf recomputed exactly by the DuckDB oracle.
+    def e_otlp_mutate(spark, sf_dir):
+        from .ottl import StatementSequence
+        from .ottl.compiler import VARIANT
+        from .pdata import parse_otlp_records
+
+        ev = _ev(spark, sf_dir)
+        line = F.format_string(
+            '{"severityNumber":9,"body":{"kvlistValue":{"values":['
+            '{"key":"msg","value":{"stringValue":"ev_%s_%d"}},'
+            '{"key":"items","value":{"arrayValue":{"values":['
+            '{"intValue":"%d"}]}}},'
+            '{"key":"val","value":{"doubleValue":%s}}]}},'
+            '"attributes":[{"key":"retries","value":{"intValue":"%d"}}]}',
+            F.col("event_type"),
+            (F.col("event_id") % 10).cast("int"),
+            F.col("event_id"),
+            ((F.col("event_id") % 100) / 4.0).cast("string"),
+            (F.col("event_id") % 5).cast("int"),
+        )
+        typed = parse_otlp_records(ev.select("event_id", line.alias("line")))
+        seq = StatementSequence(
+            [
+                'set(body["status"], "hot") where'
+                ' attributes["retries"] > 2',
+                'set(body["nest"]["deep"]["flag"], true)',
+                'delete_key(body, "val") where attributes["retries"] == 0',
+                'replace_pattern(body["msg"], "_", "-")',
+                'append(body["items"], value="tail")',
+                'truncate_all(body, 12)',
+            ],
+            path_map={"body": "body_var", "attributes": "attrs_var"},
+            path_types={"body_var": VARIANT, "attrs_var": VARIANT},
+        )
+        out = seq.apply(typed)
+        return out.select(
+            "event_id",
+            F.try_variant_get("body_var", "$.msg", "string").alias("msg"),
+            F.try_variant_get("body_var", "$.status", "string")
+            .alias("status"),
+            F.try_variant_get("body_var", "$.nest.deep.flag", "boolean")
+            .alias("flag"),
+            F.try_variant_get("body_var", "$.val", "double").alias("val"),
+            F.try_variant_get("body_var", "$.items[0]", "long")
+            .alias("item0"),
+            F.try_variant_get("body_var", "$.items[1]", "string")
+            .alias("item1"),
+            F.size(
+                F.try_variant_get("body_var", "$", "map<string,variant>")
+            ).alias("n_keys"),
+        )
+
+    reg(
+        "e_otlp_mutate",
+        e_otlp_mutate,
+        """SELECT event_id,
+       substr(replace('ev_' || event_type || '_'
+                      || (event_id % 10)::VARCHAR, '_', '-'),
+              1, 12) AS msg,
+       CASE WHEN event_id % 5 > 2 THEN 'hot' END AS status,
+       true AS flag,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE (event_id % 100) / 4.0 END AS val,
+       event_id AS item0,
+       'tail' AS item1,
+       (4 + CASE WHEN event_id % 5 > 2 THEN 1 ELSE 0 END
+          - CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)::INT AS n_keys
+FROM events""",
+    )
+
     # time bucketing (time_parser + logdedup interval analog)
     def e_time_bucket(spark, sf_dir):
         df = _ev(spark, sf_dir)

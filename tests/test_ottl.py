@@ -431,6 +431,65 @@ def test_slice_index_array_column(spark):
     assert set_.collect()[0]["tags"] == ["z", "y"]
 
 
+def test_deep_map_set_three_keys(log_df):
+    """set deeper than 2 keys rebuilds every erased level (map.go
+    SetMapValue traverses arbitrarily; round-3 capped at 2)."""
+    import json as _json
+
+    def levels(txt, *keys):
+        # each erased level is a JSON-object STRING (the getter re-lifts
+        # level by level: map<string,string> values are strings)
+        for k in keys:
+            txt = _json.loads(txt)[k]
+        return txt
+
+    out = one(
+        compile_statement('set(attributes["a"]["b"]["c"], "deep")')(log_df)
+    )
+    assert levels(out["attributes"]["a"], "b", "c") == "deep"
+    # the getter reads its own write back at full depth
+    got = one(
+        compile_statement(
+            'set(attributes["copy"], attributes["a"]["b"]["c"])'
+        )(compile_statement('set(attributes["a"]["b"]["c"], "deep")')(
+            log_df
+        ))
+    )
+    assert got["attributes"]["copy"] == "deep"
+    # existing sibling levels survive the rebuild
+    df2 = compile_statement('set(attributes["a"]["b"]["keep"], "1")')(log_df)
+    out2 = one(
+        compile_statement('set(attributes["a"]["b"]["c"], "x")')(df2)
+    )
+    b = _json.loads(out2["attributes"]["a"])["b"]
+    assert _json.loads(b) == {"c": "x", "keep": "1"}
+
+
+def test_deep_set_mixed_map_slice_keys(log_df):
+    """String and int keys interleave at depth: slice elements under a
+    nested map are bounds-checked element replaces."""
+    import json as _json
+
+    df = compile_statement('append(attributes["lists"], ["x", "y"])')(log_df)
+    # wrap: lists is a JSON array under the key; nest it one deeper
+    df = compile_statement(
+        'set(attributes["deep"]["inner"], attributes["lists"])'
+    )(df)
+    out = one(
+        compile_statement('set(attributes["deep"]["inner"][1], "Y")')(df)
+    )
+    assert _json.loads(out["attributes"]["deep"]) == {
+        "inner": '["x","Y"]'
+    }
+    # out-of-bounds at depth skips the whole statement (ignore mode)
+    out2 = one(
+        compile_statement('set(attributes["deep"]["inner"][9], "Z")')(df)
+    )
+    assert _json.loads(out2["attributes"]["deep"]) == {
+        "inner": '["x","y"]'
+    }
+
+
 def test_negative_slice_index_rejected(log_df):
     with pytest.raises(OTTLError, match="negative"):
         compile_statement('set(attributes["x"], attributes["list"][-1])')(log_df)

@@ -189,9 +189,144 @@ def test_set_attribute_from_typed_body(typed_df):
     assert json.loads(a["lst"]) == [7, {"name": "x"}]
 
 
-def test_set_inside_variant_rejected(typed_df):
-    with pytest.raises(OTTLError, match="variant"):
-        compile_statement('set(body["msg"], "nope")', _ctx())(typed_df)
+def _body_json(df):
+    return {
+        r["i"]: r["bj"]
+        for r in df.select("i", F.to_json("body_var").alias("bj")).collect()
+    }
+
+
+def test_set_inside_variant_body(typed_df):
+    """set(body["k"], v) mutates map bodies in place (ottllog
+    accessBodyKey → SetMapValue); every non-map body row is untouched
+    under ignore mode (the reference's statement error)."""
+    out = compile_statement('set(body["msg"], "WORLD")', _ctx())(typed_df)
+    bj = _body_json(out)
+    assert json.loads(bj[0])["msg"] == "WORLD"
+    assert json.loads(bj[0])["retries"] == 5  # siblings intact
+    assert bj[1] == '"plain"' and bj[2] == "42"  # scalars untouched
+    assert bj[5] == '[1,"two"]'  # slice body untouched by string key
+
+
+def test_set_new_key_and_deep_create(typed_df):
+    """Missing keys are created; missing intermediates become maps
+    (SetMapValue PutEmpty → setIndexableValue Empty arm)."""
+    out = compile_statement(
+        'set(body["a"]["b"]["c"], 9007199254740993)', _ctx()
+    )(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["a"] == {"b": {"c": 9007199254740993}}  # int64 exact
+    assert b0["msg"] == "hello"
+
+
+def test_set_inside_body_slice(typed_df):
+    """Int keys index slices, bounds-checked; nested map-in-slice
+    elements are reachable."""
+    out = compile_statement(
+        'set(body["items"][1]["name"], "updated")', _ctx()
+    )(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["items"] == [7, {"name": "updated"}]
+    # top-level slice body indexes directly
+    out2 = compile_statement('set(body[0], 99)', _ctx())(typed_df)
+    assert json.loads(_body_json(out2)[5]) == [99, "two"]
+    # out of bounds → untouched (statement error, ignore mode)
+    out3 = compile_statement('set(body[9], 99)', _ctx())(typed_df)
+    assert _body_json(out3)[5] == '[1,"two"]'
+
+
+def test_set_variant_value_from_path(typed_df):
+    """The value side can itself be a variant path — copied with its
+    runtime type intact."""
+    out = compile_statement(
+        'set(body["copy"], body["retries"])', _ctx()
+    )(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["copy"] == 5 and isinstance(b0["copy"], int)
+    # nil value → no-op, not a delete (func_set.go)
+    out2 = compile_statement(
+        'set(body["msg"], body["missing"])', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out2)[0])["msg"] == "hello"
+
+
+def test_delete_and_keep_keys_variant(typed_df):
+    out = compile_statement('delete_key(body, "retries")', _ctx())(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert "retries" not in b0 and b0["msg"] == "hello"
+    assert _body_json(out)[2] == "42"  # non-map untouched
+    out2 = compile_statement(
+        'keep_keys(body, ["msg", "ok"])', _ctx()
+    )(typed_df)
+    assert set(json.loads(_body_json(out2)[0])) == {"msg", "ok"}
+
+
+def test_truncate_all_variant_only_strings(typed_df):
+    out = compile_statement('truncate_all(body, 3)', _ctx())(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["msg"] == "hel"
+    assert b0["retries"] == 5 and b0["pi"] == 3.25  # non-strings intact
+
+
+def test_replace_pattern_variant_string_gate(typed_df):
+    """replace_pattern on a variant path edits only STRING-kind values
+    (func_replace_pattern.go type-switch no-op otherwise)."""
+    out = compile_statement(
+        'replace_pattern(body["msg"], "l+", "L")', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out)[0])["msg"] == "heLo"
+    out2 = compile_statement(
+        'replace_pattern(body["retries"], "5", "9")', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out2)[0])["retries"] == 5  # int: no-op
+
+
+def test_merge_maps_variant(typed_df):
+    """merge_maps with a variant target: attributes (erased strings)
+    merge in as string values; existing keys win under 'insert'."""
+    out = compile_statement(
+        'merge_maps(body, attributes, "insert")', _ctx()
+    )(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["host"] == "h1"          # new key inserted
+    assert b0["retries"] == 5          # existing key kept (insert)
+    out2 = compile_statement(
+        'merge_maps(body, attributes, "upsert")', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out2)[0])["retries"] == "5"  # source wins
+
+
+def test_append_variant(typed_df):
+    out = compile_statement(
+        'append(body["items"], value=true)', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out)[0])["items"] == [7, {"name": "x"}, True]
+    # scalar promotes to slice
+    out2 = compile_statement(
+        'append(body["msg"], value="again")', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out2)[0])["msg"] == ["hello", "again"]
+    # missing key starts a fresh slice
+    out3 = compile_statement(
+        'append(body["fresh"], value=1)', _ctx()
+    )(typed_df)
+    assert json.loads(_body_json(out3)[0])["fresh"] == [1]
+
+
+def test_variant_set_propagate_mode_raises(typed_df):
+    """propagate error mode surfaces the statement error for a non-map
+    body instead of skipping the row."""
+    from py4j.protocol import Py4JJavaError
+
+    ctx = Context(
+        path_map={"body": "body_var", "attributes": "attributes"},
+        path_types={"body_var": VARIANT},
+        error_mode="propagate",
+    )
+    stmt = compile_statement('set(body["k"], 1)', ctx)
+    with pytest.raises(Exception) as exc:
+        stmt(typed_df).select(F.to_json("body_var")).collect()
+    assert "ottl" in str(exc.value)
 
 
 def test_variant_nil_vs_typed_columns(typed_df):
