@@ -204,7 +204,12 @@ class GrokPattern:
     def __init__(self, expr: str, custom_patterns: dict[str, str] | None = None):
         self.expr = expr
         self.types: dict[str, str] = {}
+        # default set + every product set = go-grok's Complete set (the
+        # collector loads all additional sets; ottlfuncs/README.md:658)
+        from .grok_products import product_patterns
+
         lib = dict(BASE_PATTERNS)
+        lib.update(product_patterns())
         if custom_patterns:
             # custom defs may themselves reference %{...}
             for k, v in custom_patterns.items():

@@ -1,0 +1,651 @@
+"""Product/tool grok pattern sets — the reference bundles the COMPLETE
+elastic/go-grok library ("Complete set is included consisting of a
+default set and all additional sets adding product/tool specific
+capabilities", pkg/ottl/ottlfuncs/README.md:615-705; go-grok's
+patterns/{aws,bind9,bro,exim,firewalls,haproxy,httpd,java,junos,maven,
+mcollective,mongodb,postgresql,rails,redis,ruby,squid,syslog}.go, which
+mirror logstash-patterns-core). BASE_PATTERNS in grok.py is the default
+set; this module adds the product sets.
+
+Syntax adaptations for this engine's matchers (Python re mandatory,
+pyarrow RE2 fast path when accepted — same policy as BASE_PATTERNS):
+- inline named groups (?<n>…) → (?P<n>…)
+- atomic groups (?>…) → (?:…); possessive quantifiers dropped
+- \\h → [0-9a-fA-F]
+- Oniguruma lookbehind trims (MONGO_QUERY) → plain bounded match
+- duplicated capture names within one pattern (illegal in Python re)
+  de-duplicated with numeric suffixes
+Every pattern below compiles under Python re (asserted by
+tests/test_grok_corpus.py::test_product_patterns_compile) and expands
+through the same %{NAME} / %{NAME:field} recursion as the default set.
+"""
+
+from __future__ import annotations
+
+# --- linux-syslog (go-grok patterns/syslog.go) -----------------------------
+SYSLOG_PATTERNS: dict[str, str] = {
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOGBASE2": (
+        r"(?:%{SYSLOGTIMESTAMP:timestamp}|%{TIMESTAMP_ISO8601:timestamp8601})"
+        r" (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource}+(?: %{SYSLOGPROG}:|)"
+    ),
+    "SYSLOGPAMSESSION": (
+        r"%{SYSLOGBASE} (?=%{GREEDYDATA:message})%{WORD:pam_module}\("
+        r"%{DATA:pam_caller}\): session %{WORD:pam_session_state} for user "
+        r"%{USERNAME:username}(?: by %{GREEDYDATA:pam_by})?"
+    ),
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": (
+        r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} "
+        r"\(%{DATA:message}\)"
+    ),
+    "SYSLOGLINE": r"%{SYSLOGBASE2} %{GREEDYDATA:message}",
+    "SYSLOGBASE": (
+        r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?"
+        r"%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"
+    ),
+    # RFC5424 (syslog_parser already implements the full protocol; these
+    # are the grok-library equivalents)
+    "SYSLOG5424PRI": r"<[0-9]+>",
+    "SYSLOG5424SD": r"\[%{DATA}\]+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_app}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_proc}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_msgid}|-) +"
+        r"(?:%{SYSLOG5424SD:syslog5424_sd}|-|)"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+}
+
+# --- aws (go-grok patterns/aws.go) ------------------------------------------
+AWS_PATTERNS: dict[str, str] = {
+    "S3_REQUEST_LINE": (
+        r"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})"
+    ),
+    "S3_ACCESS_LOG": (
+        r"%{WORD:owner} %{NOTSPACE:bucket} \[%{HTTPDATE:timestamp}\] "
+        r"%{IP:clientip} %{NOTSPACE:requester} %{NOTSPACE:request_id} "
+        r"%{NOTSPACE:operation} %{NOTSPACE:key} "
+        r'(?:"%{S3_REQUEST_LINE}"|-) '
+        r"(?:%{INT:response}|-) (?:-|%{NOTSPACE:error_code}) "
+        r"(?:%{INT:bytes}|-) (?:%{INT:object_size}|-) "
+        r"(?:%{INT:request_time_ms}|-) (?:%{INT:turnaround_time_ms}|-) "
+        r'(?:%{QS:referrer}|-) (?:"?%{QS:agent}"?|-) '
+        r"(?:-|%{NOTSPACE:version_id})"
+    ),
+    "ELB_URIHOST": r"%{IPORHOST:urihost_name}(?::%{POSINT:urihost_port})?",
+    "ELB_URIPATHPARAM": r"%{URIPATH:path}(?:%{URIPARAM:params})?",
+    "ELB_URI": (
+        r"%{URIPROTO:proto}://(?:%{USER}(?::[^@]*)?@)?"
+        r"(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHPARAM})?"
+    ),
+    "ELB_REQUEST_LINE": (
+        r"(?:%{WORD:verb} %{ELB_URI:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})"
+    ),
+    "ELB_ACCESS_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} "
+        r"%{IP:clientip}:%{INT:clientport} "
+        r"(?:(?:%{IP:backendip}:%{INT:backendport})|-) "
+        r"%{NUMBER:request_processing_time} "
+        r"%{NUMBER:backend_processing_time} "
+        r"%{NUMBER:response_processing_time} "
+        r"%{INT:response} %{INT:backend_response} "
+        r"%{INT:received_bytes} %{INT:bytes} "
+        r'"%{ELB_REQUEST_LINE}"'
+    ),
+    "CLOUDFRONT_ACCESS_LOG": (
+        r"(?P<timestamp>%{YEAR}-%{MONTHNUM}-%{MONTHDAY}\t%{TIME})\t"
+        r"%{WORD:x_edge_location}\t"
+        r"(?:%{NUMBER:sc_bytes}|-)\t"
+        r"%{IPORHOST:clientip}\t"
+        r"%{WORD:cs_method}\t"
+        r"%{HOSTNAME:cs_host}\t"
+        r"%{NOTSPACE:cs_uri_stem}\t"
+        r"%{NUMBER:sc_status}\t"
+        r"%{GREEDYDATA:referrer}\t"
+        r"%{GREEDYDATA:agent}\t"
+        r"%{GREEDYDATA:cs_uri_query}\t"
+        r"%{GREEDYDATA:cookies}\t"
+        r"%{WORD:x_edge_result_type}\t"
+        r"%{NOTSPACE:x_edge_request_id}\t"
+        r"%{HOSTNAME:x_host_header}\t"
+        r"%{URIPROTO:cs_protocol}\t"
+        r"%{INT:cs_bytes}\t"
+        r"%{NUMBER:time_taken}\t"
+        r"%{GREEDYDATA:x_forwarded_for}\t"
+        r"%{GREEDYDATA:ssl_protocol}\t"
+        r"%{GREEDYDATA:ssl_cipher}\t"
+        r"%{GREEDYDATA:x_edge_response_result_type}"
+    ),
+}
+
+# --- java (go-grok patterns/java.go) ----------------------------------------
+JAVA_PATTERNS: dict[str, str] = {
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
+    "JAVAMETHOD": r"(?:(?:<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVASTACKTRACEPART": (
+        r"%{SPACE}at %{JAVACLASS:class}\.%{JAVAMETHOD:method}"
+        r"\(%{JAVAFILE:file}(?::%{NUMBER:line})?\)"
+    ),
+    "JAVATHREAD": r"(?:[A-Z]{2}-Processor[\d]+)",
+    "JAVALOGMESSAGE": r"(?:.*)",
+    # 'Jan 9, 2014 7:13:13 AM' (tomcat legacy) / ISO (tomcat 7/8+)
+    "CATALINA_DATESTAMP": (
+        r"(?:%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND}"
+        r" (?:AM|PM))"
+    ),
+    "CATALINA7_DATESTAMP": (
+        r"%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND}"
+        r" (?:AM|PM)"
+    ),
+    "CATALINA7_LOG": (
+        r"%{CATALINA7_DATESTAMP:timestamp} %{JAVACLASS:class} "
+        r"%{JAVAMETHOD:method}\s*(?:%{LOGLEVEL:level}:)?\s*"
+        r"%{JAVALOGMESSAGE:logmessage}"
+    ),
+    "CATALINA8_DATESTAMP": (
+        r"%{MONTHDAY}-%{MONTH}-%{YEAR} %{HOUR}:%{MINUTE}:%{SECOND}"
+    ),
+    "CATALINA8_LOG": (
+        r"%{CATALINA8_DATESTAMP:timestamp} %{LOGLEVEL:level} "
+        r"\[%{DATA:thread}\] %{JAVACLASS:class}\.%{JAVAMETHOD:method} "
+        r"%{JAVALOGMESSAGE:logmessage}"
+    ),
+    "CATALINALOG": (
+        r"%{CATALINA_DATESTAMP:timestamp} %{JAVACLASS:class} "
+        r"%{JAVALOGMESSAGE:logmessage}"
+    ),
+    "TOMCAT_DATESTAMP": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND}"
+        r"(?:[.,]%{NONNEGINT})?(?: %{ISO8601_TIMEZONE})?"
+    ),
+    "TOMCATLOG": (
+        r"%{TOMCAT_DATESTAMP:timestamp} \| %{LOGLEVEL:level} \| "
+        r"%{JAVACLASS:class} - %{JAVALOGMESSAGE:logmessage}"
+    ),
+}
+
+# --- haproxy (go-grok patterns/haproxy.go) ----------------------------------
+HAPROXY_PATTERNS: dict[str, str] = {
+    "HAPROXYTIME": r"(?:%{HOUR}:%{MINUTE}(?::%{SECOND}))",
+    "HAPROXYDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{HAPROXYTIME}\.%{INT}",
+    "HAPROXYCAPTUREDREQUESTHEADERS": r"%{DATA:captured_request_headers}",
+    "HAPROXYCAPTUREDRESPONSEHEADERS": r"%{DATA:captured_response_headers}",
+    "HAPROXYHTTPBASE": (
+        r"%{IP:client_ip}:%{INT:client_port} "
+        r"\[%{HAPROXYDATE:accept_date}\] "
+        r"%{NOTSPACE:frontend_name} %{NOTSPACE:backend_name}/"
+        r"%{NOTSPACE:server_name} "
+        r"%{INT:time_request}/%{INT:time_queue}/%{INT:time_backend_connect}/"
+        r"%{INT:time_backend_response}/%{NOTSPACE:time_duration} "
+        r"%{INT:http_status_code} %{NOTSPACE:bytes_read} "
+        r"%{DATA:captured_request_cookie} %{DATA:captured_response_cookie} "
+        r"%{NOTSPACE:termination_state} "
+        r"%{INT:actconn}/%{INT:feconn}/%{INT:beconn}/%{INT:srvconn}/"
+        r"%{NOTSPACE:retries} "
+        r"%{INT:srv_queue}/%{INT:backend_queue}"
+        r"(?: \{%{HAPROXYCAPTUREDREQUESTHEADERS}\}"
+        r"(?: \{%{HAPROXYCAPTUREDRESPONSEHEADERS}\})?)?"
+        r'(?: "%{GREEDYDATA:full_http_request}")?'
+    ),
+    "HAPROXYHTTP": (
+        r"(?:%{SYSLOGTIMESTAMP:syslog_timestamp}|"
+        r"%{TIMESTAMP_ISO8601:timestamp8601}) %{IPORHOST:syslog_server} "
+        r"%{SYSLOGPROG}: %{HAPROXYHTTPBASE}"
+    ),
+    "HAPROXYTCP": (
+        r"(?:%{SYSLOGTIMESTAMP:syslog_timestamp}|"
+        r"%{TIMESTAMP_ISO8601:timestamp8601}) %{IPORHOST:syslog_server} "
+        r"%{SYSLOGPROG}: "
+        r"%{IP:client_ip}:%{INT:client_port} "
+        r"\[%{HAPROXYDATE:accept_date}\] "
+        r"%{NOTSPACE:frontend_name} %{NOTSPACE:backend_name}/"
+        r"%{NOTSPACE:server_name} "
+        r"%{INT:time_queue}/%{INT:time_backend_connect}/"
+        r"%{NOTSPACE:time_duration} %{NOTSPACE:bytes_read} "
+        r"%{NOTSPACE:termination_state} "
+        r"%{INT:actconn}/%{INT:feconn}/%{INT:beconn}/%{INT:srvconn}/"
+        r"%{NOTSPACE:retries} %{INT:srv_queue}/%{INT:backend_queue}"
+    ),
+}
+
+# --- mongodb (go-grok patterns/mongodb.go) ----------------------------------
+MONGODB_PATTERNS: dict[str, str] = {
+    "MONGO_LOG": (
+        r"%{SYSLOGTIMESTAMP:timestamp} \[%{WORD:component}\] "
+        r"%{GREEDYDATA:message}"
+    ),
+    # original uses lookbehind/lookahead delimiters (Oniguruma); bounded
+    # plain form keeps the same practical match
+    "MONGO_QUERY": r"\{ .* \}",
+    "MONGO_WORDDASH": r"\b[\w-]+\b",
+    "MONGO_SLOWQUERY": (
+        r"%{WORD} %{MONGO_WORDDASH:database}\.%{MONGO_WORDDASH:collection} "
+        r"%{WORD}: %{MONGO_QUERY:query} %{WORD}:%{NONNEGINT:ntoreturn} "
+        r"%{WORD}:%{NONNEGINT:ntoskip} %{WORD}:%{NONNEGINT:nscanned}.*? "
+        r"nreturned:%{NONNEGINT:nreturned}.*? (?P<duration>[0-9]+)ms"
+    ),
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}",
+    "MONGO3_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{MONGO3_SEVERITY:severity} "
+        r"%{MONGO3_COMPONENT:component}%{SPACE}(?:\[%{DATA:context}\])? "
+        r"%{GREEDYDATA:message}"
+    ),
+}
+
+# --- postgresql (go-grok patterns/postgresql.go) ----------------------------
+POSTGRESQL_PATTERNS: dict[str, str] = {
+    "POSTGRESQL": (
+        r"%{DATESTAMP:timestamp} %{TZ:tz} %{DATA:user_id} "
+        r"%{GREEDYDATA:connection_id} %{POSINT:pid}"
+    ),
+}
+
+# --- redis (go-grok patterns/redis.go) --------------------------------------
+REDIS_PATTERNS: dict[str, str] = {
+    "REDISTIMESTAMP": r"%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISLOG": r"\[%{POSINT:pid}\] %{REDISTIMESTAMP:timestamp} \* ",
+    "REDISMONLOG": (
+        r"%{NUMBER:timestamp} \[%{INT:database} %{IP:client}:"
+        r'%{NUMBER:port}\] "%{WORD:command}"\s?%{GREEDYDATA:params}'
+    ),
+}
+
+# --- ruby / rails (go-grok patterns/{ruby,rails}.go) ------------------------
+RUBY_PATTERNS: dict[str, str] = {
+    "RUBY_LOGLEVEL": r"(?:DEBUG|FATAL|ERROR|WARN|INFO)",
+    "RUBY_LOGGER": (
+        r"[DFEWI], \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\] *"
+        r"%{RUBY_LOGLEVEL:loglevel} -- +%{DATA:progname}: "
+        r"%{GREEDYDATA:message}"
+    ),
+}
+
+RAILS_PATTERNS: dict[str, str] = {
+    "RUUID": r"[0-9a-fA-F]{32}",
+    "RCONTROLLER": r"(?P<controller>[^#]+)#(?P<action>\w+)",
+    "RAILS3HEAD": (
+        # original anchors with a global (?m) flag; Python requires global
+        # flags at position 0, so the multiline flag is scoped instead
+        r"(?m:Started) %{WORD:verb} \"%{URIPATHPARAM:request}\" for "
+        r"%{IPORHOST:clientip} at (?P<timestamp>%{YEAR}-%{MONTHNUM}-"
+        r"%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND} %{ISO8601_TIMEZONE})"
+    ),
+    "RPROCESSING": (
+        r"\W*Processing by %{RCONTROLLER} as "
+        r"(?P<format>\S+)(?:\W*Parameters: \{%{DATA:params}\}\W*)?"
+    ),
+    "RAILS3FOOT": (
+        r"Completed %{NUMBER:response}%{DATA} in %{NUMBER:totalms}ms "
+        r"%{RAILS3PROFILE}%{GREEDYDATA}"
+    ),
+    "RAILS3PROFILE": (
+        r"(?:\(Views: %{NUMBER:viewms}ms \| ActiveRecord: "
+        r"%{NUMBER:activerecordms}ms|\(ActiveRecord: "
+        r"%{NUMBER:activerecordms2}ms)?"
+    ),
+    "RAILS3": (
+        r"%{RAILS3HEAD}(?:%{RPROCESSING})?"
+        r"(?P<context>(?:%{DATA}\n)*)(?:%{RAILS3FOOT})?"
+    ),
+}
+
+# --- squid (go-grok patterns/squid.go) --------------------------------------
+SQUID_PATTERNS: dict[str, str] = {
+    "SQUID3": (
+        r"%{NUMBER:timestamp}\s+%{NUMBER:duration}\s%{IP:client_address}\s"
+        r"%{WORD:cache_result}/%{POSINT:status_code}\s%{NUMBER:bytes}\s"
+        r"%{WORD:request_method}\s%{NOTSPACE:url}\s(?:%{NOTSPACE:user}|-)\s"
+        r"%{WORD:hierarchy_code}/%{IPORHOST:server}\s"
+        r"%{NOTSPACE:content_type}"
+    ),
+}
+
+# --- bind9 (go-grok patterns/bind9.go) --------------------------------------
+BIND9_PATTERNS: dict[str, str] = {
+    "BIND9_TIMESTAMP": (
+        r"%{MONTHDAY}[-]%{MONTH}[-]%{YEAR} %{TIME}(?:\.%{NONNEGINT})?"
+    ),
+    "BIND9_DNSTYPE": (
+        r"(?:A|AAAA|CAA|CDNSKEY|CDS|CERT|CNAME|CSYNC|DLV|DNAME|DNSKEY|DS|"
+        r"HINFO|HTTPS|IPSECKEY|KEY|KX|LOC|MX|NAPTR|NS|NSEC|NSEC3|"
+        r"NSEC3PARAM|OPENPGPKEY|PTR|RRSIG|RP|SIG|SMIMEA|SOA|SRV|SSHFP|"
+        r"SVCB|TA|TKEY|TLSA|TSIG|TXT|URI)"
+    ),
+    "BIND9_CATEGORY": r"(?:queries)",
+    "BIND9_QUERYLOGBASE": (
+        r"client(?: @0x(?:[0-9A-Fa-f]+))? %{IP:clientip}#%{POSINT:clientport}"
+        r" \(%{GREEDYDATA:query_1}\): query: %{GREEDYDATA:query} IN "
+        r"%{BIND9_DNSTYPE:querytype}(?: %{DATA:queryflags})? "
+        r"\(%{IP:dns}\)"
+    ),
+    "BIND9_QUERYLOG": (
+        r"%{BIND9_TIMESTAMP:timestamp} %{BIND9_CATEGORY:category}: "
+        r"%{LOGLEVEL:loglevel}: %{BIND9_QUERYLOGBASE}"
+    ),
+    "BIND9": r"%{BIND9_QUERYLOG}",
+}
+
+# --- bro / zeek (go-grok patterns/bro.go) -----------------------------------
+BRO_PATTERNS: dict[str, str] = {
+    "BRO_BOOL": r"[TF]",
+    "BRO_DATA": r"[^\t]+",
+    "BRO_HTTP": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t"
+        r"%{IP:resp_h}\t%{INT:resp_p}\t%{INT:trans_depth}\t"
+        r"(?:-|%{BRO_DATA:method})\t(?:-|%{BRO_DATA:domain})\t"
+        r"(?:-|%{BRO_DATA:uri})\t(?:-|%{BRO_DATA:referrer})\t"
+        r"(?:-|%{BRO_DATA:user_agent})\t%{NUMBER:request_body_len}\t"
+        r"%{NUMBER:response_body_len}\t(?:-|%{BRO_DATA:status})\t"
+        r"(?:-|%{BRO_DATA:status_msg})\t(?:-|%{BRO_DATA:info_code})\t"
+        r"(?:-|%{BRO_DATA:info_msg})\t(?:-|%{BRO_DATA:filename})\t"
+        r"(?:\(empty\)|%{BRO_DATA:bro_tags})\t"
+        r"(?:-|%{BRO_DATA:username})\t(?:-|%{BRO_DATA:password})\t"
+        r"(?:-|%{BRO_DATA:proxied})\t(?:-|%{BRO_DATA:orig_fuids})\t"
+        r"(?:-|%{BRO_DATA:orig_mime_types})\t(?:-|%{BRO_DATA:resp_fuids})\t"
+        r"(?:-|%{BRO_DATA:resp_mime_types})"
+    ),
+    "BRO_DNS": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t"
+        r"%{IP:resp_h}\t%{INT:resp_p}\t%{WORD:proto}\t%{INT:trans_id}\t"
+        r"(?:-|%{BRO_DATA:query})\t(?:-|%{BRO_DATA:qclass})\t"
+        r"(?:-|%{BRO_DATA:qclass_name})\t(?:-|%{BRO_DATA:qtype})\t"
+        r"(?:-|%{BRO_DATA:qtype_name})\t(?:-|%{BRO_DATA:rcode})\t"
+        r"(?:-|%{BRO_DATA:rcode_name})\t%{BRO_BOOL:AA}\t%{BRO_BOOL:TC}\t"
+        r"%{BRO_BOOL:RD}\t%{BRO_BOOL:RA}\t%{NONNEGINT:Z}\t"
+        r"(?:-|%{BRO_DATA:answers})\t(?:-|%{BRO_DATA:TTLs})\t"
+        r"%{BRO_BOOL:rejected}"
+    ),
+    "BRO_CONN": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t"
+        r"%{IP:resp_h}\t%{INT:resp_p}\t%{WORD:proto}\t"
+        r"(?:-|%{BRO_DATA:service})\t(?:-|%{NUMBER:duration})\t"
+        r"(?:-|%{NUMBER:orig_bytes})\t(?:-|%{NUMBER:resp_bytes})\t"
+        r"(?:-|%{BRO_DATA:conn_state})\t(?:-|%{BRO_BOOL:local_orig})\t"
+        r"(?:-|%{INT:missed_bytes})\t(?:-|%{BRO_DATA:history})\t"
+        r"(?:-|%{NUMBER:orig_pkts})\t(?:-|%{NUMBER:orig_ip_bytes})\t"
+        r"(?:-|%{NUMBER:resp_pkts})\t(?:-|%{NUMBER:resp_ip_bytes})\t"
+        r"(?:-|%{BRO_DATA:tunnel_parents})"
+    ),
+    "BRO_FILES": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:fuid}\t%{IP:tx_hosts}\t%{IP:rx_hosts}\t"
+        r"%{NOTSPACE:conn_uids}\t(?:-|%{BRO_DATA:source})\t"
+        r"(?:-|%{INT:depth})\t(?:-|%{BRO_DATA:analyzers})\t"
+        r"(?:-|%{BRO_DATA:mime_type})\t(?:-|%{BRO_DATA:filename})\t"
+        r"(?:-|%{NUMBER:duration})\t(?:-|%{BRO_DATA:local_orig})\t"
+        r"(?:-|%{BRO_BOOL:is_orig})\t(?:-|%{NUMBER:seen_bytes})\t"
+        r"(?:-|%{NUMBER:total_bytes})\t(?:-|%{NUMBER:missing_bytes})\t"
+        r"(?:-|%{NUMBER:overflow_bytes})\t(?:-|%{BRO_BOOL:timedout})\t"
+        r"(?:-|%{BRO_DATA:parent_fuid})\t(?:-|%{BRO_DATA:md5})\t"
+        r"(?:-|%{BRO_DATA:sha1})\t(?:-|%{BRO_DATA:sha256})\t"
+        r"(?:-|%{BRO_DATA:extracted})"
+    ),
+}
+
+# --- exim (go-grok patterns/exim.go) ----------------------------------------
+EXIM_PATTERNS: dict[str, str] = {
+    "EXIM_MSGID": r"[0-9A-Za-z]{6}-[0-9A-Za-z]{6}-[0-9A-Za-z]{2}",
+    "EXIM_FLAGS": r"(?:<=|=>|->|\*>|\*\*|==|<>|>>)",
+    "EXIM_DATE": r"(?:%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{TIME})",
+    "EXIM_PID": r"\[%{POSINT:pid}\]",
+    "EXIM_QT": r"(?:[0-9]+y)?(?:[0-9]+w)?(?:[0-9]+d)?(?:[0-9]+h)?(?:[0-9]+m)?(?:[0-9]+s)?",
+    "EXIM_EXCLUDE_TERMS": (
+        r"(?:Message is frozen|(?:Start|End) queue run| Warning: | "
+        r"retry time not reached | no (?:IP address|host name) found for "
+        r"(?:IP address|host) | unexpected disconnection while reading "
+        r"SMTP command | no immediate delivery: |another process is "
+        r"handling this message)"
+    ),
+    "EXIM_REMOTE_HOST": r"(?:H=(?:%{NOTSPACE:remote_hostname} )?(?:\(%{NOTSPACE:remote_heloname}\) )?\[%{IP:remote_host}\](?::%{POSINT:remote_port})?)",
+    "EXIM_INTERFACE": r"(?:I=\[%{IP:exim_interface}\](?::%{NONNEGINT:exim_interface_port})?)",
+    "EXIM_PROTOCOL": r"(?:P=%{NOTSPACE:protocol})",
+    "EXIM_MSG_SIZE": r"(?:S=%{NONNEGINT:exim_msg_size})",
+    "EXIM_HEADER_ID": r"(?:id=%{NOTSPACE:exim_header_id})",
+    "EXIM_SUBJECT": r'(?:T="%{DATA:exim_subject}")',
+    "EXIM": (
+        r"%{EXIM_DATE:timestamp}(?: %{EXIM_PID})? %{EXIM_MSGID:msgid} "
+        r"%{EXIM_FLAGS:flags} %{GREEDYDATA:message}"
+    ),
+}
+
+# --- firewalls (go-grok patterns/firewalls.go — the cisco/netscreen/
+# shorewall/sfw2 families; the CISCOFW message set below covers the
+# high-traffic ASA message ids) -----------------------------------------------
+FIREWALL_PATTERNS: dict[str, str] = {
+    "NETSCREENSESSIONLOG": (
+        r"%{SYSLOGTIMESTAMP:date} %{IPORHOST:device} %{IPORHOST}: "
+        r"NetScreen device_id=%{WORD:device_id}%{DATA}: "
+        r"start_time=%{QUOTEDSTRING:start_time} duration=%{INT:duration} "
+        r"policy_id=%{INT:policy_id} service=%{DATA:service} "
+        r"proto=%{INT:proto} src zone=%{WORD:src_zone} dst zone="
+        r"%{WORD:dst_zone} action=%{WORD:action} sent=%{INT:sent} "
+        r"rcvd=%{INT:rcvd} src=%{IPORHOST:src_ip} dst=%{IPORHOST:dst_ip} "
+        r"src_port=%{INT:src_port} dst_port=%{INT:dst_port}"
+        r"(?: src-xlated ip=%{IPORHOST:src_xlated_ip} port="
+        r"%{INT:src_xlated_port} dst-xlated ip=%{IPORHOST:dst_xlated_ip} "
+        r"port=%{INT:dst_xlated_port})?(?: session_id=%{INT:session_id} "
+        r"reason=%{GREEDYDATA:reason})?"
+    ),
+    "CISCO_TAGGED_SYSLOG": (
+        r"^<%{POSINT:syslog_pri}>%{CISCOTIMESTAMP:timestamp}"
+        r"( %{SYSLOGHOST:sysloghost})? ?: %%{CISCOTAG:ciscotag}:"
+    ),
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    "CISCOTAG": r"[A-Z0-9]+-%{INT}-(?:[A-Z0-9_]+)",
+    "CISCO_ACTION": (
+        r"Built|Teardown|Deny|Denied|denied|requested|permitted|denied by"
+        r" ACL|discarded|est-allowed|Dropping|created|deleted"
+    ),
+    "CISCO_REASON": (
+        r"Duplicate TCP SYN|Failed to locate egress interface|"
+        r"Invalid transport field|No matching connection|DNS Response|"
+        r"DNS Query|(?:%{WORD}\s*)*"
+    ),
+    "CISCO_DIRECTION": r"Inbound|inbound|Outbound|outbound",
+    "CISCO_INTERVAL": r"first hit|%{INT}-second interval",
+    "CISCO_XLATE_TYPE": r"static|dynamic",
+    "CISCOFW104001": (
+        r"\((?:Primary|Secondary)\) Switching to ACTIVE - "
+        r"%{GREEDYDATA:switch_reason}"
+    ),
+    "CISCOFW104002": (
+        r"\((?:Primary|Secondary)\) Switching to STANDBY - "
+        r"%{GREEDYDATA:switch_reason}"
+    ),
+    "CISCOFW104003": r"\((?:Primary|Secondary)\) Switching to FAILED\.",
+    "CISCOFW104004": r"\((?:Primary|Secondary)\) Switching to OK\.",
+    "CISCOFW106001": (
+        r"%{CISCO_DIRECTION:direction} %{WORD:protocol} connection "
+        r"%{CISCO_ACTION:action} from %{IP:src_ip}/%{INT:src_port} to "
+        r"%{IP:dst_ip}/%{INT:dst_port} flags %{GREEDYDATA:tcp_flags} on "
+        r"interface %{NOTSPACE:interface}"
+    ),
+    "CISCOFW106006_106007_106010": (
+        r"%{CISCO_ACTION:action} %{CISCO_DIRECTION:direction} "
+        r"%{WORD:protocol} (?:from|src) %{IP:src_ip}/%{INT:src_port}"
+        r"(?:\(%{DATA:src_fwuser}\))? (?:to|dst) %{IP:dst_ip}/"
+        r"%{INT:dst_port}(?:\(%{DATA:dst_fwuser}\))? (?:on interface "
+        r"%{NOTSPACE:interface}|due to %{CISCO_REASON:reason})"
+    ),
+    "CISCOFW106014": (
+        r"%{CISCO_ACTION:action} %{CISCO_DIRECTION:direction} "
+        r"%{WORD:protocol} src %{DATA:src_interface}:%{IP:src_ip}"
+        r"(?:\(%{DATA:src_fwuser}\))? dst %{DATA:dst_interface}:"
+        r"%{IP:dst_ip}(?:\(%{DATA:dst_fwuser}\))? \(type %{INT:icmp_type}, "
+        r"code %{INT:icmp_code}\)"
+    ),
+    "CISCOFW106015": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} \(%{DATA:policy_id}\) "
+        r"from %{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/"
+        r"%{INT:dst_port} flags %{DATA:tcp_flags} on interface "
+        r"%{NOTSPACE:interface}"
+    ),
+    "CISCOFW106021": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} reverse path check from "
+        r"%{IP:src_ip} to %{IP:dst_ip} on interface %{NOTSPACE:interface}"
+    ),
+    "CISCOFW106023": (
+        r"%{CISCO_ACTION:action}(?: protocol)? %{WORD:protocol} src "
+        r"%{DATA:src_interface}:%{DATA:src_ip}(?:/%{INT:src_port})?"
+        r"(?:\(%{DATA:src_fwuser}\))? dst %{DATA:dst_interface}:"
+        r"%{DATA:dst_ip}(?:/%{INT:dst_port})?(?:\(%{DATA:dst_fwuser}\))?"
+        r"(?: \(type %{INT:icmp_type}, code %{INT:icmp_code}\))? by "
+        r'access.group "?%{DATA:policy_id}"? \[%{DATA:hashcode1}, '
+        r"%{DATA:hashcode2}\]"
+    ),
+    "CISCOFW106100": (
+        r"access-list %{NOTSPACE:policy_id} %{CISCO_ACTION:action} "
+        r"%{WORD:protocol} %{DATA:src_interface}/%{IP:src_ip}"
+        r"\(%{INT:src_port}\)(?:\(%{DATA:src_fwuser}\))? -> "
+        r"%{DATA:dst_interface}/%{IP:dst_ip}\(%{INT:dst_port}\)"
+        r"(?:\(%{DATA:dst_fwuser}\))? hit-cnt %{INT:hit_count} "
+        r"%{CISCO_INTERVAL:interval} \[%{DATA:hashcode1}, "
+        r"%{DATA:hashcode2}\]"
+    ),
+    "CISCOFW302013_302014_302015_302016": (
+        r"%{CISCO_ACTION:action}(?: %{CISCO_DIRECTION:direction})? "
+        r"%{WORD:protocol} connection %{INT:connection_id} for "
+        r"%{DATA:src_interface}:%{IP:src_ip}/%{INT:src_port}"
+        r"(?: \(%{IP:src_mapped_ip}/%{INT:src_mapped_port}\))?"
+        r"(?:\(%{DATA:src_fwuser}\))? to %{DATA:dst_interface}:"
+        r"%{IP:dst_ip}/%{INT:dst_port}(?: \(%{IP:dst_mapped_ip}/"
+        r"%{INT:dst_mapped_port}\))?(?:\(%{DATA:dst_fwuser}\))?"
+        r"(?: duration %{TIME:duration} bytes %{INT:bytes})?"
+        r"(?: %{CISCO_REASON:reason})?(?: \(%{DATA:user}\))?"
+    ),
+    "CISCOFW305011": (
+        r"%{CISCO_ACTION:action} %{CISCO_XLATE_TYPE:xlate_type} "
+        r"%{WORD:protocol} translation from %{DATA:src_interface}:"
+        r"%{IP:src_ip}(?:/%{INT:src_port})?(?:\(%{DATA:src_fwuser}\))? to "
+        r"%{DATA:src_xlated_interface}:%{IP:src_xlated_ip}/"
+        r"%{DATA:src_xlated_port}"
+    ),
+    "CISCOFW313001_313004_313008": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} type=%{INT:icmp_type}, "
+        r"code=%{INT:icmp_code} from %{IP:src_ip} on interface "
+        r"%{NOTSPACE:interface}(?: to %{IP:dst_ip})?"
+    ),
+    "CISCOFW402117": (
+        r"%{WORD:protocol}: Received a non-IPSec packet \(protocol= "
+        r"%{WORD:orig_protocol}\) from %{IP:src_ip} to %{IP:dst_ip}"
+    ),
+    "CISCOFW419001": (
+        r"%{CISCO_ACTION:action} %{WORD:protocol} packet from "
+        r"%{DATA:src_interface}:%{IP:src_ip}/%{INT:src_port} to "
+        r"%{DATA:dst_interface}:%{IP:dst_ip}/%{INT:dst_port}, reason: "
+        r"%{GREEDYDATA:reason}"
+    ),
+    "CISCOFW419002": (
+        r"%{CISCO_REASON:reason} from %{DATA:src_interface}:%{IP:src_ip}/"
+        r"%{INT:src_port} to %{DATA:dst_interface}:%{IP:dst_ip}/"
+        r"%{INT:dst_port} with different initial sequence number"
+    ),
+    "CISCOFW500004": (
+        r"%{CISCO_REASON:reason} for protocol=%{WORD:protocol}, from "
+        r"%{IP:src_ip}/%{INT:src_port} to %{IP:dst_ip}/%{INT:dst_port}"
+    ),
+    "CISCOFW602303_602304": (
+        r"%{WORD:protocol}: An %{CISCO_DIRECTION:direction} %{DATA:tunnel_type} "
+        r"SA \(SPI= %{DATA:spi}\) between %{IP:src_ip} and %{IP:dst_ip} "
+        r"\(user= %{DATA:user}\) has been %{CISCO_ACTION:action}"
+    ),
+    "SHOREWALL": (
+        r"(?:%{SYSLOGTIMESTAMP:timestamp}) (?:%{WORD:nf_host}) kernel:.*"
+        r"Shorewall:(?:%{WORD:nf_action1})?:(?:%{WORD:nf_action2})?.*"
+        r"IN=(?:%{NOTSPACE:nf_in_interface})?.*"
+        r"OUT=(?:%{NOTSPACE:nf_out_interface})?.*"
+        r"SRC=(?:%{IP:nf_src_ip}).*DST=(?:%{IP:nf_dst_ip}).*"
+        r"LEN=(?:%{INT:nf_len}).*TOS=(?:%{WORD:nf_tos}).*"
+        r"PREC=(?:%{WORD:nf_prec}).*TTL=(?:%{INT:nf_ttl}).*"
+        r"ID=(?:%{INT:nf_id}).*PROTO=(?:%{WORD:nf_protocol})"
+    ),
+}
+
+# --- junos (go-grok patterns/junos.go) --------------------------------------
+JUNOS_PATTERNS: dict[str, str] = {
+    "RT_FLOW_TAG": r"(?:RT_FLOW_SESSION_CREATE|RT_FLOW_SESSION_CLOSE|RT_FLOW_SESSION_DENY)",
+    "RT_FLOW_EVENT": r"%{RT_FLOW_TAG}",
+    "RT_FLOW1": (
+        r"%{RT_FLOW_EVENT:event}: %{GREEDYDATA:close_reason}: "
+        r"%{IP:src_ip}/%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} "
+        r"%{DATA:service} %{IP:nat_src_ip}/%{INT:nat_src_port}->"
+        r"%{IP:nat_dst_ip}/%{INT:nat_dst_port} %{DATA:src_nat_rule_name} "
+        r"%{DATA:dst_nat_rule_name} %{INT:protocol_id} %{DATA:policy_name} "
+        r"%{DATA:from_zone} %{DATA:to_zone} %{INT:session_id} "
+        r"\d+\(%{INT:sent}\) \d+\(%{INT:received}\) "
+        r"%{INT:elapsed_time} .*"
+    ),
+    "RT_FLOW2": (
+        r"%{RT_FLOW_EVENT:event}: session created %{IP:src_ip}/"
+        r"%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} %{DATA:service} "
+        r"%{IP:nat_src_ip}/%{INT:nat_src_port}->%{IP:nat_dst_ip}/"
+        r"%{INT:nat_dst_port} %{DATA:src_nat_rule_name} "
+        r"%{DATA:dst_nat_rule_name} %{INT:protocol_id} %{DATA:policy_name} "
+        r"%{DATA:from_zone} %{DATA:to_zone} %{INT:session_id} .*"
+    ),
+    "RT_FLOW3": (
+        r"%{RT_FLOW_EVENT:event}: session denied %{IP:src_ip}/"
+        r"%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} %{DATA:service} "
+        r"%{INT:protocol_id}\(\d\) %{DATA:policy_name} %{DATA:from_zone} "
+        r"%{DATA:to_zone} .*"
+    ),
+}
+
+# --- maven (go-grok patterns/maven.go) --------------------------------------
+MAVEN_PATTERNS: dict[str, str] = {
+    "MAVEN_VERSION": (
+        r"(?:(?:\d+)\.)?(?:(?:\d+)\.)?(?:\*|\d+)"
+        r"(?:[.-](?:RELEASE|SNAPSHOT))?"
+    ),
+}
+
+# --- mcollective (go-grok patterns/mcollective.go) ---------------------------
+MCOLLECTIVE_PATTERNS: dict[str, str] = {
+    "MCOLLECTIVE": (
+        r"., \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\]"
+        r"%{SPACE}%{LOGLEVEL:event_level}"
+    ),
+    "MCOLLECTIVEAUDIT": r"%{TIMESTAMP_ISO8601:timestamp}:",
+}
+
+PRODUCT_SETS: dict[str, dict[str, str]] = {
+    "syslog": SYSLOG_PATTERNS,
+    "aws": AWS_PATTERNS,
+    "java": JAVA_PATTERNS,
+    "haproxy": HAPROXY_PATTERNS,
+    "mongodb": MONGODB_PATTERNS,
+    "postgresql": POSTGRESQL_PATTERNS,
+    "redis": REDIS_PATTERNS,
+    "ruby": RUBY_PATTERNS,
+    "rails": RAILS_PATTERNS,
+    "squid": SQUID_PATTERNS,
+    "bind9": BIND9_PATTERNS,
+    "bro": BRO_PATTERNS,
+    "exim": EXIM_PATTERNS,
+    "firewalls": FIREWALL_PATTERNS,
+    "junos": JUNOS_PATTERNS,
+    "maven": MAVEN_PATTERNS,
+    "mcollective": MCOLLECTIVE_PATTERNS,
+}
+
+
+def product_patterns() -> dict[str, str]:
+    """All product-set patterns flattened into one namespace (go-grok
+    loads every set into the same pattern map; names are unique across
+    sets by construction upstream)."""
+    out: dict[str, str] = {}
+    for set_name, patterns in PRODUCT_SETS.items():
+        for k, v in patterns.items():
+            if k in out:
+                raise ValueError(
+                    f"duplicate grok pattern {k!r} (set {set_name})"
+                )
+            out[k] = v
+    return out

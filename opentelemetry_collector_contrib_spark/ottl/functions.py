@@ -357,6 +357,30 @@ _UA_RULES = [
     ("Slackbot", r"Slackbot", r"Slackbot[ /]([0-9.]+)"),
     ("Twitterbot", r"Twitterbot", r"Twitterbot/([0-9.]+)"),
     ("FacebookBot", r"facebookexternalhit", r"facebookexternalhit/([0-9.]+)"),
+    ("Baiduspider", r"Baiduspider", r"Baiduspider[-/]?([0-9.]*)"),
+    ("Sogou web spider", r"Sogou web spider",
+     r"Sogou web spider/([0-9.]+)"),
+    ("PetalBot", r"PetalBot", r"PetalBot[ /]?([0-9.]*)"),
+    ("Bytespider", r"Bytespider", r"Bytespider[ /]?([0-9.]*)"),
+    ("GPTBot", r"GPTBot", r"GPTBot/([0-9.]+)"),
+    ("CCBot", r"CCBot", r"CCBot/([0-9.]+)"),
+    ("MJ12bot", r"MJ12bot", r"MJ12bot/v?([0-9.]+)"),
+    ("DotBot", r"DotBot", r"DotBot/([0-9.]+)"),
+    ("Exabot", r"Exabot", r"Exabot/([0-9.]+)"),
+    ("LinkedInBot", r"LinkedInBot", r"LinkedInBot/([0-9.]+)"),
+    ("Discordbot", r"Discordbot", r"Discordbot/([0-9.]+)"),
+    ("TelegramBot", r"TelegramBot", r"TelegramBot"),
+    ("Pinterestbot", r"Pinterest(?:bot)?/", r"Pinterest(?:bot)?/([0-9.]+)"),
+    ("WhatsApp", r"WhatsApp/", r"WhatsApp/([0-9.]+)"),
+    # -- in-app webviews (uap keeps the app as the family) --
+    ("Facebook", r"FBAV/|FBAN/", r"FBAV/([0-9.]+)"),
+    ("Instagram", r"Instagram", r"Instagram ([0-9.]+)"),
+    ("WeChat", r"MicroMessenger/", r"MicroMessenger/([0-9.]+)"),
+    ("QQ Browser Mobile", r"MQQBrowser/", r"MQQBrowser/([0-9.]+)"),
+    ("QQ Browser", r"QQBrowser/", r"QQBrowser/([0-9.]+)"),
+    ("LINE", r"\bLine/", r"Line/([0-9.]+)"),
+    ("Snapchat", r"Snapchat/", r"Snapchat/([0-9.]+)"),
+    ("Google", r"\bGSA/", r"GSA/([0-9.]+)"),
     # -- programmatic clients --
     ("curl", r"^curl/", r"^curl/([0-9.]+)"),
     ("Wget", r"^Wget/", r"^Wget/([0-9.]+)"),
@@ -370,11 +394,44 @@ _UA_RULES = [
     ("axios", r"^axios/", r"^axios/([0-9.]+)"),
     ("node-fetch", r"^node-fetch/", r"^node-fetch/([0-9.]+)"),
     ("PostmanRuntime", r"^PostmanRuntime/", r"^PostmanRuntime/([0-9.]+)"),
+    ("aiohttp", r"aiohttp/", r"aiohttp/([0-9.]+)"),
+    ("httpx", r"^python-httpx/", r"^python-httpx/([0-9.]+)"),
+    ("libwww-perl", r"^libwww-perl/", r"^libwww-perl/([0-9.]+)"),
+    ("GuzzleHttp", r"GuzzleHttp/", r"GuzzleHttp/([0-9.]+)"),
+    ("Scrapy", r"^Scrapy/", r"^Scrapy/([0-9.]+)"),
+    ("Faraday", r"^Faraday v", r"^Faraday v([0-9.]+)"),
+    ("Ruby", r"^Ruby\b", r"^Ruby/?([0-9.]*)"),
+    ("PHP", r"^PHP/", r"^PHP/([0-9.]+)"),
+    ("Dart", r"^Dart/", r"^Dart/([0-9.]+)"),
+    ("HTTPie", r"^HTTPie/", r"^HTTPie/([0-9.]+)"),
     # -- embedded / headless --
     ("HeadlessChrome", r"HeadlessChrome/", r"HeadlessChrome/([0-9.]+)"),
     ("Electron", r"Electron/", r"Electron/([0-9.]+)"),
     ("PhantomJS", r"PhantomJS/", r"PhantomJS/([0-9.]+)"),
-    # -- browsers (desktop + mobile variants; uap family names) --
+    # -- browsers (desktop + mobile variants; uap family names; specific
+    # Chromium/WebKit derivatives must precede the generic Chrome/Safari
+    # rules — list order is uap rule priority) --
+    ("Vivaldi", r"Vivaldi/", r"Vivaldi/([0-9.]+)"),
+    ("Whale", r"Whale/", r"Whale/([0-9.]+)"),
+    ("Coc Coc", r"coc_coc_browser/", r"coc_coc_browser/([0-9.]+)"),
+    ("Maxthon", r"Maxthon[ /]", r"Maxthon[ /]?([0-9.]*)"),
+    ("Sleipnir", r"Sleipnir/", r"Sleipnir/([0-9.]+)"),
+    ("Puffin", r"Puffin/", r"Puffin/([0-9.]+)"),
+    ("Baidu Browser", r"BIDUBrowser", r"BIDUBrowser[ /]([0-9.]+)"),
+    ("Sogou Explorer", r"MetaSr", r"MetaSr ([0-9.]+)"),
+    ("MiuiBrowser", r"MiuiBrowser/", r"MiuiBrowser/([0-9.]+)"),
+    ("HuaweiBrowser", r"HuaweiBrowser/", r"HuaweiBrowser/([0-9.]+)"),
+    ("Amazon Silk", r"\bSilk/", r"Silk/([0-9.]+)"),
+    ("Opera Mini", r"Opera Mini", r"Opera Mini/([0-9.]+)"),
+    ("SeaMonkey", r"SeaMonkey/", r"SeaMonkey/([0-9.]+)"),
+    ("Pale Moon", r"PaleMoon/", r"PaleMoon/([0-9.]+)"),
+    ("Waterfox", r"Waterfox/", r"Waterfox/([0-9.]+)"),
+    ("Konqueror", r"[Kk]onqueror/", r"[Kk]onqueror/([0-9.]+)"),
+    ("Epiphany", r"Epiphany/", r"Epiphany/([0-9.]+)"),
+    ("Midori", r"Midori/", r"Midori/([0-9.]+)"),
+    ("Falkon", r"Falkon/", r"Falkon/([0-9.]+)"),
+    ("Lynx", r"^Lynx/", r"^Lynx/([0-9.]+)"),
+    ("w3m", r"^w3m/", r"^w3m/([0-9.]+)"),
     ("Edge Mobile", r"EdgA/", r"EdgA/([0-9.]+)"),
     ("Edge", r"Edg(e|iOS)?/", r"Edg(?:e|iOS)?/([0-9.]+)"),
     ("Opera Mobile", r"OPR/[0-9.]+.*Mobile|Opera Mobi",
@@ -410,19 +467,51 @@ _UA_OS_RULES = [
     ("Windows", r"Windows NT 6\.1", None, "7"),
     ("Windows", r"Windows NT 6\.0", None, "Vista"),
     ("Windows", r"Windows NT 5\.1", None, "XP"),
+    ("Windows", r"Windows NT 5\.0", None, "2000"),
+    ("Windows", r"Windows 98", None, "98"),
+    ("Windows", r"Windows CE", None, "CE"),
     ("Chrome OS", r"CrOS ", r"CrOS [^ ]+ ([0-9.]+)", None),
+    ("KaiOS", r"KAIOS/", r"KAIOS/([0-9.]+)", None),
+    ("Tizen", r"Tizen[ /]", r"Tizen[ /]([0-9.]+)", None),
+    ("webOS", r"Web0?OS[ /]|hpwOS", r"(?:webOS|Web0S|hpwOS)[ /]([0-9.]+)",
+     None),
+    ("HarmonyOS", r"HarmonyOS", r"HarmonyOS[ ;]*([0-9.]*)", None),
     ("Android", r"Android [0-9.]+", r"Android ([0-9.]+)", None),
+    ("Android", r"Android", None, None),
     ("iOS", r"(iPhone|CPU) OS [0-9_]+",
      r"(?:iPhone|CPU) OS ([0-9_]+)", None),
+    ("ATV OS X", r"Apple TV", None, None),
     ("Mac OS X", r"Mac OS X 1[0-9][_.0-9]*",
      r"Mac OS X (1[0-9][_.0-9]*)", None),
+    ("BlackBerry OS", r"BlackBerry|BB10", r"Version/([0-9.]+)", None),
+    ("Firefox OS", r"\(Mobile; rv:[0-9.]+\) Gecko/[0-9.]+ Firefox/",
+     None, None),
+    ("PlayStation", r"PlayStation \d", r"PlayStation \d[^;)]*? ([0-9.]+)",
+     None),
+    ("Nintendo", r"Nintendo", None, None),
+    ("Roku", r"Roku/", r"Roku/DVP-([0-9.]+)", None),
+    ("FreeBSD", r"FreeBSD", None, None),
+    ("OpenBSD", r"OpenBSD", None, None),
+    ("NetBSD", r"NetBSD", None, None),
+    ("Fedora", r"Fedora", None, None),
     ("Ubuntu", r"Ubuntu", None, None),
+    ("Debian", r"Debian", None, None),
     ("Linux", r"Linux", None, None),
 ]
 
 # Device families: specific hardware first, Android model capture, else
-# the uap desktop convention ("Mac", "Other").
+# the uap desktop convention ("Mac", "Other"). Crawlers map to "Spider"
+# (uap-core device spiders block).
 _UA_DEVICE_RULES = [
+    ("Spider",
+     r"[Bb]ot\b|bot/|[Ss]pider|[Cc]rawler|facebookexternalhit|Slurp"),
+    ("Kindle", r"Kindle|\bSilk/"),
+    ("Apple TV", r"Apple TV"),
+    ("PlayStation", r"PlayStation \d"),
+    ("Nintendo", r"Nintendo"),
+    ("XBOX", r"Xbox"),
+    ("Roku", r"Roku/"),
+    ("iPod", r"iPod"),
     ("iPhone", r"iPhone"),
     ("iPad", r"iPad"),
     ("Mac", r"Macintosh"),
@@ -482,17 +571,8 @@ def _user_agent(args, ctx):
 
 # ---- ParseXML (README.md:1218) --------------------------------------------
 
-_XML_MAX_DEPTH = 6
 
-
-def _xml_ddl(depth: int) -> str:
-    base = "tag: string, attributes: map<string,string>, content: string"
-    if depth <= 0:
-        return f"struct<{base}>"
-    return f"struct<{base}, children: array<{_xml_ddl(depth - 1)}>>"
-
-
-def _xml_to_dict(el, depth: int):
+def _xml_to_dict(el):
     out = {"tag": el.tag.strip()}
     if el.attrib:
         out["attributes"] = {k: str(v) for k, v in el.attrib.items()}
@@ -501,8 +581,8 @@ def _xml_to_dict(el, depth: int):
     content = "".join(t.strip() for t in texts)
     if content:
         out["content"] = content
-    if depth > 0 and len(el):
-        out["children"] = [_xml_to_dict(ch, depth - 1) for ch in el]
+    if len(el):
+        out["children"] = [_xml_to_dict(ch) for ch in el]
     return out
 
 
@@ -513,8 +593,8 @@ def _parse_xml_series(s):
         if v is None:
             return None
         try:
-            return json.dumps(_xml_to_dict(ET.fromstring(v), _XML_MAX_DEPTH))
-        except ET.ParseError:
+            return json.dumps(_xml_to_dict(ET.fromstring(v)))
+        except (ET.ParseError, RecursionError):
             return None
 
     return s.map(parse)
@@ -548,17 +628,17 @@ def _fnv64a():
 
 
 def _parse_xml(args, ctx):
-    """ParseXML(target) — tag/attributes/content/children struct
+    """ParseXML(target) — tag/attributes/content/children tree
     (README.md:1218-1260). Rules 1-5 implemented in _xml_to_dict with
     stdlib ElementTree inside an Arrow-batched pandas UDF (comments/PIs
-    are dropped by ElementTree itself), then lifted to a typed struct via
-    from_json. Depth capped at 6 (static schemas need a bound; reference
-    is unbounded — documented deviation)."""
+    are dropped by ElementTree itself), then lifted to VARIANT via
+    parse_json — UNBOUNDED depth, matching the reference's pcommon.Map
+    result (round 3's static-struct form was capped at depth 6)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     c = _one(args, ctx)
     udf = pandas_udf(_parse_xml_series, "string")
-    parsed = F.from_json(udf(c.cast("string")), _xml_ddl(_XML_MAX_DEPTH))
+    parsed = F.parse_json(udf(c.cast("string")))
     ctx.note_failure(c.isNotNull() & parsed.isNull(),
                      "ParseXML: invalid XML document")
     return parsed
@@ -786,7 +866,7 @@ CONVERTER_TYPES = {
     "IsString": "bool", "IsMap": "bool", "IsList": "bool", "IsMatch": "bool",
     "SpanID": "bytes", "TraceID": "bytes",
     "ExtractPatterns": "map", "ExtractGrokPatterns": "map",
-    "ParseJSON": "map", "ParseXML": "map", "ParseKeyValue": "map",
+    "ParseJSON": "map", "ParseXML": "variant", "ParseKeyValue": "map",
     "ParseCSV": "array", "UserAgent": "map", "URL": "map",
     "Sort": "array",
     "Day": "int", "Hour": "int", "Minute": "int", "Month": "int",

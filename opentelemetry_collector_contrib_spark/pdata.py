@@ -37,6 +37,11 @@ KIND_BOOL = "bool"
 KIND_INT = "int"
 KIND_DOUBLE = "double"
 KIND_BYTES = "bytes"
+# sentinel key wrapping base64 bytes inside the plain-JSON/variant tree;
+# in-band tagging is what lets the `bytes` value kind round-trip through
+# JSON (a user map with exactly this single key would alias — accepted
+# trade, same as any in-band encoding)
+BYTES_TAG = "__otlp_bytes__"
 KIND_MAP = "map"
 KIND_SLICE = "slice"
 KIND_EMPTY = "empty"
@@ -64,7 +69,11 @@ def _any_value_plain(av):
     if "doubleValue" in av:
         return KIND_DOUBLE, float(av["doubleValue"])
     if "bytesValue" in av:
-        return KIND_BYTES, av["bytesValue"]
+        # tagged in-band so the bytes KIND survives the plain-JSON →
+        # variant → OTLP-JSON round trip (round 3 re-emitted bytes as
+        # stringValue); the erased renderings unwrap to the raw base64
+        # (pcommon.Value.AsString on bytes = std base64)
+        return KIND_BYTES, {BYTES_TAG: av["bytesValue"]}
     if "arrayValue" in av:
         vals = (av.get("arrayValue") or {}).get("values") or []
         return KIND_SLICE, [_any_value_plain(v)[1] for v in vals]
@@ -217,7 +226,9 @@ def _record_fields(rec: dict) -> tuple:
     body_json = None if bv is None and bk == KIND_EMPTY else json.dumps(
         bv, ensure_ascii=False, separators=(",", ":")
     )
-    if bk in (KIND_MAP, KIND_SLICE):
+    if bk == KIND_BYTES:
+        body_str = bv[BYTES_TAG]  # AsString(bytes) = the base64 text
+    elif bk in (KIND_MAP, KIND_SLICE):
         body_str = body_json
     elif bv is None:
         body_str = None
@@ -233,7 +244,9 @@ def _record_fields(rec: dict) -> tuple:
         k = kv.get("key")
         ak, av = _any_value_plain(kv.get("value"))
         attrs_plain[k] = av
-        if ak in (KIND_MAP, KIND_SLICE):
+        if ak == KIND_BYTES:
+            attrs_str[k] = av[BYTES_TAG]
+        elif ak in (KIND_MAP, KIND_SLICE):
             attrs_str[k] = json.dumps(
                 av, ensure_ascii=False, separators=(",", ":")
             )
@@ -389,10 +402,12 @@ def parse_otlp_envelopes(df: DataFrame, line_col: str = "line") -> DataFrame:
 def _plain_to_any(v):
     """Plain python value → OTLP AnyValue JSON object (the inverse of
     _any_value_plain; protobuf JSON mapping: int64 as decimal string).
-    bytes provenance is not recoverable from plain JSON (base64 text
-    re-encodes as stringValue — documented fidelity note)."""
+    The BYTES_TAG wrapper re-emits as bytesValue — the bytes kind
+    round-trips."""
     if v is None:
         return {}
+    if isinstance(v, dict) and set(v) == {BYTES_TAG}:
+        return {"bytesValue": v[BYTES_TAG]}
     if isinstance(v, bool):
         return {"boolValue": v}
     if isinstance(v, int):
@@ -721,13 +736,28 @@ def variant_render(c) -> F.Column:
     return F.when(
         c.isNull() | F.is_variant_null(c), F.lit(None).cast("string")
     ).otherwise(
-        F.coalesce(F.try_variant_get(c, "$", "string"), F.to_json(c))
+        F.coalesce(
+            # AsString(bytes) = the raw base64 text, not the tag wrapper
+            # (checked FIRST: variant→string casts succeed even for
+            # objects, rendering their JSON)
+            F.when(
+                F.schema_of_variant(c) == F.lit(_BYTES_TAG_SCHEMA),
+                F.try_variant_get(c, f"$['{BYTES_TAG}']", "string"),
+            ),
+            F.try_variant_get(c, "$", "string"),
+            F.to_json(c),
+        )
     )
+
+
+# what schema_of_variant prints for the tagged-bytes wrapper — an exact
+# match IS the bytes-kind test (single field, string value)
+_BYTES_TAG_SCHEMA = f"OBJECT<{BYTES_TAG}: STRING>"
 
 
 def variant_kind(c) -> F.Column:
     """Per-row pcommon.ValueType of a variant (string/bool/int/double/
-    map/slice/empty — bytes indistinguishable from string post-JSON)."""
+    bytes/map/slice/empty — bytes ride as the BYTES_TAG wrapper)."""
     sch = F.schema_of_variant(c)
     return (
         F.when(c.isNull() | F.is_variant_null(c), F.lit(KIND_EMPTY))
@@ -740,6 +770,7 @@ def variant_kind(c) -> F.Column:
             | sch.startswith("DECIMAL"),
             F.lit(KIND_DOUBLE),
         )
+        .when(sch == _BYTES_TAG_SCHEMA, F.lit(KIND_BYTES))
         .when(sch.startswith("OBJECT"), F.lit(KIND_MAP))
         .when(sch.startswith("ARRAY"), F.lit(KIND_SLICE))
         .otherwise(F.lit(KIND_EMPTY))

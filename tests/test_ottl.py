@@ -592,12 +592,48 @@ def test_parse_xml(log_df):
 
     node = _Parser(f'ParseXML("{_xml_quote(xml)}")').value()
     col = compile_value(node, Ctx())
-    row = log_df.select(col.alias("x")).collect()[0]["x"]
+    # VARIANT result (the reference returns a pcommon.Map) — typed paths
+    # extract any depth
+    row = log_df.select(
+        F.try_variant_get(col, "$.tag", "string").alias("tag"),
+        F.try_variant_get(col, "$.children[0].tag", "string").alias("c0"),
+        F.try_variant_get(
+            col, "$.children[0].children[0].content", "string"
+        ).alias("id"),
+        F.try_variant_get(
+            col, "$.children[0].children[1].attributes.type", "string"
+        ).alias("ntype"),
+        F.try_variant_get(col, "$.children[1].content", "string")
+        .alias("text"),
+    ).collect()[0]
     assert row["tag"] == "Log"
-    assert row["children"][0]["tag"] == "User"
-    assert row["children"][0]["children"][0]["content"] == "00001"
-    assert row["children"][0]["children"][1]["attributes"] == {"type": "first"}
-    assert row["children"][1]["content"] == "User fired alert A"
+    assert row["c0"] == "User"
+    assert row["id"] == "00001"
+    assert row["ntype"] == "first"
+    assert row["text"] == "User fired alert A"
+
+
+def test_parse_xml_unbounded_depth(log_df):
+    """Round 3 capped the static struct at depth 6; the VARIANT form is
+    unbounded like the reference (README.md:1218)."""
+    depth = 12
+    xml = "".join(f"<l{i}>" for i in range(depth)) + "leaf" + "".join(
+        f"</l{i}>" for i in reversed(range(depth))
+    )
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        compile_value, Context as Ctx,
+    )
+    from opentelemetry_collector_contrib_spark.ottl.parser import _Parser
+
+    node = _Parser(f'ParseXML("{_xml_quote(xml)}")').value()
+    col = compile_value(node, Ctx())
+    path = "$" + ".children[0]" * (depth - 1) + ".content"
+    row = log_df.select(
+        F.try_variant_get(col, "$.tag", "string").alias("t"),
+        F.try_variant_get(col, path, "string").alias("leaf"),
+    ).collect()[0]
+    assert row["t"] == "l0"
+    assert row["leaf"] == "leaf"
 
 
 def _xml_quote(s):

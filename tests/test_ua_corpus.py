@@ -49,12 +49,12 @@ UAS = [
      "Chrome", "120.0.0.0", "Chrome OS", "14541.0.0", "Other"),
     ("Mozilla/5.0 (compatible; Googlebot/2.1; "
      "+http://www.google.com/bot.html)",
-     "Googlebot", "2.1", "Other", None, "Other"),
+     "Googlebot", "2.1", "Other", None, "Spider"),
     ("Mozilla/5.0 (compatible; bingbot/2.0; "
      "+http://www.bing.com/bingbot.htm)",
-     "Bingbot", "2.0", "Other", None, "Other"),
+     "Bingbot", "2.0", "Other", None, "Spider"),
     ("Slackbot 1.0 (+https://api.slack.com/robots)",
-     "Slackbot", "1.0", "Other", None, "Other"),
+     "Slackbot", "1.0", "Other", None, "Spider"),
     ("PostmanRuntime/7.36.0", "PostmanRuntime", "7.36.0",
      "Other", None, "Other"),
     ("Java/17.0.2", "Java", "17.0.2", "Other", None, "Other"),
@@ -70,6 +70,61 @@ UAS = [
      "Safari/537.36 EdgA/99.0.1150.78",
      "Edge Mobile", "99.0.1150.78", "Android", "10", "VOG-L29"),
     ("totally-unknown-thing", "Other", None, "Other", None, "Other"),
+    # ---- round-4 corpus expansion ----
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Vivaldi/6.7",
+     "Vivaldi", "6.7", "Windows", "10", "Other"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 "
+     "MicroMessenger/8.0.38 NetType/WIFI Language/zh_CN",
+     "WeChat", "8.0.38", "iOS", "16.5", "iPhone"),
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B Build/TP1A.220624.014; "
+     "wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 "
+     "Chrome/113.0.5672.76 Mobile Safari/537.36 "
+     "Instagram 281.0.0.19.105",
+     "Instagram", "281.0.0.19.105", "Android", "13", "SM-S918B"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 15_6 like Mac OS X) "
+     "AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 "
+     "[FBAN/FBIOS;FBAV/377.0.0.21.113]",
+     "Facebook", "377.0.0.21.113", "iOS", "15.6", "iPhone"),
+    ("Mozilla/5.0 (Linux; Android 9; KFTRWI) AppleWebKit/537.36 (KHTML, "
+     "like Gecko) Silk/120.4.1 like Chrome/120.0.6099.230 Safari/537.36",
+     "Amazon Silk", "120.4.1", "Android", "9", "Kindle"),
+    ("Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-26-130319; "
+     "Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+     "Firefox Mobile", "48.0", "KaiOS", "2.5", "Other"),
+    ("Mozilla/5.0 (SMART-TV; LINUX; Tizen 6.5) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) 85.0.4183.93/6.5 TV Safari/537.36",
+     "Other", None, "Tizen", "6.5", "Other"),
+    ("Mozilla/5.0 (PlayStation 5 3.03) AppleWebKit/605.1.15 (KHTML, "
+     "like Gecko) Version/13.0 Safari/605.1.15",
+     "Safari", "13.0", "PlayStation", "3.03", "PlayStation"),
+    ("Mozilla/5.0 (Phone; HarmonyOS 4.0; NOH-AN00) AppleWebKit/537.36 "
+     "(KHTML, like Gecko) Chrome/114.0.5735.196 HuaweiBrowser/14.0.2.311 "
+     "Mobile Safari/537.36",
+     "HuaweiBrowser", "14.0.2.311", "HarmonyOS", "4.0", "Other"),
+    ("aiohttp/3.9.3", "aiohttp", "3.9.3", "Other", None, "Other"),
+    ("Mozilla/5.0 (compatible; GPTBot/1.2; "
+     "+https://openai.com/gptbot)",
+     "GPTBot", "1.2", "Other", None, "Spider"),
+    ("Mozilla/5.0 (compatible; Baiduspider/2.0; "
+     "+http://www.baidu.com/search/spider.html)",
+     "Baiduspider", "2.0", "Other", None, "Spider"),
+    ("Opera/9.80 (Android; Opera Mini/7.6.40234/36.1603; U; en) "
+     "Presto/2.12.423 Version/12.16",
+     "Opera Mini", "7.6.40234", "Android", None, "Other"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:91.0) Gecko/20100101 "
+     "Firefox/91.0 SeaMonkey/2.53.10",
+     "SeaMonkey", "2.53.10", "Linux", None, "Other"),
+    ("Mozilla/5.0 (Linux; U; Android 12; zh-cn; M2012K11AC "
+     "Build/SKQ1.220303.001) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Version/4.0 Chrome/89.0.4389.116 MQQBrowser/13.4 Mobile "
+     "Safari/537.36",
+     "QQ Browser Mobile", "13.4", "Android", "12", "M2012K11AC"),
+    ("w3m/0.5.3+git20230121", "w3m", "0.5.3", "Other", None, "Other"),
+    ("Mozilla/5.0 (X11; FreeBSD amd64; rv:109.0) Gecko/20100101 "
+     "Firefox/115.0",
+     "Firefox", "115.0", "FreeBSD", None, "Other"),
 ]
 
 
