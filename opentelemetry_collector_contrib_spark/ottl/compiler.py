@@ -284,12 +284,22 @@ class Context:
                 from ..pdata import to_variant
 
                 value = to_variant(value)
+                nil = value.isNull() | F.is_variant_null(value)
+            else:
+                nil = value.isNull()
             new = value
-            if cond is not None and col in df.columns:
-                new = F.when(cond, value).otherwise(F.col(col))
+            if col in df.columns:
+                # func_set.go: a nil value never reaches the setter —
+                # the statement is a no-op, the old value stays
+                guard = (~nil) if cond is None else (cond & ~nil)
+                new = F.when(guard, value).otherwise(F.col(col))
             return df.withColumn(col, new)
         if any(isinstance(k, int) and k < 0 for k in keys):
             raise OTTLError("negative slice index")
+        # func_set.go: a nil value is a no-op, never a delete — captured
+        # on the LEAF value before any deep rebuild replaces it
+        nil = value.isNull()
+        cond = (~nil) if cond is None else (cond & ~nil)
         if isinstance(keys[0], int):
             # slice element set on the physical column itself (internal/
             # value.go SetIndexableValue: out-of-range / nil slice errors)

@@ -431,6 +431,24 @@ def test_slice_index_array_column(spark):
     assert set_.collect()[0]["tags"] == ["z", "y"]
 
 
+def test_set_nil_is_noop_not_delete(log_df):
+    """func_set.go: a nil value never reaches the setter — the existing
+    value stays (round 3 deleted the key on nil)."""
+    out = one(
+        compile_statement(
+            'set(attributes["http.method"], attributes["missing"])'
+        )(log_df)
+    )
+    assert out["attributes"]["http.method"] == "get"
+    out2 = one(compile_statement('set(attributes["http.method"], nil)')(
+        log_df
+    ))
+    assert out2["attributes"]["http.method"] == "get"
+    # whole-column set with nil keeps the column
+    out3 = one(compile_statement("set(body, nil)")(log_df))
+    assert out3["body"] == ROW["body"]
+
+
 def test_deep_map_set_three_keys(log_df):
     """set deeper than 2 keys rebuilds every erased level (map.go
     SetMapValue traverses arbitrarily; round-3 capped at 2)."""
