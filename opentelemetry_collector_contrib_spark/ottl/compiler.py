@@ -1270,12 +1270,17 @@ def _ed_flatten(stmt, ctx, df, cond):
         int(literal_arg(kw["depth"])) if "depth" in kw else None)
     col = _map_target(ctx, target)
     if ctx.path_types.get(col) == VARIANT:
-        raise OTTLError(
-            "flatten on a runtime-typed (variant) target is not supported "
-            "yet — set/delete_key/keep_keys/merge_maps/append and the "
-            "replace_* editors are; flatten needs per-row recursion over "
-            "unknown shapes"
-        )
+        # runtime-typed tree: shapes differ per row, so this is the one
+        # editor that genuinely needs per-row recursion — an Arrow-batched
+        # UDF over the JSON rendering (the documented slow path), exact
+        # func_flatten.go flattenHelper semantics.
+        from ..pdata import variant_object_map
+
+        m = variant_object_map(F.col(col))
+        ctx.note_failure(m.isNull(), f"{col} is not a map")
+        udf = _flatten_variant_udf(prefix, depth)
+        new = F.parse_json(udf(F.to_json(F.col(col))))
+        return ctx.guard_map(df, col, new, cond)
     dtype = df.schema[col].dataType
 
     if isinstance(dtype, T.MapType):
@@ -1316,6 +1321,55 @@ def _ed_flatten(stmt, ctx, df, cond):
         return df.withColumn(col, new)
 
     raise OTTLError("flatten target must be a map or struct column")
+
+
+def _flatten_variant_udf(prefix: str, depth: int | None):
+    """Arrow UDF: variant-object JSON text → flattened-object JSON text.
+    Mirrors func_flatten.go flattenHelper exactly: maps recurse to
+    "prefix.key" until ``depth``; slices ALWAYS expand one level to
+    "key.i" with elements copied as-is; a map at max depth is copied as a
+    leaf. The BYTES_TAG wrapper is a bytes LEAF, never recursed.
+    asNondeterministic: prevents Catalyst re-inlining per consumer (the
+    grok-UDF trap, operators/parse.py)."""
+    import json as _json
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..pdata import BYTES_TAG
+
+    max_depth = depth if depth is not None else (1 << 62)
+
+    def _series(s):
+        def flat(txt):
+            if txt is None:
+                return None
+            try:
+                d = _json.loads(txt)
+            except _json.JSONDecodeError:
+                return None
+            if not isinstance(d, dict):
+                return None
+            out = {}
+
+            def helper(mp, pfx, cur):
+                p = pfx + "." if pfx else ""
+                for k, v in mp.items():
+                    if (isinstance(v, dict) and set(v) != {BYTES_TAG}
+                            and cur < max_depth):
+                        helper(v, p + k, cur + 1)
+                    elif isinstance(v, list):
+                        for i, x in enumerate(v):
+                            out[f"{p}{k}.{i}"] = x
+                    else:
+                        out[p + k] = v
+
+            helper(d, prefix, 0)
+            return _json.dumps(out, ensure_ascii=False,
+                               separators=(",", ":"))
+
+        return s.map(flat)
+
+    return pandas_udf(_series, "string").asNondeterministic()
 
 
 EDITORS = {

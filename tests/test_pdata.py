@@ -856,3 +856,32 @@ def test_envelope_stream_checkpoint_restart(spark, tmp_path):
     assert {r["resource_schema_url"] for r in df.collect()} == {
         "https://opentelemetry.io/schemas/1.21.0"
     }
+
+
+def test_flatten_variant_body(typed_df):
+    """flatten on a runtime-typed map (func_flatten.go flattenHelper):
+    nested maps become dotted keys, slices expand one level to key.i
+    with elements copied AS-IS (a map inside a slice stays a map)."""
+    out = compile_statement("flatten(body)", _ctx())(typed_df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["msg"] == "hello"
+    assert b0["items.0"] == 7
+    assert b0["items.1"] == {"name": "x"}  # slice elems not recursed
+    assert b0["retries"] == 5 and b0["ok"] is True
+    assert "items" not in b0
+    # non-map bodies untouched (statement error, ignore mode)
+    assert _body_json(out)[1] == '"plain"'
+    assert _body_json(out)[5] == '[1,"two"]'
+
+
+def test_flatten_variant_prefix_and_depth(typed_df):
+    # deep body: a.b.c nested maps
+    df = compile_statement('set(body["a"]["b"]["c"], 1)', _ctx())(typed_df)
+    out = compile_statement('flatten(body, "pre")', _ctx())(df)
+    b0 = json.loads(_body_json(out)[0])
+    assert b0["pre.a.b.c"] == 1
+    assert b0["pre.msg"] == "hello"
+    # depth=1: maps deeper than one level stay map leaves
+    out2 = compile_statement('flatten(body, "", 1)', _ctx())(df)
+    b2 = json.loads(_body_json(out2)[0])
+    assert b2["a.b"] == {"c": 1}
