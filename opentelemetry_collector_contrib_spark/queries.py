@@ -1805,6 +1805,144 @@ FROM s GROUP BY user_id, session_id""",
 FROM events GROUP BY event_type""",
     )
 
+    # ---- e_grok_elb: product-set grok extraction end-to-end ---------------
+    # Synthesizes AWS ELB access-log lines from event fields, extracts
+    # with the go-grok product pattern %{ELB_ACCESS_LOG} (the Complete-
+    # set surface, ottlfuncs/README.md:658), and the oracle recomputes
+    # every extracted field from the same construction — value equality
+    # proves the format→extract round trip through the Arrow/RE2 engine.
+    def e_grok_elb(spark, sf_dir):
+        from .functions.grok import GrokPattern
+
+        ev = _ev(spark, sf_dir)
+        line = F.format_string(
+            "2024-01-01T00:00:%02d.%06dZ elb-%d 10.0.%d.%d:%d "
+            "10.1.0.%d:8080 0.000073 0.%06d 0.000057 %d %d 0 %d "
+            '"%s http://svc%d.example.com:80/api/v%d HTTP/1.1"',
+            (F.col("event_id") % 60).cast("int"),
+            (F.col("event_id") % 1000000).cast("int"),
+            (F.col("user_id") % 3).cast("int"),
+            (F.col("event_id") % 250).cast("int"),
+            (F.col("user_id") % 200).cast("int"),
+            (F.lit(1024) + F.col("event_id") % 1000).cast("int"),
+            (F.col("event_id") % 100).cast("int"),
+            (F.col("event_id") % 999999).cast("int"),
+            F.when(F.col("event_id") % 2 == 0, F.lit(200))
+            .otherwise(F.lit(500)),
+            F.when(F.col("event_id") % 2 == 0, F.lit(200))
+            .otherwise(F.lit(500)),
+            (F.col("event_id") % 5000).cast("int"),
+            F.when(F.col("event_id") % 3 == 0, F.lit("POST"))
+            .otherwise(F.lit("GET")),
+            (F.col("user_id") % 7).cast("int"),
+            (F.col("event_id") % 4).cast("int"),
+        )
+        g = GrokPattern("%{ELB_ACCESS_LOG}")
+        df = g.apply(ev.select("event_id", line.alias("line")), "line")
+        return df.select(
+            "event_id",
+            "elb",
+            "clientip",
+            F.col("clientport").cast("int").alias("clientport"),
+            "backendip",
+            F.col("backend_processing_time").cast("double")
+            .alias("backend_ms"),
+            F.col("response").cast("int").alias("response"),
+            F.col("bytes").cast("long").alias("bytes"),
+            "verb",
+            "request",
+        )
+
+    reg(
+        "e_grok_elb",
+        e_grok_elb,
+        """SELECT event_id,
+       'elb-' || (user_id % 3)::VARCHAR AS elb,
+       '10.0.' || (event_id % 250)::VARCHAR || '.'
+               || (user_id % 200)::VARCHAR AS clientip,
+       (1024 + event_id % 1000)::INT AS clientport,
+       '10.1.0.' || (event_id % 100)::VARCHAR AS backendip,
+       -- parse the SAME decimal text Spark parses (double arithmetic
+       -- would differ in the last bits → hash mismatch)
+       CAST('0.' || lpad((event_id % 999999)::VARCHAR, 6, '0')
+            AS DOUBLE) AS backend_ms,
+       (CASE WHEN event_id % 2 = 0 THEN 200 ELSE 500 END)::INT
+         AS response,
+       (event_id % 5000)::BIGINT AS bytes,
+       CASE WHEN event_id % 3 = 0 THEN 'POST' ELSE 'GET' END AS verb,
+       'http://svc' || (user_id % 7)::VARCHAR || '.example.com:80/api/v'
+               || (event_id % 4)::VARCHAR AS request
+FROM events""",
+    )
+
+    # ---- e_user_agent: UserAgent converter over realistic UA strings ------
+    # Five UA families (desktop Chrome, mobile Safari, Samsung Internet,
+    # curl, Googlebot) cycled by event_id — the oracle pins the exact
+    # uap-style family/version/os/device fields the converter must emit
+    # (ottlfuncs/func_user_agent.go; uap-core semantics).
+    def e_user_agent(spark, sf_dir):
+        from .ottl.compiler import Context, compile_value
+        from .ottl.parser import _Parser
+
+        uas = [
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+            "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/125.0.0.0 "
+            "Safari/537.36",
+            "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 "
+            "Mobile/15E148 Safari/604.1",
+            "Mozilla/5.0 (Linux; Android 13; SM-G991B) "
+            "AppleWebKit/537.36 (KHTML, like Gecko) "
+            "SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+            "curl/7.81.0",
+            "Mozilla/5.0 (compatible; Googlebot/2.1; "
+            "+http://www.google.com/bot.html)",
+        ]
+        ev = _ev(spark, sf_dir)
+        ua_col = F.array(*[F.lit(u) for u in uas])[
+            (F.col("event_id") % 5).cast("int")
+        ]
+        df = ev.select("event_id", ua_col.alias("ua"))
+        node = _Parser("UserAgent(body)").value()
+        m = compile_value(node, Context(path_map={"body": "ua"}))
+        return df.select(
+            "event_id",
+            m.getItem("user_agent.name").alias("ua_name"),
+            m.getItem("user_agent.version").alias("ua_version"),
+            m.getItem("os.name").alias("os_name"),
+            m.getItem("os.version").alias("os_version"),
+            m.getItem("device.name").alias("device"),
+        )
+
+    _ua_case = """CASE event_id % 5
+         WHEN 0 THEN {c0} WHEN 1 THEN {c1} WHEN 2 THEN {c2}
+         WHEN 3 THEN {c3} ELSE {c4} END"""
+    reg(
+        "e_user_agent",
+        e_user_agent,
+        """SELECT event_id,
+       """ + _ua_case.format(
+            c0="'Chrome'", c1="'Mobile Safari'",
+            c2="'Samsung Internet'", c3="'curl'", c4="'Googlebot'",
+        ) + """ AS ua_name,
+       """ + _ua_case.format(
+            c0="'125.0.0.0'", c1="'17.4'", c2="'23.0'", c3="'7.81.0'",
+            c4="'2.1'",
+        ) + """ AS ua_version,
+       """ + _ua_case.format(
+            c0="'Windows'", c1="'iOS'", c2="'Android'", c3="'Other'",
+            c4="'Other'",
+        ) + """ AS os_name,
+       """ + _ua_case.format(
+            c0="'10'", c1="'17.4'", c2="'13'", c3="NULL", c4="NULL",
+        ) + """ AS os_version,
+       """ + _ua_case.format(
+            c0="'Other'", c1="'iPhone'", c2="'Other'", c3="'Other'",
+            c4="'Spider'",
+        ) + """ AS device
+FROM events""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # documents: training-data text ops (dedup / quality / langid / fingerprint)
