@@ -43,7 +43,7 @@ def build_router() -> Router:
 
 
 def parsed_enriched(
-    spark: SparkSession, fixture_dir: str, use_pandas_udf: bool = True
+    spark: SparkSession, fixture_dir: str, use_pandas_udf: bool = False
 ) -> DataFrame:
     df = read_transcripts(spark, fixture_dir)
     df = parse_transcripts(df, use_pandas_udf=use_pandas_udf)
@@ -51,7 +51,7 @@ def parsed_enriched(
     return enrich_transcripts(df, roles, tools)
 
 
-def flagship_stages(fixture_dir: str, use_pandas_udf: bool = True):
+def flagship_stages(fixture_dir: str, use_pandas_udf: bool = False):
     """The same DAG as :func:`run_flagship`, expressed as checkpointable
     runner stages (plans/runner.py) for resumable spark-submit runs.
 
@@ -118,7 +118,7 @@ def flagship_stages(fixture_dir: str, use_pandas_udf: bool = True):
 def run_flagship(
     spark: SparkSession,
     fixture_dir: str,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     salted: bool = True,
 ) -> dict[str, DataFrame]:
     """Full DAG; returns every stage output (unmaterialized plans)."""

@@ -43,7 +43,7 @@ def parsed_enriched_stream(
     spark: SparkSession,
     input_dir: str,
     dims_dir: str,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
 ) -> DataFrame:
     """parse + broadcast-dim enrich on a stream — identical operator code
     to the batch path; dims stay batch DataFrames (stream-static join,
@@ -61,7 +61,7 @@ def streaming_flagship(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
 ):
     """End-to-end streaming job: parse → enrich → routed fan-out sinks.
 

@@ -41,10 +41,25 @@ def _plan(df, mode="formatted"):
     )
 
 
-def test_parse_stage_single_python_boundary(spark):
-    """The whole token extraction is ONE ArrowEvalPython node — a second
-    one means the text crosses the Python boundary twice per pass."""
+def test_parse_stage_default_is_codegen_only(spark):
+    """The DEFAULT parse path stays entirely inside whole-stage codegen —
+    no Python boundary at all (regexp_extract builtins; measured 2.2×
+    the Arrow path at sf0.1)."""
     df = parse_transcripts(read_transcripts(spark, _fx()))
+    plan = _plan(df, mode="simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the extraction is inline JVM regexp_extract over the scan — no
+    # Python node anywhere in the plan (codegen markers aren't printed
+    # for an un-finalized AQE plan, so the boundary check IS the test)
+    assert "regexp_extract" in plan
+
+
+def test_parse_stage_single_python_boundary(spark):
+    """The grok-engine (UDF) parse path is ONE ArrowEvalPython node — a
+    second one means the text crosses the Python boundary twice per
+    pass."""
+    df = parse_transcripts(read_transcripts(spark, _fx()),
+                           use_pandas_udf=True)
     plan = _plan(df, mode="simple")
     assert plan.count("ArrowEvalPython") == 1
 
@@ -88,7 +103,8 @@ def test_parse_filter_not_pushed_past_udf(spark):
     """Filters on UDF outputs must NOT re-trigger the extraction: the
     nondeterministic marking keeps one ArrowEvalPython even under a
     downstream filter + projection."""
-    df = parse_transcripts(read_transcripts(spark, _fx()))
+    df = parse_transcripts(read_transcripts(spark, _fx()),
+                           use_pandas_udf=True)
     q = df.filter(F.col("severity_number") >= 17).select(
         "conv_id", "err_code"
     )
