@@ -199,11 +199,22 @@ _TYPE_TO_SPARK = {
 
 
 class GrokPattern:
-    """A compiled grok expression: Python regex + (name -> cast type)."""
+    """A compiled grok expression: Python regex + (name -> cast type).
 
-    def __init__(self, expr: str, custom_patterns: dict[str, str] | None = None):
+    ``named_captures_only=False`` (go-grok Compile's second arg; the
+    ExtractGrokPatterns converter DEFAULT, func_extract_grok_patterns.go
+    :43) additionally captures the expression's top-level unnamed
+    ``%{SYNTAX}`` references under their syntax name (duplicates get
+    _1/_2 suffixes). Nested library-internal references stay non-
+    capturing either way — go-grok names every nesting level, but those
+    inner groups are noise for extraction and explode the group count."""
+
+    def __init__(self, expr: str, custom_patterns: dict[str, str] | None = None,
+                 named_captures_only: bool = True):
         self.expr = expr
         self.types: dict[str, str] = {}
+        self.named_captures_only = named_captures_only
+        self._auto_used: set[str] = set()
         # default set + every product set = go-grok's Complete set (the
         # collector loads all additional sets; ottlfuncs/README.md:658)
         from .grok_products import product_patterns
@@ -221,6 +232,8 @@ class GrokPattern:
             raise ValueError(f"grok expr captures nothing: {expr!r}")
 
     def _expand(self, expr: str, lib: dict[str, str], capture: bool) -> str:
+        top_level = [True]
+
         def sub(m: re.Match) -> str:
             syntax, ident, typ = m.group(1), m.group(2), m.group(3)
             if syntax not in lib:
@@ -231,12 +244,21 @@ class GrokPattern:
                 if typ:
                     self.types[name] = _TYPE_TO_SPARK.get(typ, "string")
                 return f"(?P<{name}>{body})"
+            if capture and top_level[0] and not self.named_captures_only:
+                name = re.sub(r"\W", "_", syntax)
+                i, base = 1, name
+                while name in self._auto_used:
+                    name = f"{base}_{i}"
+                    i += 1
+                self._auto_used.add(name)
+                return f"(?P<{name}>{body})"
             return f"(?:{body})"
 
         prev = None
         while prev != expr:  # pattern lib entries may nest
             prev = expr
             expr = _GROK_REF.sub(sub, expr)
+            top_level[0] = False  # later passes expand library internals
         return expr
 
     # ---- execution ------------------------------------------------------

@@ -285,6 +285,13 @@ class Context:
 
                 value = to_variant(value)
                 nil = value.isNull() | F.is_variant_null(value)
+                if self._is_string_accessor(path):
+                    # accessStringBody Setter: only a STRING value is
+                    # written (ottllog/log.go:418-421 type-asserts and
+                    # silently skips everything else)
+                    from ..pdata import KIND_STR, variant_kind
+
+                    nil = nil | (variant_kind(value) != F.lit(KIND_STR))
             else:
                 nil = value.isNull()
             new = value

@@ -193,14 +193,49 @@ def _extract_patterns(args, ctx):
 
 
 def _extract_grok(args, ctx):
-    """ExtractGrokPatterns(target, pattern) README.md:615-705 — grok
-    compiled to named-capture regex on the driver. Column-level variant:
-    one regexp_extract per group (codegen, no Python); the pandas-UDF
-    single-pass variant lives in functions/grok.py GrokPattern.extract."""
+    """ExtractGrokPatterns(target, pattern, Optional[namedCapturesOnly],
+    Optional[patternDefinitions]) README.md:615-705 — grok compiled to
+    named-capture regex on the driver. namedCapturesOnly defaults FALSE
+    like the reference (func_extract_grok_patterns.go:43: unnamed
+    %{SYNTAX} references then capture under the syntax name);
+    patternDefinitions is the "NAME=pattern" custom-definition list
+    (validated with the reference's two startup errors). Column-level
+    variant: one regexp_extract per group (codegen, no Python); the
+    pandas-UDF single-pass variant lives in functions/grok.py
+    GrokPattern.extract."""
     from ..functions.grok import GrokPattern
+    from .parser import ListExpr as _ListExpr
 
     c = _one(args, ctx)
-    g = GrokPattern(literal_arg(args[1]))
+    kw = getattr(args, "kwargs", {}) or {}
+    pos = list(args)
+    nco_node = pos[2] if len(pos) > 2 else kw.get("namedCapturesOnly")
+    defs_node = pos[3] if len(pos) > 3 else kw.get("patternDefinitions")
+    nco = bool(literal_arg(nco_node)) if nco_node is not None else False
+    custom: dict[str, str] = {}
+    if defs_node is not None:
+        items = (defs_node.items if isinstance(defs_node, _ListExpr)
+                 else [defs_node])
+        for i, item in enumerate(items):
+            s = str(literal_arg(item))
+            parts = s.split("=", 1)
+            if len(parts) == 1:
+                trimmed = s if len(s) <= 20 else s[:17] + "..."
+                raise OTTLError(
+                    f"pattern {trimmed!r} supplied to ExtractGrokPatterns "
+                    f"at index {i} has incorrect format, expecting "
+                    "PATTERNNAME=pattern definition"
+                )
+            if ":" in parts[0]:
+                raise OTTLError(
+                    f"pattern ID {parts[0]!r} should not contain ':'"
+                )
+            custom[parts[0]] = parts[1]
+    try:
+        g = GrokPattern(literal_arg(pos[1]), custom_patterns=custom or None,
+                        named_captures_only=nco)
+    except (ValueError, KeyError) as e:
+        raise OTTLError(str(e)) from None
     # Java regex rejects (?P<name>…) — strip names, extract by group index
     java_rx = re.sub(r"\(\?P<\w+>", "(", g.regex_str)
     fields = []

@@ -705,6 +705,54 @@ def test_extract_grok(log_df):
     assert "E1234" in got and "1500" in got
 
 
+def test_extract_grok_unnamed_captures(log_df):
+    """namedCapturesOnly defaults FALSE (func_extract_grok_patterns.go
+    :43): top-level unnamed %{SYNTAX} refs capture under the syntax
+    name, duplicates suffixed."""
+    fn = compile_statement(
+        'set(attributes["g"], ExtractGrokPatterns(body,'
+        ' "%{WORD} err=%{NOTSPACE} dur_ms=%{INT}"))'
+    )
+    got = one(fn(log_df))["attributes"]["g"]
+    assert "operationA" in got and "E1234" in got and "1500" in got
+    # duplicate syntax names suffix rather than clash
+    fn2 = compile_statement(
+        'set(attributes["g"], ExtractGrokPatterns(body,'
+        ' "%{WORD} err=E%{INT} dur_ms=%{INT}"))'
+    )
+    assert "1500" in one(fn2(log_df))["attributes"]["g"]
+
+
+def test_extract_grok_named_captures_only_errors(log_df):
+    """namedCapturesOnly=true + no named group = startup error
+    (func_extract_grok_patterns.go:72)."""
+    with pytest.raises(OTTLError):
+        compile_statement(
+            'set(attributes["g"], ExtractGrokPatterns(body,'
+            ' "%{WORD} %{INT}", true))'
+        )(log_df)
+
+
+def test_extract_grok_pattern_definitions(log_df):
+    """patternDefinitions adds NAME=pattern customs; malformed entries
+    reproduce the reference's two startup errors."""
+    fn = compile_statement(
+        'set(attributes["g"], ExtractGrokPatterns(body,'
+        ' "%{ERRTOKEN:e}", true, ["ERRTOKEN=err=E\\\\d+"]))'
+    )
+    assert "err=E1234" in one(fn(log_df))["attributes"]["g"]
+    with pytest.raises(OTTLError, match="incorrect format"):
+        compile_statement(
+            'set(attributes["g"], ExtractGrokPatterns(body,'
+            ' "%{X:e}", true, ["no-equals-here"]))'
+        )(log_df)
+    with pytest.raises(OTTLError, match="should not contain"):
+        compile_statement(
+            'set(attributes["g"], ExtractGrokPatterns(body,'
+            ' "%{X:e}", true, ["BAD:ID=x"]))'
+        )(log_df)
+
+
 def test_statement_sequence_with_conditions(log_df):
     seq = StatementSequence(
         ['set(attributes["seen"], "y")',

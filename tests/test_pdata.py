@@ -885,3 +885,18 @@ def test_flatten_variant_prefix_and_depth(typed_df):
     out2 = compile_statement('flatten(body, "", 1)', _ctx())(df)
     b2 = json.loads(_body_json(out2)[0])
     assert b2["a.b"] == {"c": 1}
+
+
+def test_body_string_setter_only_accepts_strings(typed_df):
+    """accessStringBody's setter type-asserts: set(body.string, <str>)
+    replaces the body with the string; a non-string value is silently
+    skipped (ottllog/log.go accessStringBody)."""
+    out = compile_statement('set(body.string, "replaced")', _ctx())(
+        typed_df
+    )
+    bj = _body_json(out)
+    assert bj[0] == '"replaced"' and bj[1] == '"replaced"'
+    out2 = compile_statement("set(body.string, 42)", _ctx())(typed_df)
+    bj2 = _body_json(out2)
+    assert json.loads(bj2[0])["msg"] == "hello"  # untouched
+    assert bj2[1] == '"plain"'
