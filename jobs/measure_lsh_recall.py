@@ -1,0 +1,107 @@
+"""Quantify the `lsh_ann_pairs` bucket-cap recall trade (BASELINE.md).
+
+The salt-split cap in ``similarity.lsh_ann_pairs`` bounds the quadratic
+within-bucket self-join by splitting any bucket larger than
+``max_bucket_size`` into s = ceil(size/max) deterministic sub-buckets.
+Pairs straddling sub-buckets are lost; a uniform hash split preserves
+~1/s of a degenerate bucket's pairs (s sub-buckets of ~n/s rows each:
+s * C(n/s, 2) / C(n, 2) -> 1/s).
+
+This job measures that empirically on the worst case — a corpus whose
+vectors ALL share one hyperplane signature (identical direction, scaled)
+— and confirms the cap is a no-op on the realistic embeddings table:
+
+  python jobs/measure_lsh_recall.py [--degenerate-n 16384] [--cap 4096]
+
+Prints one JSON line per experiment.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.similarity import (
+    lsh_ann_pairs,
+    lsh_buckets,
+)
+
+DIM = 16
+
+
+def degenerate_corpus(spark, n: int):
+    """n vectors, all the same direction (scaled 1..n) — every one lands
+    in the same LSH bucket and every pair has cosine 1.0."""
+    base = [float(i % 7 + 1) for i in range(DIM)]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.array(*[F.lit(x) for x in base]),
+            lambda x: x * (F.col("id") + 1).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def count_pairs(emb, cap: int, threshold: float = 0.99) -> tuple[int, float]:
+    t0 = time.time()
+    n = lsh_ann_pairs(emb, threshold=threshold, max_bucket_size=cap).count()
+    return n, round(time.time() - t0, 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--degenerate-n", type=int, default=16384)
+    ap.add_argument("--cap", type=int, default=4096)
+    args = ap.parse_args()
+
+    spark = get_spark(cores=32, shuffle_partitions=32)
+
+    # -- worst case: one degenerate bucket of n vectors -------------------
+    n = args.degenerate_n
+    emb = degenerate_corpus(spark, n).cache()
+    emb.count()
+    expected = n * (n - 1) // 2
+    capped, wall_c = count_pairs(emb, args.cap)
+    uncapped, wall_u = count_pairs(emb, 1 << 40)
+    import math
+
+    s = math.ceil(n / args.cap)
+    print(json.dumps({
+        "experiment": "degenerate_bucket",
+        "n": n, "cap": args.cap, "sub_buckets": s,
+        "pairs_uncapped": uncapped, "pairs_expected": expected,
+        "pairs_capped": capped,
+        "recall": round(capped / uncapped, 4),
+        "recall_theory_1_over_s": round(1 / s, 4),
+        "wall_capped_s": wall_c, "wall_uncapped_s": wall_u,
+    }))
+    emb.unpersist()
+
+    # -- realistic corpus: cap must be a no-op ----------------------------
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    real = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    maxb = (
+        lsh_buckets(real).groupBy("bucket").count()
+        .agg(F.max("count")).first()[0]
+    )
+    r_capped, _ = count_pairs(real, args.cap, threshold=0.5)
+    r_uncapped, _ = count_pairs(real, 1 << 40, threshold=0.5)
+    print(json.dumps({
+        "experiment": "realistic_sf_corpus", "sf_dir": sf_dir,
+        "rows": real.count(), "max_bucket_size": maxb, "cap": args.cap,
+        "pairs_capped": r_capped, "pairs_uncapped": r_uncapped,
+        "cap_is_noop": bool(maxb <= args.cap and r_capped == r_uncapped),
+    }))
+
+
+if __name__ == "__main__":
+    main()

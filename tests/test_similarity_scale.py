@@ -85,6 +85,30 @@ def test_lsh_degenerate_bucket_is_salt_capped(spark):
     }
 
 
+def test_lsh_cap_recall_is_one_over_s(spark):
+    """The salt split's recall on a degenerate bucket is ~1/s where
+    s = ceil(size/cap): s uniform sub-buckets of ~n/s rows preserve
+    s·C(n/s,2)/C(n,2) → 1/s of the pairs (measured at scale in
+    jobs/measure_lsh_recall.py, tabled in BASELINE.md)."""
+    n, cap = 256, 64  # s = 4 → expected recall ≈ 0.25
+    same = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)), lambda i: (i + 1.0).cast("float")
+        ).alias("embedding"),
+    ).cache()
+    capped = lsh_ann_pairs(
+        same, n_planes=4, threshold=0.5, max_bucket_size=cap
+    ).count()
+    uncapped = lsh_ann_pairs(
+        same, n_planes=4, threshold=0.5, max_bucket_size=10**6
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+    recall = capped / uncapped
+    # xxhash64 split is uniform-ish; allow generous slack around 1/4
+    assert 0.15 < recall < 0.35, recall
+
+
 def test_lsh_below_cap_unchanged(emb):
     """With every bucket under the cap the salt is identically 0 — the
     pair set equals the uncapped semantics (oracle-compatibility)."""
