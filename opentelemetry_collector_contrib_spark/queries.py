@@ -2445,6 +2445,39 @@ SELECT vec_id, CAST({plane_bits} AS BIGINT) AS bucket
 FROM base""",
     )
 
+    # ---- s_ivf_trained: IVF over a TRAINED spherical-k-means codebook -----
+    # kmeans_fit is iterative (not SQL-expressible); the oracle pins the
+    # END-TO-END result instead: at full probe (n_probe = k) IVF must
+    # recover the exact brute-force top-k REGARDLESS of codebook, so any
+    # training bug that corrupts assignment/probing breaks the hash. The
+    # training-quality claim (single-probe exactness on clustered data)
+    # is pytest-pinned in test_similarity_scale.py.
+    def s_ivf_trained(spark, sf_dir):
+        from .similarity import ivf_topk, kmeans_fit
+
+        emb = _emb(spark, sf_dir)
+        cent, _ = kmeans_fit(emb, k=4, n_iter=3)
+        return ivf_topk(
+            emb, query_vec_ids=[0, 1], k=5, n_probe=4, centroids=cent
+        )
+
+    reg(
+        "s_ivf_trained",
+        s_ivf_trained,
+        """WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id IN (0, 1)
+), pairs AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.q_vec), 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rn::INT AS rn FROM ranked WHERE rn <= 5""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # scale paths: full LSH dedup pipeline, ANN pair generation, kNN join,

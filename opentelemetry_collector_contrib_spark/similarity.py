@@ -158,6 +158,106 @@ def lsh_ann_pairs(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means (Lloyd's) — the offline trainer for
+    the IVF coarse quantizer (`ivf_topk(..., centroids=...)`).
+
+    Spark shape, per iteration (standard MLlib-style Lloyd's):
+      1. ASSIGN — the (k × dim) centroid matrix rides the closure of ONE
+         Arrow-batched pandas UDF (kilobytes broadcast; a batch×k matrix
+         product per Arrow batch, no join, no shuffle over the corpus).
+      2. UPDATE — posexplode the vector to (cell, dim_pos, component)
+         and groupBy(cell, pos).sum: Catalyst plans a partial
+         HashAggregate before the shuffle, so the exchange carries at
+         most P·k·dim partial rows, NOT N·dim — the collect is k·dim
+         floats (the new centroids), driver-side like MLlib's.
+    Spherical variant: centroids are L2-normalized after every update,
+    so argmax-dot assignment == argmax-cosine — consistent with the
+    dot-based scorer in `ivf_topk`. Empty cells keep their previous
+    centroid. Init is k-means||-shaped but deterministic: ONE pass
+    oversamples 8k candidates (smallest xxhash64(vec_id) — a uniform
+    pseudo-random sample), then greedy farthest-point selection on the
+    driver (candidates are k·8 × dim floats — trivial) picks k spread
+    seeds, which avoids Lloyd's empty-cluster capture when two naive
+    seeds land in one natural cluster. Reproducible run-to-run.
+
+    Returns (centroid_matrix: np.ndarray (k, dim) float64, mean_sim:
+    float — the corpus mean max-cosine to its centroid, the spherical
+    k-means objective, for convergence checks).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    seed_rows = (
+        emb.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(k * 8).select(vec_col).collect()
+    )
+    cand = np.array(
+        [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
+    )
+    cand /= np.maximum(np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    best = cand @ cand[0]  # max cosine to any chosen centroid, per cand
+    while len(chosen) < min(k, len(cand)):
+        nxt = int(best.argmin())  # farthest candidate from the chosen set
+        chosen.append(nxt)
+        best = np.maximum(best, cand @ cand[nxt])
+    cent = cand[chosen]
+    dim = cent.shape[1]
+    mean_sim = float("nan")
+
+    for _ in range(n_iter):
+        mat = cent  # rebind for closure capture of THIS iteration's matrix
+
+        def _assign_fn(vecs, _mat=mat):
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            dots = m @ _mat.T  # (B, k)
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+            best = dots.argmax(axis=1)
+            sim = dots[np.arange(len(best)), best] / norms
+            return pd.DataFrame({"cell": best, "sim": sim})
+
+        assign = pandas_udf("cell long, sim double")(
+            _assign_fn
+        ).asNondeterministic()
+        a = emb.select(
+            F.col(vec_col).alias("v"), assign(F.col(vec_col)).alias("ac")
+        ).select("v", F.col("ac.cell").alias("cell"), F.col("ac.sim").alias("sim"))
+        stats = (
+            a.select("cell", "sim", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("sim").alias("simsum"),
+            )
+            .collect()
+        )  # ≤ k·dim rows — the per-iteration driver sync, like MLlib
+        new = cent.copy()
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        tot_sim = tot_n = 0.0
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+            if r["pos"] == 0:
+                tot_sim += r["simsum"]
+                tot_n += r["n"]
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cent = new
+        mean_sim = tot_sim / max(tot_n, 1.0)
+
+    return cent, mean_sim
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_ids: list[int],
@@ -165,6 +265,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN (the inverted-file scale path next to the LSH one).
 
@@ -187,19 +288,29 @@ def ivf_topk(
     across the batch) — the same left-to-right summation order as the
     SQL fold both oracles use, so cell assignment is bit-identical to
     the DuckDB list_dot_product oracle. Ties on equal dot resolve to the
-    larger centroid id (ORDER BY dot DESC, cent_id DESC)."""
+    larger centroid id (ORDER BY dot DESC, cent_id DESC).
+
+    ``centroids``: optional trained (C, dim) matrix from `kmeans_fit`
+    (cell ids then 0..C-1); default stays the deterministic seed
+    codebook for oracle parity — approximation quality vs probe count is
+    a training concern, plan shape is identical either way."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = (
-        emb.orderBy("vec_id").limit(n_centroids)
-        .select("vec_id", vec_col).collect()
-    )
-    cent_ids = np.array([int(r["vec_id"]) for r in cent_rows])
-    cent_mat = np.array(
-        [[float(x) for x in r[vec_col]] for r in cent_rows], dtype=np.float64
-    )  # (C, dim) — captured by the UDF closure → shipped once per task
+    if centroids is not None:
+        cent_mat = np.asarray(centroids, dtype=np.float64)
+        cent_ids = np.arange(cent_mat.shape[0])
+    else:
+        cent_rows = (
+            emb.orderBy("vec_id").limit(n_centroids)
+            .select("vec_id", vec_col).collect()
+        )
+        cent_ids = np.array([int(r["vec_id"]) for r in cent_rows])
+        cent_mat = np.array(
+            [[float(x) for x in r[vec_col]] for r in cent_rows],
+            dtype=np.float64,
+        )  # (C, dim) — captured by the UDF closure → shipped once per task
 
     def _top_cells_fn(vecs):  # pd.Series -> pd.Series of array<long>
         m = np.array(vecs.tolist(), dtype=np.float64)  # (B, dim)

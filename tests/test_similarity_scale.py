@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.similarity import (
     ivf_topk,
+    kmeans_fit,
     knn_join_bruteforce,
     lsh_ann_pairs,
 )
@@ -83,6 +84,58 @@ def test_lsh_degenerate_bucket_is_salt_capped(spark):
     assert {(r["vec_a"], r["vec_b"]) for r in again} == {
         (r["vec_a"], r["vec_b"]) for r in rows
     }
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """4 well-separated direction clusters of 50 vectors each (dim 8):
+    cluster c points along axis 2c with a small deterministic jitter."""
+    cid = F.col("id") % 4
+    return spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: (
+                F.when(i == cid * 2, F.lit(10.0))
+                .otherwise(((F.col("id") * (i + 1)) % 5).cast("double") / 10)
+            ).cast("float"),
+        ).alias("embedding"),
+    ).cache()
+
+
+def test_kmeans_converges_on_clustered_corpus(clustered):
+    """Spherical Lloyd's must (a) improve the mean max-cosine objective
+    over training and (b) land one centroid per designed cluster —
+    every vector's nearest trained centroid groups it with its axis."""
+    import numpy as np
+
+    _, sim1 = kmeans_fit(clustered, k=4, n_iter=1)
+    cent, sim5 = kmeans_fit(clustered, k=4, n_iter=5)
+    assert sim5 >= sim1 - 1e-9
+    assert sim5 > 0.95  # tight clusters → near-perfect quantization
+    # each trained centroid is dominated by one of the 4 design axes
+    axes = {int(np.argmax(np.abs(c))) for c in cent}
+    assert axes == {0, 2, 4, 6}
+
+
+def test_ivf_trained_single_probe_recovers_bruteforce(clustered):
+    """With trained centroids aligned to the designed clusters, probing
+    ONE cell already recovers the exact brute-force neighbors (they all
+    share the query's cluster) — the payoff of training vs seed
+    centroids, which need full probe for exactness."""
+    cent, _ = kmeans_fit(clustered, k=4, n_iter=5)
+    got = {
+        (r["q_id"], r["rn"]): r["vec_id"]
+        for r in ivf_topk(
+            clustered, query_vec_ids=[0, 5], k=5, n_probe=1, centroids=cent
+        ).collect()
+    }
+    queries = clustered.filter(F.col("vec_id").isin([0, 5]))
+    want = {
+        (r["q_id"], r["rn"]): r["vec_id"]
+        for r in knn_join_bruteforce(clustered, queries, k=5).collect()
+    }
+    assert got == want
 
 
 def test_lsh_cap_recall_is_one_over_s(spark):
