@@ -1,0 +1,126 @@
+"""Sustained STREAMING throughput of the full flagship pipeline.
+
+The reference's headline contract is a sustained streaming rate — 10k
+items/sec through one receiver→processors→exporter pipeline
+(testbed/tests/scenarios.go:142-147, log_test.go:162-166) with a live
+sink. This job measures the Structured-Streaming analog under the same
+rules: the sf corpus is staged as many parquet files, the
+`streaming_flagship` query drains them in bounded micro-batches
+(maxFilesPerTrigger — the collector's batch-size bound), every
+micro-batch runs the full parse → broadcast-enrich → route fan-out and
+WRITES the routed partitioned-parquet sinks with a checkpoint, and the
+rate is total rows / wall across all timed micro-batches (an untimed
+small-tier drain first warms Python workers + JIT, matching the
+reference protocol which also excludes startup).
+
+  python jobs/bench_streaming.py [--files 32] [--files-per-trigger 4]
+                                 [--cores 32]
+
+Prints one JSON line: sustained rows/sec, per-micro-batch rates from
+the query's own progress events, and micro-batch count.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _stage(spark, fx_dir: str, out_dir: str, n_files: int) -> int:
+    df = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return df.count()
+
+
+def _drain(spark, input_dir, dims_dir, work, files_per_trigger):
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        streaming_flagship,
+    )
+
+    q = streaming_flagship(
+        spark,
+        input_dir,
+        dims_dir,
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        available_now=True,
+        max_files_per_trigger=files_per_trigger,
+    )
+    q.awaitTermination()
+    return q
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--files-per-trigger", type=int, default=4)
+    ap.add_argument("--cores", default="32")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    spark = get_spark("bench-streaming", cores=args.cores)
+    fx = ensure_fixture_dir(args.sf_dir)
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # ---- untimed warmup: drain the smoke tier end-to-end ------------
+        warm_fx = ensure_fixture_dir("sf0.001")
+        warm_in = os.path.join(work, "warm_in")
+        _stage(spark, warm_fx, warm_in, 2)
+        _drain(spark, warm_in, warm_fx, os.path.join(work, "warm"),
+               files_per_trigger=1)
+
+        # ---- timed: full tier, bounded micro-batches ---------------------
+        stage_dir = os.path.join(work, "input")
+        n_rows = _stage(spark, fx, stage_dir, args.files)
+        t0 = time.monotonic()
+        q = _drain(spark, stage_dir, fx, work, args.files_per_trigger)
+        wall = time.monotonic() - t0
+
+        batches = [
+            p for p in q.recentProgress
+            if p is not None and p["numInputRows"] > 0
+        ]
+        per_batch = [
+            round(
+                p["numInputRows"]
+                / max(p["batchDuration"] / 1000.0, 1e-9),
+                1,
+            )
+            for p in batches
+        ]
+        print(json.dumps({
+            "metric": "sustained streaming throughput, full flagship "
+                      "pipeline with routed parquet sinks + checkpoint",
+            "value": round(n_rows / wall, 1),
+            "unit": "rows/sec",
+            "rows": n_rows,
+            "wall_s": round(wall, 2),
+            "micro_batches": len(batches),
+            "files_per_trigger": args.files_per_trigger,
+            "per_batch_rows_per_sec": per_batch,
+            "sf_dir": args.sf_dir,
+            "cores": args.cores,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,11 +44,12 @@ def parsed_enriched_stream(
     input_dir: str,
     dims_dir: str,
     use_pandas_udf: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """parse + broadcast-dim enrich on a stream — identical operator code
     to the batch path; dims stay batch DataFrames (stream-static join,
     broadcast on the static side)."""
-    stream = read_transcripts_stream(spark, input_dir)
+    stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
     parsed = parse_transcripts(stream, use_pandas_udf=use_pandas_udf)
     roles, tools = read_dims(spark, dims_dir)
     return enrich_transcripts(parsed, roles, tools)
@@ -62,6 +63,7 @@ def streaming_flagship(
     checkpoint_dir: str,
     available_now: bool = True,
     use_pandas_udf: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end streaming job: parse → enrich → routed fan-out sinks.
 
@@ -81,7 +83,7 @@ def streaming_flagship(
     from ..plans.flagship import build_router
 
     enriched = parsed_enriched_stream(
-        spark, input_dir, dims_dir, use_pandas_udf
+        spark, input_dir, dims_dir, use_pandas_udf, max_files_per_trigger
     )
     router = build_router()
 
