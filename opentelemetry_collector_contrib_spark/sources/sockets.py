@@ -1,0 +1,48 @@
+"""Socket line sources — the `tcplog` receiver analog.
+
+Reference: receiver/tcplogreceiver + pkg/stanza/operator/input/tcp
+(newline-framed lines over a TCP connection, each line one entry with an
+observed timestamp; `add_attributes` adds net.* peer attributes).
+
+Spark mapping: `spark.readStream.format("socket")` yields exactly that
+line stream, and every downstream operator (parse/enrich/route/OTTL) is
+the same DataFrame→DataFrame function the batch and filelog paths use —
+the collector's "any receiver feeds the same processor chain" property.
+
+Scale honesty: Spark's socket source is a dev/test source — single
+connection, no receipt checkpointing, not fault-tolerant (its docs say
+so), and it CONNECTS to a listening endpoint rather than accepting
+connections like the stanza tcp input. At production scale the push
+ingest edge is a durable bus (Kafka source — same one-line swap of
+`format(...)`) or a file landing zone (sources/readers.read_lines with
+the incremental runner). This module exists so the operator chain is
+exercised against a genuine live-socket stream in tests; the peer
+attributes the reference's `add_attributes` would set are not available
+from the Spark source and are documented out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_tcp_lines(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """Streaming DataFrame of newline-framed lines from a TCP endpoint,
+    in the same (body, observed_ts, source_file) shape as
+    `readers.read_lines` so every downstream stage is source-agnostic;
+    `source_file` carries the `tcp://host:port` endpoint the way the
+    filelog path carries `log.file.name`."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(
+            F.col("value").alias("body"),
+            F.current_timestamp().alias("observed_ts"),
+            F.lit(f"tcp://{host}:{port}").alias("source_file"),
+        )
+    )

@@ -412,3 +412,65 @@ def test_sliding_count_stream_checkpoint_restart(spark, sf_dir, tmp_path):
         df.select("window_start", "window_end", "role").distinct().count()
         == n1
     )
+
+
+def test_tcp_socket_receiver_feeds_operator_chain(spark):
+    """tcplog analog (sources/sockets.read_tcp_lines over the Spark
+    socket source): newline-framed lines from a live TCP endpoint flow
+    through the SAME parse operator the filelog path uses — the
+    collector's receiver-independence property (receiver/tcplogreceiver;
+    stanza input/tcp newline framing)."""
+    import socket
+    import threading
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        regex_parser,
+    )
+    from opentelemetry_collector_contrib_spark.sources.sockets import (
+        read_tcp_lines,
+    )
+
+    lines = [f"sev=ERROR code=E{i} msg=boom{i}" for i in range(5)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(8)  # keep the connection up while Spark drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = read_tcp_lines(spark, "127.0.0.1", port)
+    parsed = regex_parser(
+        stream, "body", r"sev=(?P<sev>\w+) code=(?P<code>E\d+)"
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("tcp_lines")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT * FROM tcp_lines").count() >= len(lines):
+                break
+            _time.sleep(0.5)
+        got = {
+            (r["code"], r["sev"], r["source_file"])
+            for r in spark.sql("SELECT * FROM tcp_lines").collect()
+        }
+        assert got == {
+            (f"E{i}", "ERROR", f"tcp://127.0.0.1:{port}")
+            for i in range(5)
+        }
+    finally:
+        q.stop()
+        srv.close()
