@@ -175,6 +175,11 @@ def _rx_filelog(
     if isinstance(paths, list) and len(paths) == 1:
         paths = paths[0]
     encoding = cfg.get("encoding", "utf-8")
+    exclude = cfg.get("exclude")
+    if exclude:
+        from .sources.readers import _apply_exclude
+
+        paths = _apply_exclude(paths, exclude)
     ml = cfg.get("multiline") or {}
     if ml:
         return read_lines_multiline(

@@ -38,13 +38,52 @@ def read_dims(spark: SparkSession, fixture_dir: str) -> tuple[DataFrame, DataFra
     return roles, tools
 
 
+def _apply_exclude(
+    paths: str | list[str], exclude: list[str]
+) -> list[str]:
+    """fileconsumer `exclude` (matcher globs subtracted from `include`,
+    fileconsumer/matcher): expand the include globs and drop excluded
+    files. Listing is O(matched files) driver-side metadata — the same
+    unit the reference's finder walks every poll; the data scan stays
+    fully distributed over the surviving file list."""
+    import fnmatch
+    import glob as _glob
+
+    pats = paths if isinstance(paths, list) else [paths]
+    files: list[str] = []
+    for p in pats:
+        hits = sorted(_glob.glob(p, recursive=True))
+        files.extend(hits if hits else [p])
+    kept = [
+        f for f in files
+        if not any(fnmatch.fnmatch(f, ex) for ex in exclude)
+    ]
+    if not kept:
+        # the reference's tailing consumer idles on an empty match; a
+        # BATCH scan of zero files is a misconfig — fail loud
+        raise ValueError(
+            f"exclude={exclude!r} leaves no files from include={pats!r}"
+        )
+    return kept
+
+
 def read_lines(
     spark: SparkSession,
     paths: str | list[str],
     encoding: str = "utf-8",
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """filelog: each line one record + observed timestamp + source file
     (the `log.file.name` resource attribute analog).
+
+    ``exclude`` mirrors fileconsumer's exclude globs (subtracted from
+    the include set before the scan). Compressed inputs (.gz/.bz2/…)
+    decode transparently through the Hadoop codec — the
+    `compression: gzip` fileconsumer option; note gzip is a
+    non-splittable codec, so each .gz file is one task (the same
+    sequential-per-file unit the reference reads) — recompress to a
+    splittable container (or decompress at the landing zone) for
+    multi-GiB archives.
 
     ``encoding`` mirrors fileconsumer's configurable charset decode
     (pkg/stanza/fileconsumer/config.go:74-90 + pkg/stanza/decode): UTF-8
@@ -56,6 +95,8 @@ def read_lines(
     UTF-8 for scan splittability."""
     import codecs
 
+    if exclude:
+        paths = _apply_exclude(paths, exclude)
     norm = codecs.lookup(encoding).name
     if norm in ("utf-8", "ascii"):
         df = spark.read.text(paths)

@@ -93,3 +93,34 @@ def test_multiline_requires_exactly_one_pattern(spark, tmp_path):
         read_lines_multiline(
             spark, str(p), line_start_pattern="a", line_end_pattern="b"
         )
+
+
+def test_read_lines_exclude_globs(spark, tmp_path):
+    """fileconsumer `exclude` (matcher globs subtracted from include):
+    *.log minus *-old.log reads only the live file."""
+    (tmp_path / "app.log").write_text("live1\nlive2\n")
+    (tmp_path / "app-old.log").write_text("stale\n")
+    got = read_lines(
+        spark, str(tmp_path / "*.log"), exclude=[str(tmp_path / "*-old.log")]
+    )
+    assert sorted(r["body"] for r in got.collect()) == ["live1", "live2"]
+    # exclude everything -> a batch scan of zero files is a misconfig,
+    # fail loud instead of a silent empty scan
+    with pytest.raises(ValueError, match="leaves no files"):
+        read_lines(
+            spark, str(tmp_path / "*.log"), exclude=[str(tmp_path / "*")]
+        )
+
+
+def test_read_lines_gzip_transparent(spark, tmp_path):
+    """fileconsumer `compression: gzip`: .gz inputs decode through the
+    Hadoop codec transparently (one task per .gz file — non-splittable,
+    same sequential unit as the reference reader)."""
+    import gzip
+
+    with gzip.open(tmp_path / "z.log.gz", "wt") as f:
+        f.write("gz line 1\ngz line 2\n")
+    got = read_lines(spark, str(tmp_path / "z.log.gz"))
+    assert sorted(r["body"] for r in got.collect()) == [
+        "gz line 1", "gz line 2",
+    ]
