@@ -166,8 +166,15 @@ def _rx_filelog(
     + fileconsumer/config.go): `include` paths, `encoding`, and the
     `multiline: {line_start_pattern | line_end_pattern}` block — wired to
     read_lines / read_lines_multiline so a ported collector config needs
-    no manual recombine stage."""
-    from .sources.readers import read_lines, read_lines_multiline
+    no manual recombine stage — and the `header: {pattern,
+    metadata_operators}` block (fileconsumer/internal/header): leading
+    matching lines are consumed, parsed by the sub-pipeline, and their
+    attributes attached to every entry from that file."""
+    from .sources.readers import (
+        read_lines,
+        read_lines_multiline,
+        read_lines_with_header,
+    )
 
     if source is not None:
         return source
@@ -180,6 +187,29 @@ def _rx_filelog(
         from .sources.readers import _apply_exclude
 
         paths = _apply_exclude(paths, exclude)
+    hdr = cfg.get("header") or {}
+    if hdr:
+        # config.go:237-244 validation: pattern + ≥1 metadata operator;
+        # (start_at: end is the reference's other constraint — batch
+        # scans have no tail mode, nothing to reject here)
+        if not hdr.get("pattern"):
+            raise ConfigError("filelog header requires `pattern`")
+        mops = hdr.get("metadata_operators")
+        if not mops:
+            raise ConfigError(
+                "filelog header requires at least one operator in "
+                "`metadata_operators`"
+            )
+        if cfg.get("multiline"):
+            raise ConfigError(
+                "filelog header + multiline composition is not supported"
+            )
+        return read_lines_with_header(
+            spark, paths,
+            header_pattern=hdr["pattern"],
+            apply_metadata_ops=lambda d: _apply_stanza_operators(d, mops),
+            encoding=encoding,
+        )
     ml = cfg.get("multiline") or {}
     if ml:
         return read_lines_multiline(

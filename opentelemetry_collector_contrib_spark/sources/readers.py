@@ -189,6 +189,85 @@ def read_lines_multiline(
     return out.withColumn("observed_ts", F.current_timestamp())
 
 
+def read_lines_with_header(
+    spark: SparkSession,
+    paths: str | list[str],
+    header_pattern: str,
+    apply_metadata_ops,
+    encoding: str = "utf-8",
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """filelog `header` block (fileconsumer/internal/header/reader.go:47-73,
+    fileconsumer/config.go:86,144): the leading run of lines in each file
+    that match ``header_pattern`` is CONSUMED (never emitted as entries);
+    each header line runs through the `metadata_operators` sub-pipeline
+    and the attributes it produces upsert into a per-file attribute set
+    (later header lines overwrite earlier — reader.go:67-70) that is then
+    attached to every entry read from that file.
+
+    Spark shape: the decoded per-file line scan (line_nr gives the
+    prefix order the sequential reference reader gets for free) → the
+    first NON-matching line_nr per file ends the header → the header
+    rows (O(files × header_lines), tiny) run the operator chain and
+    collapse to one attribute row per file via last-non-null upsert →
+    broadcast join back onto the body rows. The corpus-side scan stays
+    fully distributed; the only driver-size object is the per-file
+    attribute table — the same O(files) metadata unit the reference
+    holds in memory.
+
+    ``apply_metadata_ops``: DataFrame -> DataFrame over the header-line
+    rows (column additions = attributes). Passed as a callable so this
+    scan layer stays independent of the YAML compiler that builds
+    operator chains (config._apply_stanza_operators wires it).
+
+    A file where EVERY line matches the pattern emits no entries (the
+    reference consumes header lines indefinitely); a file whose first
+    line does not match has no header and no attached attributes."""
+    import codecs
+
+    if exclude:
+        paths = _apply_exclude(paths, exclude)
+    norm = codecs.lookup(encoding).name
+    lines = _read_lines_decoded(spark, paths, norm)
+
+    hdr_end = (
+        lines.filter(~F.col("body").rlike(header_pattern))
+        .groupBy("source_file")
+        .agg(F.min("line_nr").alias("hdr_end"))
+    )
+    # hdr_end is O(files): broadcast. Files absent from hdr_end had
+    # every line match (header never ends) → treat end as +inf.
+    tagged = lines.join(F.broadcast(hdr_end), "source_file", "left")
+    is_header = F.col("line_nr") < F.coalesce(
+        F.col("hdr_end"), F.lit(2**62)
+    )
+
+    header_lines = tagged.filter(is_header).drop("hdr_end")
+    base_cols = set(header_lines.columns)
+    parsed = apply_metadata_ops(header_lines)
+    attr_cols = [c for c in parsed.columns if c not in base_cols]
+    if not attr_cols:
+        raise ValueError(
+            "header.metadata_operators produced no attribute columns"
+        )
+    # per-file upsert: LAST non-null value in line order wins, a line
+    # that did not yield the attribute does not erase it (reader.go
+    # upserts per line; missing keys are left alone)
+    file_attrs = parsed.groupBy("source_file").agg(
+        *[
+            F.expr(
+                f"max_by(`{c}`, if(`{c}` is not null, line_nr, null))"
+            ).alias(c)
+            for c in attr_cols
+        ]
+    )
+
+    body = tagged.filter(~is_header).drop("hdr_end", "line_nr")
+    return body.join(F.broadcast(file_attrs), "source_file", "left").withColumn(
+        "observed_ts", F.current_timestamp()
+    )
+
+
 # minimal OTLP-JSON log line schema (resourceLogs envelope flattened later)
 OTLP_LOG_SCHEMA = T.StructType(
     [

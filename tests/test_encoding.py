@@ -124,3 +124,135 @@ def test_read_lines_gzip_transparent(spark, tmp_path):
     assert sorted(r["body"] for r in got.collect()) == [
         "gz line 1", "gz line 2",
     ]
+
+
+# ---------------------------------------------------------------------------
+# filelog `header` block (fileconsumer/internal/header/reader.go:47-73):
+# leading pattern-matching lines are consumed, parsed by metadata
+# operators, and their attributes attach to every entry of that file.
+# ---------------------------------------------------------------------------
+
+
+def _header_files(tmp_path):
+    a = tmp_path / "a.log"
+    a.write_text(
+        "#version: 1.2\n"
+        "#host: web-01\n"
+        "GET /index 200\n"
+        "GET /about 404\n"
+    )
+    b = tmp_path / "b.log"
+    b.write_text(
+        "#host: web-02\n"
+        "POST /login 200\n"
+        "#host: not-a-header-anymore\n"  # past the prefix: a body line
+    )
+    c = tmp_path / "c.log"
+    c.write_text("no header here\n")
+    return tmp_path
+
+
+def _apply_header_ops(d):
+    """Two regex_parser metadata operators, one per key — the reference
+    shape (a non-matching parser errors and leaves attributes untouched,
+    helper/regexp.go:13-14; one big alternation would set unmatched
+    groups to \"\" per Go submatch semantics and clobber earlier keys)."""
+    from opentelemetry_collector_contrib_spark.operators import parse
+
+    d = parse.regex_parser(d, "body", r"^#version: (?P<version>\S+)$")
+    return parse.regex_parser(d, "body", r"^#host: (?P<host>\S+)$")
+
+
+def test_header_attributes_attach_per_file(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_lines_with_header,
+    )
+
+    d = _header_files(tmp_path)
+    got = read_lines_with_header(
+        spark, str(d / "*.log"), r"^#", _apply_header_ops
+    ).collect()
+    by_body = {r["body"]: r for r in got}
+    # header lines are consumed, never emitted
+    assert "#version: 1.2" not in by_body and "#host: web-02" not in by_body
+    # a.log entries carry both header attributes
+    assert by_body["GET /index 200"]["version"] == "1.2"
+    assert by_body["GET /index 200"]["host"] == "web-01"
+    assert by_body["GET /about 404"]["host"] == "web-01"
+    # b.log: single header line; the late "#host:" line is past the
+    # prefix (first non-match ended the header) so it is a body entry
+    assert by_body["POST /login 200"]["host"] == "web-02"
+    assert by_body["#host: not-a-header-anymore"]["host"] == "web-02"
+    # c.log: no header → null attributes
+    assert by_body["no header here"]["host"] is None
+    assert len(got) == 5
+
+
+def test_header_last_line_upserts(spark, tmp_path):
+    """Later header lines overwrite earlier ones (reader.go:67-70),
+    and a line that lacks a key leaves the earlier value alone."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_lines_with_header,
+    )
+
+    p = tmp_path / "u.log"
+    p.write_text(
+        "#host: first\n#version: 9\n#host: second\nentry one\n"
+    )
+    row = read_lines_with_header(
+        spark, str(p), r"^#", _apply_header_ops
+    ).collect()[0]
+    assert row["host"] == "second"  # last wins
+    assert row["version"] == "9"    # not erased by later host-only line
+
+
+def test_header_all_lines_match_emits_nothing(spark, tmp_path):
+    """A file whose every line matches the pattern never ends its
+    header: the reference consumes it all; no entries are emitted."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_lines_with_header,
+    )
+
+    p = tmp_path / "allhdr.log"
+    p.write_text("#host: x\n#version: 2\n")
+    assert (
+        read_lines_with_header(spark, str(p), r"^#", _apply_header_ops)
+        .count() == 0
+    )
+
+
+def test_header_via_yaml_config(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.config import _rx_filelog
+
+    d = _header_files(tmp_path)
+    df = _rx_filelog(
+        spark,
+        {
+            "include": [str(d / "a.log")],
+            "header": {
+                "pattern": r"^#",
+                "metadata_operators": [
+                    {
+                        "type": "regex_parser",
+                        "regex": r"^#host: (?P<host>\S+)$",
+                    }
+                ],
+            },
+        },
+    )
+    rows = df.collect()
+    assert len(rows) == 2 and all(r["host"] == "web-01" for r in rows)
+
+
+def test_header_yaml_validation(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.config import (
+        ConfigError,
+        _rx_filelog,
+    )
+
+    with _pytest.raises(ConfigError, match="pattern"):
+        _rx_filelog(spark, {"include": ["/x"], "header": {"metadata_operators": [{}]}})
+    with _pytest.raises(ConfigError, match="metadata_operators"):
+        _rx_filelog(spark, {"include": ["/x"], "header": {"pattern": "^#"}})
