@@ -200,15 +200,12 @@ def _rx_filelog(
                 "filelog header requires at least one operator in "
                 "`metadata_operators`"
             )
-        if cfg.get("multiline"):
-            raise ConfigError(
-                "filelog header + multiline composition is not supported"
-            )
         return read_lines_with_header(
             spark, paths,
             header_pattern=hdr["pattern"],
             apply_metadata_ops=lambda d: _apply_stanza_operators(d, mops),
             encoding=encoding,
+            multiline=cfg.get("multiline"),
         )
     ml = cfg.get("multiline") or {}
     if ml:

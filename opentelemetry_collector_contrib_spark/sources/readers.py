@@ -196,6 +196,7 @@ def read_lines_with_header(
     apply_metadata_ops,
     encoding: str = "utf-8",
     exclude: list[str] | None = None,
+    multiline: dict | None = None,
 ) -> DataFrame:
     """filelog `header` block (fileconsumer/internal/header/reader.go:47-73,
     fileconsumer/config.go:86,144): the leading run of lines in each file
@@ -222,7 +223,14 @@ def read_lines_with_header(
 
     A file where EVERY line matches the pattern emits no entries (the
     reference consumes header lines indefinitely); a file whose first
-    line does not match has no header and no attached attributes."""
+    line does not match has no header and no attached attributes.
+
+    ``multiline``: optional {line_start_pattern | line_end_pattern}
+    block. The reference reader splits the header with plain newlines
+    and only switches to the body split function after the header ends
+    (fileconsumer/internal/reader switches SplitFunc post-header) — so
+    header detection here always runs line-wise, and the multiline
+    recombine applies to the body rows only, after the header is cut."""
     import codecs
 
     if exclude:
@@ -262,7 +270,32 @@ def read_lines_with_header(
         ]
     )
 
-    body = tagged.filter(~is_header).drop("hdr_end", "line_nr")
+    body = tagged.filter(~is_header).drop("hdr_end")
+    if multiline:
+        from ..operators.recombine import recombine
+
+        start = multiline.get("line_start_pattern")
+        end = multiline.get("line_end_pattern")
+        if (start is None) == (end is None):
+            raise ValueError(
+                "multiline: exactly one of line_start_pattern / "
+                "line_end_pattern required"
+            )
+        kwargs = (
+            {"is_first_entry": F.col("body").rlike(start)}
+            if start is not None
+            else {"is_last_entry": F.col("body").rlike(end)}
+        )
+        body = recombine(
+            body.select("source_file", "line_nr", "body"),
+            source_id="source_file",
+            order_by="line_nr",
+            combine_field="body",
+            combine_with="\n",
+            **kwargs,
+        )
+    else:
+        body = body.drop("line_nr")
     return body.join(F.broadcast(file_attrs), "source_file", "left").withColumn(
         "observed_ts", F.current_timestamp()
     )

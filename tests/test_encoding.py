@@ -256,3 +256,31 @@ def test_header_yaml_validation(spark):
         _rx_filelog(spark, {"include": ["/x"], "header": {"metadata_operators": [{}]}})
     with _pytest.raises(ConfigError, match="metadata_operators"):
         _rx_filelog(spark, {"include": ["/x"], "header": {"pattern": "^#"}})
+
+
+def test_header_composes_with_multiline(spark, tmp_path):
+    """Header lines are cut FIRST (line-wise, the reference switches
+    split functions only after the header ends), then the body rows
+    recombine on the multiline framing — attributes ride along."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_lines_with_header,
+    )
+
+    p = tmp_path / "trace.log"
+    p.write_text(
+        "#host: api-03\n"
+        "2024-01-01 ERROR boom\n"
+        "  at Foo.bar\n"
+        "  at Baz.qux\n"
+        "2024-01-01 INFO fine\n"
+    )
+    got = read_lines_with_header(
+        spark, str(p), r"^#", _apply_header_ops,
+        multiline={"line_start_pattern": r"^\d{4}-"},
+    ).collect()
+    bodies = sorted(r["body"] for r in got)
+    assert bodies == [
+        "2024-01-01 ERROR boom\n  at Foo.bar\n  at Baz.qux",
+        "2024-01-01 INFO fine",
+    ]
+    assert all(r["host"] == "api-03" for r in got)
