@@ -37,7 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # make sure the parquet the oracle SQL reads exists before DuckDB runs
+    import os
+
     from opentelemetry_collector_contrib_spark.fixtures import ensure_fixture_dir
 
-    ensure_fixture_dir("sf0.01")
+    ensure_fixture_dir(os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01"))
     return dict(_ORACLES)

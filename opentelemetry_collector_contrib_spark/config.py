@@ -851,6 +851,11 @@ class CollectorConfig:
                     gap_seconds=int(ccfg.get("gap_seconds", 1800)),
                     value_col=ccfg.get("source_attribute"),
                 )}
+            elif base == "forward":
+                # forwardconnector (connector/forwardconnector): merge /
+                # chain pipelines unchanged — the N-input union already
+                # happened above, so forwarding is the identity
+                routed[conn] = {"*": src}
             else:
                 raise ConfigError(f"unsupported connector {conn!r}")
 

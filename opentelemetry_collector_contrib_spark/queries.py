@@ -42,8 +42,12 @@ from .operators.route import Router
 from .plans.flagship import build_router, parsed_enriched
 from .sources.readers import read_dims, read_transcripts
 
-# oracle SQL always runs at the sf0.01 tier (driver contract)
-ORACLE_FX = os.path.abspath(os.path.join(DATA_ROOT, "sf0.01"))
+# oracle SQL runs at the sf0.01 tier (driver contract); the env override
+# lets tools/check_correctness.py replay the identical gate at a bigger
+# tier (SPARK_GRAFT_ORACLE_SF=sf0.1 → 10× row-level evidence)
+ORACLE_FX = os.path.abspath(
+    os.path.join(DATA_ROOT, os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01"))
+)
 _TR = f"read_parquet('{ORACLE_FX}/transcripts.parquet')"
 _ROLES = f"read_parquet('{ORACLE_FX}/dim_roles.parquet')"
 _TOOLS = f"read_parquet('{ORACLE_FX}/dim_tools.parquet')"

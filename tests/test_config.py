@@ -680,3 +680,44 @@ def test_otlpjsonfile_exporter_roundtrip(spark, tmp_path):
     assert recs[0]["attributes"] == [
         {"key": "k", "value": {"stringValue": "v1"}}
     ]
+
+
+def test_forward_connector_merges_pipelines(spark, tmp_path):
+    """forwardconnector (connector/forwardconnector): N pipelines chain
+    into one unchanged — rows from both feeders arrive at the merged
+    pipeline's exporter, processors applied per leg beforehand."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx},
+                      "transcripts/2": {"path": fx}},
+        "processors": {
+            "filter/err": {"logs": {"log_conditions": [
+                "severity_number < SEVERITY_NUMBER_ERROR"]}},
+            "filter/ok": {"logs": {"log_conditions": [
+                "severity_number >= SEVERITY_NUMBER_ERROR"]}},
+        },
+        "connectors": {"forward": {}},
+        "exporters": {"debug": {}},
+        "service": {
+            "pipelines": {
+                "legA": {"receivers": ["transcripts"],
+                         "processors": ["filter/err"],
+                         "exporters": ["forward"]},
+                "legB": {"receivers": ["transcripts/2"],
+                         "processors": ["filter/ok"],
+                         "exporters": ["forward"]},
+                "merged": {"receivers": ["forward"],
+                           "exporters": ["debug"]},
+            }
+        },
+    })
+    out = cfg.build(spark)["debug"]
+    total = spark.read.parquet(fx + "/transcripts.parquet").count()
+    # filter processor KEEPS rows matching the drop-condition complement:
+    # the two legs partition the corpus, the forward merge restores it
+    assert out.count() == total
