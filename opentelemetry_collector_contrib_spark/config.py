@@ -551,6 +551,29 @@ def _pr_filter(df: DataFrame, cfg: dict) -> DataFrame:
     )
 
 
+# transformprocessor `context:` per statement group (config.go context
+# keys; contexts/ottlresource + ottlscope): bare paths rebind to the
+# context's columns. Statements in resource/scope context execute once
+# per resource/scope in the reference — on a denormalized frame the
+# per-row application is equivalent (set/delete on a group-constant
+# column is idempotent across the group's rows). Log-context paths stay
+# reachable under their qualified names (a permissive superset of the
+# reference, which rejects them — documented deviation).
+_TRANSFORM_CONTEXT_MAPS = {
+    "log": {},
+    "resource": {
+        "attributes": "resource",
+        "schema_url": "resource_schema_url",
+    },
+    "scope": {
+        "attributes": "scope_attributes",
+        "name": "scope",
+        "version": "scope_version",
+        "schema_url": "scope_schema_url",
+    },
+}
+
+
 def _pr_transform(df: DataFrame, cfg: dict) -> DataFrame:
     stmts = cfg.get("log_statements")
     if not stmts:
@@ -559,10 +582,17 @@ def _pr_transform(df: DataFrame, cfg: dict) -> DataFrame:
     if isinstance(stmts[0], dict):
         out = df
         for group in stmts:
+            ctx_name = group.get("context", "log")
+            overlay = _TRANSFORM_CONTEXT_MAPS.get(ctx_name)
+            if overlay is None:
+                raise ConfigError(
+                    f"unsupported transform context {ctx_name!r} "
+                    "(log/resource/scope)"
+                )
             seq = StatementSequence(
                 group["statements"],
                 conditions=group.get("conditions"),
-                path_map=TRANSCRIPT_PATH_MAP,
+                path_map={**TRANSCRIPT_PATH_MAP, **overlay},
                 error_mode=cfg.get("error_mode", "ignore"),
                 path_types=TRANSCRIPT_PATH_TYPES,
             )

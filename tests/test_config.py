@@ -721,3 +721,52 @@ def test_forward_connector_merges_pipelines(spark, tmp_path):
     # filter processor KEEPS rows matching the drop-condition complement:
     # the two legs partition the corpus, the forward merge restores it
     assert out.count() == total
+
+
+def test_transform_context_resource_and_scope(spark, tmp_path):
+    """transformprocessor `context:` per statement group: bare paths
+    rebind (attributes -> resource / scope_attributes); the log-context
+    group still sees log attributes."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {
+            "resource": {"attributes": {"deploy.zone": "us-east"}},
+            "transform": {"log_statements": [
+                {"context": "resource",
+                 "statements": ['set(attributes["env"], "prod")']},
+                {"context": "log",
+                 "statements": ['set(attributes["checked"], "yes")']},
+            ]},
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"p": {
+            "receivers": ["transcripts"],
+            "processors": ["resource", "transform"],
+            "exporters": ["debug"],
+        }}},
+    })
+    row = cfg.build(spark)["debug"].limit(1).collect()[0]
+    assert row["resource"]["env"] == "prod"
+    assert row["resource"]["deploy.zone"] == "us-east"
+    assert row["attributes"]["checked"] == "yes"
+    assert "env" not in (row["attributes"] or {})
+
+    with __import__("pytest").raises(Exception, match="context"):
+        CollectorConfig({
+            "receivers": {"transcripts": {"path": fx}},
+            "processors": {"transform": {"log_statements": [
+                {"context": "datapoint", "statements": ["set(x, 1)"]},
+            ]}},
+            "exporters": {"debug": {}},
+            "service": {"pipelines": {"p": {
+                "receivers": ["transcripts"],
+                "processors": ["transform"],
+                "exporters": ["debug"],
+            }}},
+        }).build(spark)
