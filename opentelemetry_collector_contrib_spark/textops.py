@@ -549,8 +549,17 @@ def pack_sequences(
     toks = F.size(_words(F.col(text_col))).cast("long")
     df = docs.select(F.col(order_col).alias("doc_id"), toks.alias("n_tokens"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
+    # repartitionByRange re-SAMPLES its boundaries on every job, so the
+    # two consumers below (totals vs the offset join) could otherwise
+    # evaluate `part` with DIFFERENT partition-id assignments and emit
+    # corrupt offsets (seeded_shuffle had exactly this at sf0.1).
+    # localCheckpoint pins ONE materialization — the checkpointed frame
+    # is only the narrow (doc_id, n_tokens, _pid) projection, and any
+    # consistent contiguous range split yields the same exact ranks.
+    part = (
+        df.repartitionByRange(n, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = W.partitionBy("_pid").orderBy("doc_id")
     part = part.withColumn(
@@ -588,10 +597,15 @@ def seeded_shuffle(
     reproduces the exact epoch order — the property a resumable training
     job needs and ``df.orderBy(rand())`` cannot give.
 
-    Same two-phase distributed shape as pack_sequences: range-partition
-    by the hash key (partition ids follow key order), per-partition
-    row_number, then an O(P)-row exclusive count-prefix broadcast back.
-    The corpus itself is never globally sorted into one partition."""
+    Same two-phase distributed shape as pack_sequences, but the bucket
+    id is a PURE FUNCTION of the key: md5 is uniform, so the first 8 hex
+    chars scale directly to a contiguous monotone bucket 0..n-1. No
+    repartitionByRange — its boundaries are re-SAMPLED per job, so the
+    two consumers of the partitioned frame (counts vs the rank join)
+    could see different spark_partition_id assignments and produce
+    corrupt, run-unstable ranks (reproduced at the sf0.1 tier: 4411/5000
+    ranks off). A value-derived bucket makes every recomputation agree
+    by construction and costs one shuffle less."""
     from pyspark.sql import Window as W
 
     key = F.md5(
@@ -599,8 +613,14 @@ def seeded_shuffle(
     )
     df = docs.select(F.col(order_col).alias("doc_id"), key.alias("_k"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, "_k").withColumn(
-        "_pid", F.spark_partition_id()
+    # monotone in _k (hex chars are ASCII-ordered): lexicographic key
+    # order == numeric order of the 32-bit prefix == bucket order
+    part = df.withColumn(
+        "_pid",
+        F.expr(
+            "cast(conv(substring(_k, 1, 8), 16, 10) as bigint)"
+            f" * {int(n)} div 4294967296"
+        ).cast("int"),
     )
     w_local = W.partitionBy("_pid").orderBy("_k")
     part = part.withColumn("_local_rank", F.row_number().over(w_local) - 1)

@@ -47,8 +47,12 @@ def test_pack_sequences_is_distributed(docs):
     plan = pack_sequences(docs, budget=64)._jdf.queryExecution().executedPlan().toString()
     # corpus-side cumsum window is partitioned by _pid
     assert "_pid" in plan
-    # range partitioning (ordered partition ids), not a global sort of the corpus
-    assert "rangepartitioning" in plan.lower()
+    # the range partitioning is pinned behind a lazy localCheckpoint
+    # (lineage truncated → ExistingRDD scan) so BOTH consumers read one
+    # materialization — boundaries are re-sampled per job otherwise
+    assert "existingrdd" in plan.lower()
+    # and the corpus is never globally re-sorted downstream
+    assert "rangepartitioning" not in plan.lower()
     # the offsets side is broadcast back, never shuffled wide
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
@@ -266,3 +270,29 @@ def test_percentile_connector_fine_labels_no_collision(spark):
     # genuinely identical labels raise instead of silently colliding
     with pytest.raises(ValueError, match="collide"):
         percentile_connector(df, "v", {"k": None}, percentiles=(0.5, 0.5))
+
+
+def test_seeded_shuffle_exact_under_many_buckets(docs):
+    """Regression (caught at the sf0.1 oracle tier): the bucket id must
+    be a pure function of the key — repartitionByRange re-samples its
+    boundaries per job, so the two consumers of the partitioned frame
+    disagreed and ranks were corrupt AND run-unstable. Pin the ranks to
+    the exact single-window oracle with buckets forced high enough that
+    every prefix-offset path is exercised."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.textops import seeded_shuffle
+
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in seeded_shuffle(docs, seed=42, num_partitions=16).collect()
+    }
+    key = F.md5(F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string")))
+    exact = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in docs.select("doc_id", key.alias("_k"))
+        .withColumn("shuffle_rank", F.row_number().over(W.orderBy("_k")) - 1)
+        .collect()
+    }
+    assert got == exact

@@ -43,6 +43,12 @@ def main(only: list[str]) -> int:
     spark = get_spark(app_name="check", cores=8, shuffle_partitions=8)
     qs, oras = E.queries(), E.oracle_sql()
     con = duckdb.connect()
+    # big-tier runs (SF_DIR=sf0.1 with SPARK_GRAFT_ORACLE_SF=sf0.1) can
+    # exceed the in-memory default when Spark JVMs share the host —
+    # cap DuckDB and give it a spill dir so the oracle side degrades to
+    # disk instead of OOM-failing the comparison
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
