@@ -8,14 +8,49 @@ Usage: python tools/check_correctness.py [name ...]
 from __future__ import annotations
 
 import math
+import multiprocessing as mp
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
-
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle_worker(sf_dir: str, task_q, result_q) -> None:
+    """DuckDB side, in its OWN spawned process: keeps the oracle's
+    memory pressure and failure modes fully out of the pyspark driver
+    process, so one side cannot destabilize the other mid-comparison."""
+    import duckdb
+
+    con = duckdb.connect()
+    # duckdb 1.0.0 at 32 threads OOMs nondeterministically on tiny block
+    # allocations for string-heavy sf0.1 aggregations (std::bad_alloc
+    # with >100 GB free); threads=8 + disabling insertion-order
+    # preservation is stable across repeated runs
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    while True:
+        sql = task_q.get()
+        if sql is None:
+            return
+        try:
+            res = con.execute(sql)
+            cols = [d[0] for d in res.description]
+            result_q.put(("ok", cols, res.fetchall()))
+        except Exception as e:  # noqa: BLE001 — report, keep serving
+            result_q.put(("err", str(e)[:300], None))
 
 
 def norm_cell(v):
@@ -42,18 +77,16 @@ def main(only: list[str]) -> int:
 
     spark = get_spark(app_name="check", cores=8, shuffle_partitions=8)
     qs, oras = E.queries(), E.oracle_sql()
-    con = duckdb.connect()
-    # big-tier runs (SF_DIR=sf0.1 with SPARK_GRAFT_ORACLE_SF=sf0.1) can
-    # exceed the in-memory default when Spark JVMs share the host —
-    # cap DuckDB and give it a spill dir so the oracle side degrades to
-    # disk instead of OOM-failing the comparison
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    ctx = mp.get_context("spawn")  # fresh interpreter: no JVM/pyarrow state
+    task_q, result_q = ctx.Queue(), ctx.Queue()
+    worker = ctx.Process(
+        target=_oracle_worker, args=(SF_DIR, task_q, result_q), daemon=True
+    )
+    worker.start()
+
+    def run_oracle(sql: str):
+        task_q.put(sql)
+        return result_q.get()
 
     fails = 0
     for name, fn in qs.items():
@@ -70,12 +103,9 @@ def main(only: list[str]) -> int:
         if name not in oras:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
-        try:
-            res = con.execute(oras[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+        status, dcols, drows = run_oracle(oras[name])
+        if status == "err":
+            print(f"FAIL {name}: duckdb error: {dcols}")
             fails += 1
             continue
         sc, sr = norm_rows(scols, srows)
@@ -94,6 +124,8 @@ def main(only: list[str]) -> int:
             fails += 1
         else:
             print(f"PASS {name} ({len(sr)} rows)")
+    task_q.put(None)
+    worker.join(timeout=10)
     print(f"\n{fails} failures")
     return 1 if fails else 0
 
