@@ -770,3 +770,51 @@ def test_transform_context_resource_and_scope(spark, tmp_path):
                 "exporters": ["debug"],
             }}},
         }).build(spark)
+
+
+def test_reference_filelog_testdata_config_verbatim(spark, tmp_path):
+    """Conformance: the reference's own receiver/filelogreceiver/testdata/
+    config.yaml (regex_parser + embedded timestamp/severity sub-parser
+    blocks) compiles and parses its simple.log fixture to the values the
+    reference test expects (filelog_test.go:97-107: msg/Info-Error-Debug/
+    2020-08-25) — only the include path is rewritten to a temp copy."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    log = tmp_path / "simple.log"
+    log.write_text(
+        "2020-08-25 INFO Something routine\n"
+        "2020-08-25 ERROR Something bad happened!\n"
+        "2020-08-25 DEBUG Some details...\n"
+    )
+    yaml_src = f"""
+receivers:
+  filelog:
+    include: [ {log} ]
+    start_at: beginning
+    operators:
+      - type: regex_parser
+        regex: '^(?P<time>\\d{{4}}-\\d{{2}}-\\d{{2}}) (?P<sev>[A-Z]*) (?P<msg>.*)$'
+        timestamp:
+          parse_from: attributes.time
+          layout: '%Y-%m-%d'
+        severity:
+          parse_from: attributes.sev
+exporters:
+  debug: {{}}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      exporters: [debug]
+"""
+    out = CollectorConfig(yaml_src).build(spark)["debug"]
+    rows = {r["msg"]: r for r in out.collect()}
+    assert set(rows) == {
+        "Something routine", "Something bad happened!", "Some details...",
+    }
+    # entry.Info=9 / Error=17 / Debug=5 (pkg/stanza/entry/severity.go)
+    assert rows["Something routine"]["severity_number"] == 9
+    assert rows["Something bad happened!"]["severity_number"] == 17
+    assert rows["Some details..."]["severity_number"] == 5
+    for r in rows.values():
+        assert str(r["ts"]).startswith("2020-08-25")
