@@ -919,15 +919,32 @@ class CollectorConfig:
         ctx = _ottl_ctx(ccfg.get("error_mode", "ignore"))
         routes = []
         entry_pipelines: dict[str, list[str]] = {}
+        mutations: dict[str, object] = {}
         for i, entry in enumerate(ccfg.get("table", [])):
-            cond_src = entry.get("condition") or entry.get("statement")
-            if cond_src is None:
-                raise ConfigError("routing table entry needs a condition")
             rid = f"route_{i}"
-            routes.append(Route(rid, compile_condition(cond_src, ctx)))
+            if entry.get("condition") is not None:
+                routes.append(Route(rid, compile_condition(
+                    entry["condition"], ctx)))
+            elif entry.get("statement") is not None:
+                # full OTTL statement form (README.md:61-64): route on
+                # the where clause; a non-noop editor also mutates the
+                # routed copy (e.g. delete_key strips the routing key)
+                from .ottl.compiler import compile_routing_statement
+
+                cond, mutate = compile_routing_statement(
+                    entry["statement"], _ottl_ctx(
+                        ccfg.get("error_mode", "ignore"))
+                )
+                routes.append(Route(rid, cond))
+                if mutate is not None:
+                    mutations[rid] = mutate
+            else:
+                raise ConfigError("routing table entry needs a condition")
             entry_pipelines[rid] = list(entry.get("pipelines", []))
         router = Router(routes, match_once=bool(ccfg.get("match_once", False)))
         split = router.split(df)
+        for rid, mutate in mutations.items():
+            split[rid] = mutate(split[rid])
         out: dict[str, DataFrame] = {}
 
         def feed(pipeline: str, route_df: DataFrame) -> None:

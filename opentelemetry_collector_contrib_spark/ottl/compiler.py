@@ -825,6 +825,42 @@ def compile_condition(src: str, ctx: Context | None = None) -> Column:
     return F.when(pred, F.lit(False)).otherwise(col)
 
 
+def compile_routing_statement(src: str, ctx: Context):
+    """routingconnector table ``statement:`` → (condition Column,
+    mutate fn | None).
+
+    The connector routes on the statement's WHERE clause
+    (routingconnector/router.go:113-159 — Execute returns the condition
+    match; a bare ``route()`` with no where matches everything) and, when
+    the editor is not the no-op ``route()``, ALSO executes the editor on
+    the matching rows (README.md:63: ``delete_key(attributes, ...) where
+    ...`` strips the routing key from the routed copy). The mutation
+    applies to each route's own split — the reference executes route
+    statements sequentially on shared pdata, so a mutation there is
+    visible to later table entries; per-split application is the
+    side-effect-free DataFrame equivalent (documented deviation)."""
+    stmt = parse_statement(src)
+    ctx.take_failures()
+    if stmt.where is None:
+        cond = F.lit(True)
+    else:
+        cond = compile_bool(stmt.where, ctx)
+        fails = ctx.take_failures()
+        if fails:
+            pred = reduce(lambda a, b: a | b, (p for p, _ in fails))
+            if ctx.error_mode == "propagate":
+                cond = F.when(
+                    pred, F.raise_error(F.lit(f"ottl: {fails[0][1]}"))
+                ).otherwise(cond)
+            else:
+                cond = F.when(pred, F.lit(False)).otherwise(cond)
+    if stmt.editor.name == "route":
+        if stmt.editor.args:
+            raise OTTLError("route() takes no arguments")
+        return cond, None
+    return cond, _compile_one(src, ctx)
+
+
 # ---------------------------------------------------------------------------
 # editors — each returns df → df (registry mirrors ottlfuncs/functions.go:10-30)
 # ---------------------------------------------------------------------------

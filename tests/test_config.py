@@ -818,3 +818,75 @@ service:
     assert rows["Some details..."]["severity_number"] == 5
     for r in rows.values():
         assert str(r["ts"]).startswith("2020-08-25")
+
+
+def test_reference_routing_statement_form(spark, tmp_path):
+    """Conformance with connector/routingconnector/testdata/
+    config_logs.yaml + README.md:61-64: `statement: route() where ...`
+    routes on the where clause; one route feeds multiple pipelines; a
+    mutating statement (delete_key ... where ...) strips the routing key
+    from the routed copy only."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {
+            # stamp a routing key so the statement form has a map target
+            "transform": {"log_statements": [
+                'set(attributes["X-Tenant"], "acme") where tool_name == "bash"',
+                'set(attributes["X-Tenant"], "globex") where tool_name == "browser"',
+            ]},
+        },
+        "connectors": {"routing": {
+            "default_pipelines": ["logs/otlp-all"],
+            "table": [
+                {"statement":
+                     'route() where attributes["X-Tenant"] == "acme"',
+                 "pipelines": ["logs/jaeger-acme", "logs/otlp-acme"]},
+                {"statement":
+                     'delete_key(attributes, "X-Tenant") where '
+                     'attributes["X-Tenant"] == "globex"',
+                 "pipelines": ["logs/otlp-globex"]},
+            ],
+        }},
+        "exporters": {"debug": {}, "debug/2": {}, "debug/3": {},
+                      "debug/4": {}},
+        "service": {"pipelines": {
+            "logs/in": {"receivers": ["transcripts"],
+                        "processors": ["transform"],
+                        "exporters": ["routing"]},
+            "logs/jaeger-acme": {"receivers": ["routing"],
+                                 "exporters": ["debug"]},
+            "logs/otlp-acme": {"receivers": ["routing"],
+                               "exporters": ["debug/2"]},
+            "logs/otlp-globex": {"receivers": ["routing"],
+                                 "exporters": ["debug/3"]},
+            "logs/otlp-all": {"receivers": ["routing"],
+                              "exporters": ["debug/4"]},
+        }},
+    })
+    outs = cfg.build(spark)
+    acme1, acme2 = outs["debug"], outs["debug/2"]
+    globex, default = outs["debug/3"], outs["debug/4"]
+    n_acme = acme1.count()
+    assert n_acme > 0 and n_acme == acme2.count()  # one route, two sinks
+    assert set(
+        r["attributes"]["X-Tenant"] for r in acme1.collect()
+    ) == {"acme"}
+    # the mutating statement stripped the key from the routed copy
+    n_globex = globex.count()
+    assert n_globex > 0
+    assert all(
+        "X-Tenant" not in (r["attributes"] or {})
+        for r in globex.collect()
+    )
+    # default gets the rest; totals add up (multi-match duplication off
+    # here: tenants are disjoint)
+    from pyspark.sql import functions as F  # noqa: F401
+    total = outs["debug/4"].sparkSession.read.parquet(
+        fx + "/transcripts.parquet").count()
+    assert n_acme + n_globex + default.count() == total
