@@ -521,7 +521,9 @@ def _pr_attributes(df: DataFrame, cfg: dict) -> DataFrame:
             converted_type=a.get("converted_type"),
             groups=a.get("groups", []),
         ))
-    return apply_actions(df, actions)
+    from .operators.filter import include_exclude_gate
+
+    return apply_actions(df, actions, where=include_exclude_gate(cfg))
 
 
 def _pr_resource(df: DataFrame, cfg: dict) -> DataFrame:
@@ -540,6 +542,20 @@ def _pr_resource(df: DataFrame, cfg: dict) -> DataFrame:
 def _pr_filter(df: DataFrame, cfg: dict) -> DataFrame:
     logs = cfg.get("logs", cfg)
     conds = logs.get("log_conditions") or logs.get("log_record")
+    if not conds and (logs.get("include") or logs.get("exclude")):
+        # legacy matcher form (config.go:185-257 + filterlog.go:30-51):
+        # DROP when NOT(include) OR exclude
+        from .operators.filter import (
+            filter_include_exclude,
+            match_properties_condition,
+        )
+
+        inc, exc = logs.get("include"), logs.get("exclude")
+        return filter_include_exclude(
+            df,
+            include=match_properties_condition(inc) if inc else None,
+            exclude=match_properties_condition(exc) if exc else None,
+        )
     if not conds:
         raise ConfigError("filter processor needs logs.log_conditions")
     return filter_ottl(

@@ -72,6 +72,98 @@ def filter_include_exclude(
     return df.filter(~skip)
 
 
+def match_properties_condition(
+    props: dict,
+    attrs_col: str = "attributes",
+    body_col: str = "body",
+    severity_text_col: str = "severity_text",
+    severity_number_col: str = "severity_number",
+    resource_col: str = "resource",
+) -> Column:
+    """filterset MatchProperties → boolean Column — the YAML
+    ``include:``/``exclude:`` block shared by the attributes, resource,
+    and legacy-filter processors (internal/filter/filterconfig/config.go:
+    60-131, matching internal/filter/filterlog/filterlog.go):
+
+    - ``match_type`` strict → string equality; regexp → unanchored
+      Go-MatchString semantics (``rlike``);
+    - ``log_bodies`` / ``log_severity_texts``: the field must match AT
+      LEAST ONE listed item;
+    - ``log_severity_number: {min, match_undefined}``: severity >= min,
+      with undefined (0/null) severities matching only when
+      match_undefined (config.go:224-240);
+    - ``attributes`` / ``resources``: list of {key, value?} — ALL must
+      match; a key with no value matches on presence alone;
+    - every specified property group must match (AND across groups).
+    """
+    mt = props.get("match_type", "strict")
+    if mt not in ("strict", "regexp"):
+        raise ValueError(f"match_type {mt!r} (strict/regexp)")
+
+    def one(col: Column, item: str) -> Column:
+        return col.rlike(item) if mt == "regexp" else col == F.lit(str(item))
+
+    def any_of(col: Column, items: list) -> Column:
+        cond = one(col, items[0])
+        for it in items[1:]:
+            cond = cond | one(col, it)
+        return F.coalesce(cond, F.lit(False))
+
+    parts: list[Column] = []
+    if props.get("log_bodies"):
+        parts.append(any_of(F.col(body_col), props["log_bodies"]))
+    if props.get("log_severity_texts"):
+        parts.append(
+            any_of(F.col(severity_text_col), props["log_severity_texts"])
+        )
+    if props.get("log_severity_number"):
+        sn = props["log_severity_number"]
+        c = F.col(severity_number_col)
+        defined = c.isNotNull() & (c != 0)
+        parts.append(
+            F.when(defined, c >= int(sn["min"]))
+            .otherwise(F.lit(bool(sn.get("match_undefined", False))))
+        )
+    for section, col_name in (("attributes", attrs_col),
+                              ("resources", resource_col)):
+        for entry in props.get(section) or []:
+            v = F.col(col_name).getItem(entry["key"])
+            if "value" in entry:
+                parts.append(F.coalesce(one(v, entry["value"]),
+                                        F.lit(False)))
+            else:
+                parts.append(v.isNotNull())
+    if not parts:
+        raise ValueError(
+            "match properties need at least one of log_bodies/"
+            "log_severity_texts/log_severity_number/attributes/resources"
+        )
+    cond = parts[0]
+    for p in parts[1:]:
+        cond = cond & p
+    return cond
+
+
+def include_exclude_gate(cfg: dict, **cols) -> Column | None:
+    """attributes/resource processor record gate (attributes_log.go:
+    34-45 skipExpr): process a record iff include matches (when given)
+    AND exclude does not (when given). Returns None when the config has
+    neither block (process everything)."""
+    inc, exc = cfg.get("include"), cfg.get("exclude")
+    if not inc and not exc:
+        return None
+    gate = F.lit(True)
+    if inc:
+        gate = gate & F.coalesce(
+            match_properties_condition(inc, **cols), F.lit(False)
+        )
+    if exc:
+        gate = gate & ~F.coalesce(
+            match_properties_condition(exc, **cols), F.lit(False)
+        )
+    return gate
+
+
 def filter_severity_min(
     df: DataFrame,
     min_severity: int,

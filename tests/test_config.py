@@ -890,3 +890,66 @@ def test_reference_routing_statement_form(spark, tmp_path):
     total = outs["debug/4"].sparkSession.read.parquet(
         fx + "/transcripts.parquet").count()
     assert n_acme + n_globex + default.count() == total
+
+
+def test_attributes_include_exclude_gate_and_legacy_filter(spark, tmp_path):
+    """attributesprocessor include/exclude match properties
+    (filterconfig/config.go:60-131): actions apply only to gated rows;
+    filterprocessor legacy include/exclude matcher form drops
+    NOT(include) OR exclude (filterlog.go:30-51)."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+
+    fx = ensure_fixture_dir("sf0.001")
+    cfg = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {
+            "attributes": {
+                "include": {"match_type": "strict",
+                            "log_severity_number": {"min": 17}},
+                "actions": [
+                    {"action": "upsert", "key": "flagged", "value": "yes"},
+                ],
+            },
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"p": {
+            "receivers": ["transcripts"],
+            "processors": ["attributes"],
+            "exporters": ["debug"],
+        }}},
+    })
+    rows = cfg.build(spark)["debug"].collect()
+    assert any(r["severity_number"] >= 17 for r in rows)
+    for r in rows:
+        flagged = (r["attributes"] or {}).get("flagged")
+        if r["severity_number"] and r["severity_number"] >= 17:
+            assert flagged == "yes"
+        else:
+            assert flagged is None
+
+    # legacy filter matcher form: keep only ERROR+ severity texts
+    cfg2 = CollectorConfig({
+        "receivers": {"transcripts": {"path": fx}},
+        "processors": {
+            "filter": {"logs": {"include": {
+                "match_type": "regexp",
+                "log_severity_texts": ["ERROR.*", "FATAL.*"],
+            }}},
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"p": {
+            "receivers": ["transcripts"],
+            "processors": ["filter"],
+            "exporters": ["debug"],
+        }}},
+    })
+    kept = cfg2.build(spark)["debug"]
+    n = kept.count()
+    assert n > 0
+    assert kept.filter(
+        ~kept["severity_text"].rlike("^(ERROR|FATAL)")).count() == 0
+    total = spark.read.parquet(fx + "/transcripts.parquet").count()
+    assert n < total
