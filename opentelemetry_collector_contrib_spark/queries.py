@@ -684,6 +684,7 @@ FROM {_TR}""",
     _register_media(reg)
     _register_scale_paths(reg)
     _register_relational(reg)
+    _register_round4_features(reg)
     # Registry is emitted in NATURAL registration order (the order the
     # operators were built), never reordered: the driver's correctness
     # artifact samples a prefix of this dict, and a hand-picked ordering
@@ -691,6 +692,92 @@ FROM {_TR}""",
     # in round-3 review). Full coverage of ALL entries — including any
     # past the driver's sampling window — is tools/check_correctness.py.
     return queries, oracles
+
+
+def _register_round4_features(reg) -> None:
+    """Oracle gates for the round-4 additions, appended at the registry
+    tail = their true build order (window untouched)."""
+    from .operators.filter import include_exclude_gate
+    from .ottl.compiler import compile_routing_statement
+
+    def _with_attrs(spark, sf_dir):
+        df = _parsed(spark, sf_dir)
+        return df.withColumn(
+            "attributes",
+            F.map_filter(
+                F.create_map(
+                    F.lit("err_code"), F.col("err_code"),
+                    F.lit("tool_name"), F.col("tool_name"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+        )
+
+    # ---- t_attributes_gated: include/exclude match properties ----------
+    # (filterconfig/config.go:60-131): the upsert applies ONLY to rows the
+    # include block matches (severity >= ERROR) and exclude spares
+    # (tool_name != 'bash').
+    def t_attributes_gated(spark, sf_dir):
+        df = _with_attrs(spark, sf_dir)
+        gate = include_exclude_gate({
+            "include": {"match_type": "strict",
+                        "log_severity_number": {"min": 17}},
+            "exclude": {"match_type": "strict",
+                        "attributes": [{"key": "tool_name",
+                                        "value": "bash"}]},
+        })
+        out = apply_actions(
+            df,
+            [Action("upsert", key="flagged", value=F.lit("yes"))],
+            where=gate,
+        )
+        return out.select(
+            "conv_id", "turn_idx",
+            F.col("attributes").getItem("flagged").alias("flagged"),
+        )
+
+    reg(
+        "t_attributes_gated",
+        t_attributes_gated,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+       CASE WHEN severity_number IS NOT NULL AND severity_number != 0
+                 AND severity_number >= 17
+                 AND (tool_name IS NULL OR tool_name != 'bash')
+            THEN 'yes' END AS flagged
+FROM parsed""",
+    )
+
+    # ---- t_route_statement: routing table full OTTL statement form ------
+    # (routingconnector README.md:61-64): route on the where clause AND
+    # apply the mutating editor (delete_key) to the routed copy.
+    def t_route_statement(spark, sf_dir):
+        from .config import _ottl_ctx
+
+        df = _with_attrs(spark, sf_dir)
+        cond, mutate = compile_routing_statement(
+            'delete_key(attributes, "tool_name") where '
+            'attributes["tool_name"] == "bash"',
+            _ottl_ctx(),
+        )
+        routed = df.filter(F.coalesce(cond, F.lit(False)))
+        routed = mutate(routed)
+        m = F.col("attributes")
+        return routed.select(
+            "conv_id", "turn_idx",
+            m.getItem("tool_name").alias("tool_attr"),
+            m.getItem("err_code").alias("err_attr"),
+        )
+
+    reg(
+        "t_route_statement",
+        t_route_statement,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+       NULL::VARCHAR AS tool_attr,
+       err_code AS err_attr
+FROM parsed WHERE tool_name = 'bash'""",
+    )
 
 
 # ---------------------------------------------------------------------------
