@@ -711,6 +711,29 @@ def _pr_deltatocumulative(df: DataFrame, cfg: dict) -> DataFrame:
     )
 
 
+def _pr_interval(df: DataFrame, cfg: dict) -> DataFrame:
+    """interval processor (processor/intervalprocessor/processor.go:
+    97-231): keep the LAST datapoint per stream identity per interval."""
+    from .operators.aggregate import interval_last
+
+    iv = cfg.get("interval", "60s")
+    if isinstance(iv, str):
+        unit = {"s": 1, "m": 60, "h": 3600}.get(iv[-1])
+        if unit is None:
+            raise ConfigError(f"interval {iv!r}: use <n>s/<n>m/<n>h")
+        seconds = int(float(iv[:-1]) * unit)
+    else:
+        seconds = int(iv)
+    return interval_last(
+        df,
+        keys=list(cfg.get("keys", ["conv_id"])),
+        seq_col=cfg.get("seq_col", "turn_idx"),
+        value_cols=list(cfg.get("value_cols", ["dur_ms"])),
+        ts_col=cfg.get("ts_col", "ts"),
+        interval_seconds=seconds,
+    )
+
+
 def _pr_deltatorate(df: DataFrame, cfg: dict) -> DataFrame:
     from .operators.aggregate import delta_to_rate
 
@@ -739,6 +762,7 @@ _PROCESSORS = {
     "cumulativetodelta": _pr_cumulativetodelta,
     "deltatocumulative": _pr_deltatocumulative,
     "deltatorate": _pr_deltatorate,
+    "interval": _pr_interval,
     "batch": lambda df, cfg: df,
 }
 

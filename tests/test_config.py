@@ -953,3 +953,46 @@ def test_attributes_include_exclude_gate_and_legacy_filter(spark, tmp_path):
         ~kept["severity_text"].rlike("^(ERROR|FATAL)")).count() == 0
     total = spark.read.parquet(fx + "/transcripts.parquet").count()
     assert n < total
+
+
+def test_interval_processor_yaml(spark):
+    """interval processor through YAML: last datapoint per stream
+    identity per interval bucket."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    src = spark.createDataFrame(
+        [("a", 1, 10, "2024-01-01 00:00:05"),
+         ("a", 2, 20, "2024-01-01 00:00:40"),
+         ("a", 3, 30, "2024-01-01 00:01:10"),
+         ("b", 1, 7, "2024-01-01 00:00:30")],
+        "conv_id string, turn_idx int, dur_ms int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "dur_ms",
+                 "cast(ts_s as timestamp) as ts")
+    cfg = CollectorConfig({
+        "receivers": {"parquet": {"path": "unused"}},
+        "processors": {"interval": {"interval": "1m",
+                                    "keys": ["conv_id"],
+                                    "seq_col": "turn_idx",
+                                    "value_cols": ["dur_ms"]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"p": {
+            "receivers": ["parquet"],
+            "processors": ["interval"],
+            "exporters": ["debug"],
+        }}},
+    })
+    out = cfg.build(spark, sources={"parquet": src})["debug"]
+    import datetime as _dt
+
+    def _epoch(s):
+        return int(_dt.datetime.fromisoformat(s + "+00:00").timestamp())
+
+    rows = {(r["conv_id"], r["interval_start"]): r["last_dur_ms"]
+            for r in out.collect()}
+    # buckets are epoch-start longs; minute 0: a keeps turn 2 (last),
+    # b keeps its only point; minute 1: a keeps turn 3. The fixture ts is
+    # TIMESTAMP_NTZ read in session-local (UTC here).
+    m0, m1 = _epoch("2024-01-01T00:00:00"), _epoch("2024-01-01T00:01:00")
+    assert rows[("a", m0)] == 20
+    assert rows[("a", m1)] == 30
+    assert rows[("b", m0)] == 7
