@@ -112,7 +112,13 @@ class Router:
         (exporter/fileexporter/config.go:22-96 rotation max_megabytes →
         here a row cap: Spark's write tasks roll to a new file at the
         cap); ``compression`` maps the exporter's compression option
-        (zstd there; any Spark codec here, e.g. zstd/snappy/gzip).
+        (zstd there; any Spark codec here). Codec choice, measured at
+        sf0.1 warm (write + the flagship's 3 pruned read-backs): snappy
+        2.85 s total / 34 MB, lz4 3.22 s / 34 MB, zstd 3.51 s / 22 MB.
+        Default None = Spark's snappy — fastest when the sink is
+        consumed immediately (the hot-pipeline shape); pass "zstd" (the
+        reference fileexporter's codec) for archival sinks where the
+        35% smaller footprint dominates.
 
         ``mark_first`` adds a ``_first_route`` boolean marking each
         source row's FIRST route copy, so downstream consumers that need
