@@ -523,7 +523,11 @@ def _pr_attributes(df: DataFrame, cfg: dict) -> DataFrame:
         ))
     from .operators.filter import include_exclude_gate
 
-    return apply_actions(df, actions, where=include_exclude_gate(cfg))
+    try:
+        gate = include_exclude_gate(cfg)
+    except ValueError as e:  # bad match_type / empty property set
+        raise ConfigError(str(e)) from e
+    return apply_actions(df, actions, where=gate)
 
 
 def _pr_resource(df: DataFrame, cfg: dict) -> DataFrame:
@@ -551,11 +555,14 @@ def _pr_filter(df: DataFrame, cfg: dict) -> DataFrame:
         )
 
         inc, exc = logs.get("include"), logs.get("exclude")
-        return filter_include_exclude(
-            df,
-            include=match_properties_condition(inc) if inc else None,
-            exclude=match_properties_condition(exc) if exc else None,
-        )
+        try:
+            return filter_include_exclude(
+                df,
+                include=match_properties_condition(inc) if inc else None,
+                exclude=match_properties_condition(exc) if exc else None,
+            )
+        except ValueError as e:  # bad match_type / empty property set
+            raise ConfigError(str(e)) from e
     if not conds:
         raise ConfigError("filter processor needs logs.log_conditions")
     return filter_ottl(
@@ -718,10 +725,20 @@ def _pr_interval(df: DataFrame, cfg: dict) -> DataFrame:
 
     iv = cfg.get("interval", "60s")
     if isinstance(iv, str):
-        unit = {"s": 1, "m": 60, "h": 3600}.get(iv[-1])
-        if unit is None:
-            raise ConfigError(f"interval {iv!r}: use <n>s/<n>m/<n>h")
-        seconds = int(float(iv[:-1]) * unit)
+        # Go duration forms incl. compounds: "90s", "1m30s", "500ms", "2h"
+        import re as _re
+
+        parts = _re.findall(r"(\d+(?:\.\d+)?)(ms|s|m|h)", iv)
+        if not parts or "".join(n + u for n, u in parts) != iv:
+            raise ConfigError(
+                f"interval {iv!r}: use Go duration units ms/s/m/h"
+            )
+        unit_s = {"ms": 0.001, "s": 1, "m": 60, "h": 3600}
+        seconds = int(sum(float(n) * unit_s[u] for n, u in parts))
+        if seconds < 1:
+            raise ConfigError(
+                f"interval {iv!r} is below the 1s batch-bucket floor"
+            )
     else:
         seconds = int(iv)
     return interval_last(
@@ -972,8 +989,7 @@ class CollectorConfig:
                 from .ottl.compiler import compile_routing_statement
 
                 cond, mutate = compile_routing_statement(
-                    entry["statement"], _ottl_ctx(
-                        ccfg.get("error_mode", "ignore"))
+                    entry["statement"], ctx
                 )
                 routes.append(Route(rid, cond))
                 if mutate is not None:

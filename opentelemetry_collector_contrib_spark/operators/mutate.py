@@ -51,7 +51,16 @@ def apply_actions(
     (attributes_log.go:34-45 via internal/filter skipExpr): when given,
     every action applies only on matching rows — non-matching rows keep
     their attributes untouched. Compose it from filter_include_exclude's
-    condition builders (include → gate, exclude → ~gate)."""
+    condition builders (include → gate, exclude → ~gate).
+
+    The gate is materialized ONCE before the action loop — the reference
+    evaluates skipExpr against the record as it arrived, so a gate that
+    matches on attributes the actions themselves mutate must not
+    re-evaluate against the half-mutated map."""
+    gate_col = None
+    if where is not None:
+        gate_col = "__gate"
+        df = df.withColumn(gate_col, F.coalesce(where, F.lit(False)))
     for a in actions:
         m = F.col(attrs_col)
         if a.action == "insert":
@@ -112,9 +121,11 @@ def apply_actions(
             )
         else:
             raise ValueError(f"unknown action {a.action!r}")
-        if where is not None:
-            new = F.when(F.coalesce(where, F.lit(False)), new).otherwise(m)
+        if gate_col is not None:
+            new = F.when(F.col(gate_col), new).otherwise(m)
         df = df.withColumn(attrs_col, new)
+    if gate_col is not None:
+        df = df.drop(gate_col)
     return df
 
 

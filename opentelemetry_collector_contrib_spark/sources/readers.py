@@ -236,7 +236,16 @@ def read_lines_with_header(
     if exclude:
         paths = _apply_exclude(paths, exclude)
     norm = codecs.lookup(encoding).name
-    lines = _read_lines_decoded(spark, paths, norm)
+    # three consumers follow (header-end aggregate, header-attribute
+    # aggregate, body pass) — persist the decoded scan so the whole-file
+    # Python decode runs ONCE per file like the reference's sequential
+    # reader, instead of once per consumer. Spills to disk when the
+    # corpus outgrows executor memory.
+    from pyspark import StorageLevel
+
+    lines = _read_lines_decoded(spark, paths, norm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     hdr_end = (
         lines.filter(~F.col("body").rlike(header_pattern))

@@ -71,3 +71,34 @@ def test_exclude_gate_is_negated_include(df):
     )
     got = _attrs(out)
     assert "seen" not in got["user"] and got["assistant"]["seen"] == "y"
+
+
+def test_actions_gate_evaluated_once_before_mutations(spark):
+    """The include/exclude record gate must see the record AS IT ARRIVED
+    (attributes_log.go skipExpr runs once): a gate matching on an
+    attribute an earlier action deletes still admits later actions."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.filter import (
+        include_exclude_gate,
+    )
+    from opentelemetry_collector_contrib_spark.operators.mutate import (
+        Action,
+        apply_actions,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", {"x": "1"}), ("r2", {"other": "z"})],
+        "id string, attributes map<string,string>",
+    )
+    gate = include_exclude_gate({
+        "include": {"match_type": "strict", "attributes": [{"key": "x"}]},
+    })
+    out = {r["id"]: r["attributes"] for r in apply_actions(
+        df,
+        [Action("delete", key="x"),
+         Action("upsert", key="y", value=F.lit("set"))],
+        where=gate,
+    ).collect()}
+    assert out["r1"] == {"y": "set"}   # x deleted AND y still inserted
+    assert out["r2"] == {"other": "z"}  # gated out: untouched

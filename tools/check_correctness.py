@@ -15,6 +15,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+# keep the two tiers consistent: the transcript-oracle SQL bakes its
+# fixture tier from SPARK_GRAFT_ORACLE_SF at queries.py import — default
+# it to SF_DIR's tag so a 10x replay can't silently compare cross-tier
+os.environ.setdefault(
+    "SPARK_GRAFT_ORACLE_SF", os.path.basename(os.path.normpath(SF_DIR))
+)
 
 _TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings"]
@@ -85,8 +91,16 @@ def main(only: list[str]) -> int:
     worker.start()
 
     def run_oracle(sql: str):
+        import queue as _queue
+
         task_q.put(sql)
-        return result_q.get()
+        while True:
+            try:
+                return result_q.get(timeout=30)
+            except _queue.Empty:
+                if not worker.is_alive():
+                    return ("err",
+                            "oracle worker died (see stderr above)", None)
 
     fails = 0
     for name, fn in qs.items():
