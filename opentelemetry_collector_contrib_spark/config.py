@@ -187,6 +187,29 @@ def _rx_filelog(
         from .sources.readers import _apply_exclude
 
         paths = _apply_exclude(paths, exclude)
+    def _file_attrs(df: DataFrame) -> DataFrame:
+        """fileconsumer/attrs/attrs.go:36-46 + stanza input attributes/
+        resource stamps: log.file.name (basename, default ON) and
+        log.file.path (default OFF) as record attributes, plus static
+        receiver-level attribute/resource maps."""
+        pairs: list = []
+        if cfg.get("include_file_name", True):
+            pairs += [F.lit("log.file.name"),
+                      F.element_at(F.split(F.col("source_file"), "/"), -1)]
+        if cfg.get("include_file_path", False):
+            pairs += [F.lit("log.file.path"), F.col("source_file")]
+        for k, v in (cfg.get("attributes") or {}).items():
+            pairs += [F.lit(k), F.lit(str(v))]
+        if pairs:
+            df = df.withColumn("attributes", F.create_map(*pairs))
+        res = cfg.get("resource") or {}
+        if res:
+            df = df.withColumn("resource", F.create_map(
+                *[x for k, v in res.items()
+                  for x in (F.lit(k), F.lit(str(v)))]
+            ))
+        return df
+
     hdr = cfg.get("header") or {}
     if hdr:
         # config.go:237-244 validation: pattern + ≥1 metadata operator;
@@ -200,22 +223,22 @@ def _rx_filelog(
                 "filelog header requires at least one operator in "
                 "`metadata_operators`"
             )
-        return read_lines_with_header(
+        return _file_attrs(read_lines_with_header(
             spark, paths,
             header_pattern=hdr["pattern"],
             apply_metadata_ops=lambda d: _apply_stanza_operators(d, mops),
             encoding=encoding,
             multiline=cfg.get("multiline"),
-        )
+        ))
     ml = cfg.get("multiline") or {}
     if ml:
-        return read_lines_multiline(
+        return _file_attrs(read_lines_multiline(
             spark, paths,
             line_start_pattern=ml.get("line_start_pattern"),
             line_end_pattern=ml.get("line_end_pattern"),
             encoding=encoding,
-        )
-    return read_lines(spark, paths, encoding=encoding)
+        ))
+    return _file_attrs(read_lines(spark, paths, encoding=encoding))
 
 
 def _rx_otlpjsonfile(

@@ -996,3 +996,30 @@ def test_interval_processor_yaml(spark):
     assert rows[("a", m0)] == 20
     assert rows[("a", m1)] == 30
     assert rows[("b", m0)] == 7
+
+
+def test_filelog_file_attrs_and_static_stamps(spark, tmp_path):
+    """fileconsumer/attrs/attrs.go:36-46: log.file.name (basename) is ON
+    by default, log.file.path opt-in; receiver-level static attributes/
+    resource maps stamp every record."""
+    from opentelemetry_collector_contrib_spark.config import _rx_filelog
+
+    p = tmp_path / "app.log"
+    p.write_text("one\ntwo\n")
+    df = _rx_filelog(spark, {
+        "include": [str(p)],
+        "include_file_path": True,
+        "attributes": {"env": "prod"},
+        "resource": {"service.name": "edge"},
+    })
+    rows = df.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["attributes"]["log.file.name"] == "app.log"
+        assert r["attributes"]["log.file.path"].endswith("app.log")
+        assert r["attributes"]["env"] == "prod"
+        assert r["resource"]["service.name"] == "edge"
+    # include_file_name: false drops the name attribute entirely
+    df2 = _rx_filelog(spark, {"include": [str(p)],
+                              "include_file_name": False})
+    assert "attributes" not in df2.columns
