@@ -15,16 +15,27 @@ receivers    transcripts {path}        parse_transcripts → canonical log
                                        shape (body/ts/severity/attributes/
                                        resource + typed side columns)
              parquet {path}            raw table scan
+             filelog {include, exclude, encoding, multiline, header,
+                      include_file_name, include_file_path, attributes,
+                      resource}        distributed line scan; header
+                                       metadata attach; per-file
+                                       log.file.* attributes
+             otlpjsonfile {include, typed, envelope}
              + `operators:` stanza chain on any receiver (filelog-style):
                regex/json/csv/jsonarray/keyvalue/time/severity/trace/uri/
                container/syslog parsers (each honoring the embedded
                timestamp/severity/trace/scope_name sub-parser blocks of
                helper/parser.go:85-188) and add/copy/move/remove/retain/
                unquote/filter/noop transformers
-processors   attributes {actions}      attraction.go action list
+processors   attributes {actions, include, exclude}
+                                       attraction.go action list, gated
+                                       by filterset match properties
              resource {attributes}     resourcedetection-style merge
-             filter {logs.log_conditions, error_mode, logic_op}
-             transform {log_statements, conditions, error_mode}
+             filter {logs.log_conditions | logs.include/exclude,
+                     error_mode, logic_op}
+             transform {log_statements (flat, grouped, or per-group
+                        context: log/resource/scope), conditions,
+                        error_mode}
              groupbyattrs {keys}
              redaction {allowed_keys, ignored_keys, blocked_values,
                         summary, allow_all_keys}
@@ -38,10 +49,14 @@ processors   attributes {actions}      attraction.go action list
              cumulativetodelta {keys, value_col, order_by, to}
              deltatocumulative {keys, value_col, order_by, to}
              deltatorate {keys, value_col, ts_col, order_by, to}
+             interval {interval, keys, seq_col, value_cols, ts_col}
              batch                      no-op (partitioning is a sink
                                         concern in Spark)
-connectors   routing {table: [{condition, pipelines}], default_pipelines,
-                      match_once}
+connectors   routing {table: [{condition | statement, pipelines}],
+                      default_pipelines, match_once}  statement form
+                      routes on the where clause and applies a mutating
+                      editor to the routed copy
+             forward                    merge/chain pipelines unchanged
              count {dims, conditions}
              sum {source_attribute, dims}
              percentile {source_attribute, dims, percentiles, approx}
