@@ -236,3 +236,39 @@ def test_otlp_record_roundtrip_through_spark(spark, tree):
 
     _, back = _any_value_plain(rec2.get("body", {}))
     assert back == tree
+
+
+@given(
+    ids=st.lists(
+        st.text(st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=12),
+        min_size=1, max_size=40, unique=True,
+    ),
+    seed=st.integers(0, 2**31),
+    buckets=st.integers(1, 8),
+)
+@_SET
+def test_seeded_shuffle_is_exact_global_rank(spark, ids, seed, buckets):
+    """Law: for ANY doc-id set, seed, and bucket count, the distributed
+    two-phase rank equals the exact global orderBy(md5(seed|id)) rank —
+    the bucket decomposition must be invisible in the result."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_contrib_spark.textops import seeded_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in seeded_shuffle(
+            docs, seed=seed, num_partitions=buckets
+        ).collect()
+    }
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("doc_id")))
+    exact = {
+        r["doc_id"]: r["rank"]
+        for r in docs.select(
+            "doc_id",
+            (F.row_number().over(W.orderBy(key)) - 1).alias("rank"),
+        ).collect()
+    }
+    assert got == exact
