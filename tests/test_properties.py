@@ -272,3 +272,42 @@ def test_seeded_shuffle_is_exact_global_rank(spark, ids, seed, buckets):
         ).collect()
     }
     assert got == exact
+
+
+@given(
+    texts=st.lists(
+        st.text("ab ", min_size=1, max_size=30),
+        min_size=1, max_size=30,
+    ),
+    budget=st.integers(1, 16),
+    buckets=st.integers(1, 6),
+)
+@_SET
+def test_pack_sequences_matches_exact_prefix_sum(spark, texts, budget, buckets):
+    """Law: for ANY corpus, budget, and partition count, the two-phase
+    pack (id, offset) equals the exact single-window prefix sum — the
+    localCheckpoint-pinned range split must be invisible."""
+    from pyspark.sql import Window as W
+
+    from opentelemetry_collector_contrib_spark.textops import pack_sequences
+
+    rows = [(f"d{i:03d}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            docs, budget=budget, num_partitions=buckets
+        ).collect()
+    }
+    from opentelemetry_collector_contrib_spark.textops import _words
+
+    toks = F.size(_words(F.col("text"))).cast("long")  # the impl's tokenizer
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    exact = {
+        r["doc_id"]: (r["prev"] // budget, r["prev"] % budget)
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("prev"),
+        ).collect()
+    }
+    assert got == exact
