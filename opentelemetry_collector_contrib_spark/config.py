@@ -492,19 +492,25 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
             else:
                 df = mutate.move(df, frm, dst)
         elif typ == "remove":
+            field = _field(op, "field")
             if pred is not None:
-                raise ConfigError(
-                    "`if` is not supported on column-level op 'remove'"
-                )
-            df = mutate.remove(df, _field(op, "field"))
+                # helper/transformer.go Skip: rows failing `if` pass
+                # through untouched; a flattened schema cannot drop a
+                # column per-row, so the field is nulled where removed
+                if field in df.columns:
+                    df = df.withColumn(field, F.when(~pred, F.col(field)))
+            else:
+                df = mutate.remove(df, field)
         elif typ == "retain":
+            kept = [_strip_field(x) for x in op["fields"]]
             if pred is not None:
-                raise ConfigError(
-                    "`if` is not supported on column-level op 'retain'"
-                )
-            df = mutate.retain(
-                df, [_strip_field(x) for x in op["fields"]]
-            )
+                # same per-row form: non-retained fields nulled where
+                # `if` matches, schema unchanged (see move above)
+                for c in df.columns:
+                    if c not in kept:
+                        df = df.withColumn(c, F.when(~pred, F.col(c)))
+            else:
+                df = mutate.retain(df, kept)
         elif typ == "unquote":
             field = _field(op, "field")
             if pred is not None:

@@ -518,27 +518,33 @@ def test_stanza_if_on_mutations(spark, tmp_path):
     assert rows["a"]["id2"] is None and rows["b"]["id2"] == "b"
 
 
-def test_stanza_if_rejected_on_column_level_ops(spark, tmp_path):
-    import pytest as _pytest
+def test_stanza_if_on_remove_and_retain(spark, tmp_path):
+    """helper/transformer.go Skip: rows failing `if` pass through
+    untouched; matched rows have the field removed (nulled — a
+    flattened schema cannot drop a column per-row)."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
 
-    from opentelemetry_collector_contrib_spark.config import (
-        CollectorConfig, ConfigError,
-    )
-
-    src = str(tmp_path / "ifrej")
-    spark.createDataFrame([("a", "b")], "id string, x string").write.mode(
-        "overwrite").parquet(src)
-    cc = CollectorConfig({
+    src = str(tmp_path / "ifcol")
+    spark.createDataFrame(
+        [("a", "x1", "y1"), ("b", "x2", "y2")],
+        "id string, x string, y string",
+    ).write.mode("overwrite").parquet(src)
+    out = CollectorConfig({
         "receivers": {"parquet": {"path": src, "operators": [
             {"type": "remove", "field": "x", "if": "id = 'a'"},
+            {"type": "retain", "fields": ["id", "x"], "if": "id = 'b'"},
         ]}},
         "exporters": {"debug": {}},
         "service": {"pipelines": {"logs/in": {
             "receivers": ["parquet"], "exporters": ["debug"],
         }}},
-    })
-    with _pytest.raises(ConfigError, match="not supported on column-level"):
-        cc.run(spark)
+    }).run(spark)["debug"]
+    rows = {r["id"]: r for r in out.collect()}
+    # remove gated on id='a': x nulled for a, intact for b
+    assert rows["a"]["x"] is None and rows["b"]["x"] == "x2"
+    # retain [id, x] gated on id='b': y nulled for b, intact for a;
+    # schema keeps all columns (per-row form)
+    assert rows["b"]["y"] is None and rows["a"]["y"] == "y1"
 
 
 def test_new_connectors_and_deltatorate(spark, tmp_path):
