@@ -363,8 +363,9 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
       reference — same documented deviation as EXPR() values). The
       operator is SKIPPED for non-matching rows: parsers see a nulled
       source (outputs null, row passes through untouched), mutations
-      write conditionally. Column-level ops (remove/retain) cannot be
-      row-conditional in a flattened schema and reject ``if``.
+      write conditionally. Column-level ops (remove/retain) null the
+      affected fields per-row (a flattened schema cannot drop a column
+      per-row); trace_parser blends its three outputs per-row.
     - ``on_error`` ∈ send/send_quiet/drop/drop_quiet: send keeps the
       row with null parse outputs (null-safe extraction — the default);
       drop removes rows the parser was applied to but produced nothing.
@@ -384,8 +385,10 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
         if on_error not in ("send", "send_quiet", "drop", "drop_quiet"):
             raise ConfigError(f"unknown on_error {on_error!r}")
         # stanza `if` on a parser: null the source for skipped rows —
-        # null in → null out, row intact (helper/transformer.go Skip)
-        if pred is not None and typ in _PARSER_TYPES:
+        # null in → null out, row intact (helper/transformer.go Skip).
+        # trace_parser reads its own fields, not `src` — handled in
+        # its branch by blending outputs per-row instead
+        if pred is not None and typ in _PARSER_TYPES and typ != "trace_parser":
             df = df.withColumn("__if_src", F.when(pred, F.col(src)))
             src = "__if_src"
         before_cols = set(df.columns)
@@ -424,11 +427,27 @@ def _apply_stanza_operators(df: DataFrame, ops) -> DataFrame:
             df = parse.severity_parser(df, src, mapping=op.get("mapping"))
         elif typ == "trace_parser":
             if pred is not None:
-                raise ConfigError(
-                    "`if` is not supported on trace_parser (it reads "
-                    "its own trace_id/span_id/trace_flags fields)"
-                )
-            df = _apply_sub_parsers(df, {"trace": op})
+                # snapshot the predicate and prior outputs BEFORE the
+                # parse (both must see pre-op values), then blend:
+                # matched rows take the parsed value, skipped rows keep
+                # their original trace_id/span_id/flags untouched
+                outs = ("trace_id", "span_id", "flags")
+                df = df.withColumn("__tp_if", pred)
+                keep = {c: f"__tp_{c}" for c in outs if c in df.columns}
+                for c, k in keep.items():
+                    df = df.withColumn(k, F.col(c))
+                df = _apply_sub_parsers(df, {"trace": op})
+                for c in outs:
+                    if c in df.columns:
+                        orig = F.col(keep[c]) if c in keep else F.lit(None)
+                        df = df.withColumn(
+                            c,
+                            F.when(F.col("__tp_if"), F.col(c))
+                            .otherwise(orig),
+                        )
+                df = df.drop("__tp_if", *keep.values())
+            else:
+                df = _apply_sub_parsers(df, {"trace": op})
         elif typ == "uri_parser":
             df = parse.uri_parser(df, src)
         elif typ == "container":

@@ -547,6 +547,34 @@ def test_stanza_if_on_remove_and_retain(spark, tmp_path):
     assert rows["b"]["y"] is None and rows["a"]["y"] == "y1"
 
 
+def test_stanza_if_on_trace_parser(spark, tmp_path):
+    """Gated trace_parser: matched rows get parsed/validated ids,
+    skipped rows keep their pre-existing trace_id untouched (even an
+    invalid one the parser would have nulled)."""
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    src = str(tmp_path / "iftrace")
+    good = "a" * 32
+    spark.createDataFrame(
+        [("a", good, 1), ("b", "not-hex", 2)],
+        "id string, tid string, n int",
+    ).write.mode("overwrite").parquet(src)
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src, "operators": [
+            {"type": "copy", "from": "tid", "to": "trace_id"},
+            {"type": "trace_parser",
+             "trace_id": {"parse_from": "tid"}, "if": "n = 1"},
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["trace_id"] == good          # parsed + validated
+    assert rows["b"]["trace_id"] == "not-hex"     # skipped: untouched
+
+
 def test_new_connectors_and_deltatorate(spark, tmp_path):
     """percentile / sliding_count / session connectors and the
     deltatorate processor compose through the YAML front end."""
