@@ -311,8 +311,6 @@ class Context:
             # slice element set on the physical column itself (internal/
             # value.go SetIndexableValue: out-of-range / nil slice errors)
             idx = keys[0]
-            if len(keys) > 1:
-                raise OTTLError("nested set under a slice index not supported")
             dt = df.schema[col].dataType if col in df.columns else None
             if isinstance(dt, T.ArrayType):
                 cur = F.col(col)
@@ -320,13 +318,31 @@ class Context:
                     cur.isNull() | (F.size(cur) <= F.lit(idx)),
                     f"index {idx} out of bounds",
                 )
+                if len(keys) > 1:
+                    # nested set below a native array element: elements
+                    # must carry the erased JSON convention (strings) —
+                    # a typed non-string element cannot hold a map/slice
+                    if not isinstance(dt.elementType, T.StringType):
+                        raise OTTLError(
+                            "nested set under a non-string typed slice"
+                        )
+                    newv = self._erased_set_deep(
+                        F.get(cur, idx), keys[1:], value
+                    )
+                else:
+                    newv = value.cast(dt.elementType.simpleString())
                 _, cond = self._fold_failures(None, cond)
-                elem = dt.elementType.simpleString()
                 new = F.transform(
                     cur,
-                    lambda x, j: F.when(j == F.lit(idx), value.cast(elem))
-                    .otherwise(x),
+                    lambda x, j: F.when(j == F.lit(idx), newv).otherwise(x),
                 )
+            elif len(keys) > 1:
+                # type-erased slice with nested keys: _erased_set_deep's
+                # int arm does the parse + bounds check + deep rebuild
+                new = self._erased_set_deep(
+                    F.col(col).cast("string"), keys, value
+                )
+                _, cond = self._fold_failures(None, cond)
             else:
                 # type-erased slice: JSON array string (see _ed_append)
                 parsed = F.from_json(F.col(col).cast("string"),

@@ -414,6 +414,44 @@ def test_slice_index_set(log_df):
     assert out2["attributes"]["list"] == '["a","b"]'
 
 
+def test_nested_set_under_slice_index(log_df):
+    """set below a slice element (value.go SetIndexableValue recursing
+    into a map element) — previously raised as unsupported."""
+    import json as _json
+
+    df = compile_statement('append(attributes["list"], ["a", "b"])')(log_df)
+    out = one(compile_statement('set(attributes["list"][1]["k"], "v")')(df))
+    lst = _json.loads(out["attributes"]["list"])
+    assert lst[0] == "a" and _json.loads(lst[1]) == {"k": "v"}
+    # the getter reads the nested write back
+    got = one(compile_statement(
+        'set(attributes["back"], attributes["list"][1]["k"])')(
+        compile_statement('set(attributes["list"][1]["k"], "v")')(df)))
+    assert got["attributes"]["back"] == "v"
+    # out-of-range nested set skips in ignore mode
+    oob = one(compile_statement('set(attributes["list"][9]["k"], "v")')(df))
+    assert _json.loads(oob["attributes"]["list"]) == ["a", "b"]
+
+
+def test_nested_set_under_native_array_column(spark):
+    import json as _json
+
+    schema = T.StructType([
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("nums", T.ArrayType(T.IntegerType())),
+    ])
+    df = spark.createDataFrame([(['{"a":"1"}', "y"], [1, 2])], schema)
+    ctx = Context(path_map={"tags": "tags", "nums": "nums"},
+                  path_types={"tags": "array", "nums": "array"})
+    got = compile_statement('set(tags[0]["b"], "2")', ctx)(df).collect()[0]
+    assert _json.loads(got["tags"][0]) == {"a": "1", "b": "2"}
+    assert got["tags"][1] == "y"
+    # a typed non-string element cannot hold a nested map
+    ctx2 = Context(path_map={"nums": "nums"}, path_types={"nums": "array"})
+    with pytest.raises(Exception, match="non-string typed slice"):
+        compile_statement('set(nums[0]["k"], "v")', ctx2)(df)
+
+
 def test_slice_index_array_column(spark):
     # a natively array-typed column indexes without the JSON lift (declared
     # via path_types) and sets element-wise preserving the element type
