@@ -3267,3 +3267,47 @@ FROM events""",
        event_type AS msg
 FROM events""",
     )
+
+    # ---- t_ottl_slice_set: nested set below a slice element
+    # (internal/value.go SetIndexableValue recursing into a map held by
+    # a slice): append builds the type-erased list, set(tags[1]["seen"])
+    # rebuilds element 1 as a JSON object, the out-of-range set is an
+    # ignore-mode statement error (no-op), and the getter reads the
+    # nested write back — each reproduced exactly in the SQL oracle.
+    def t_ottl_slice_set(spark, sf_dir):
+        from .ottl import StatementSequence
+
+        df = _parsed(spark, sf_dir)
+        logdf = df.select(
+            "conv_id", "turn_idx",
+            F.col("text").alias("body"),
+            F.map_filter(
+                F.create_map(F.lit("role"), F.col("role")),
+                lambda k, v: v.isNotNull(),
+            ).alias("attributes"),
+        )
+        seq = StatementSequence([
+            'append(attributes["tags"], attributes["role"])',
+            'append(attributes["tags"], "x")',
+            'set(attributes["tags"][1]["seen"], "1")',
+            'set(attributes["tags"][9], "never")',
+            'set(attributes["seen"], attributes["tags"][1]["seen"])',
+        ], error_mode="ignore")
+        out = seq.apply(logdf)
+        a = F.col("attributes")
+        return out.select(
+            "conv_id", "turn_idx",
+            a["tags"].alias("tags"),
+            a["seen"].alias("seen"),
+        )
+
+    reg(
+        "t_ottl_slice_set",
+        t_ottl_slice_set,
+        f"""WITH {_parsed_cte()}
+SELECT conv_id, turn_idx,
+  CASE WHEN role IS NULL THEN NULL
+       ELSE '["' || role || '","{{\\"seen\\":\\"1\\"}}"]' END AS tags,
+  CASE WHEN role IS NULL THEN NULL ELSE '1' END AS seen
+FROM parsed""",
+    )
