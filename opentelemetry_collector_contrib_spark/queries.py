@@ -2569,6 +2569,92 @@ FROM base""",
 SELECT q_id, vec_id, cos_sim, rn::INT AS rn FROM ranked WHERE rn <= 5""",
     )
 
+    # ---- s_pq_codes / s_pq_topk: product quantization (ADC) ---------------
+    # The compressed-domain ANN arm next to LSH and IVF: m=8 subspaces ×
+    # k=16 codewords over dim-64 → 8 small ints per vector (32× smaller
+    # than float32), encode = ONE pandas-UDF projection, query = per-query
+    # (m × k) LUT gather over codes only (Jégou et al. ADC). Seed
+    # codebooks (k lowest vec_ids, code = rank) keep the oracle exact;
+    # `pq_fit` is the trained path (pytest-pinned, not SQL-expressible).
+    # Shared determinism contract (similarity.py _pq_encode_udf): L2 folds
+    # dim-at-a-time left-to-right, argmin ties → lowest code, ADC sums
+    # subspaces in order — bit-identical to the list_reduce oracle.
+    _PQ_CODES_CTE = """seeds AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+), subs AS (SELECT unnest(range(8)) AS sub),
+cb AS (
+  SELECT s.sub, seeds.code,
+         list_slice(seeds.v, s.sub*8 + 1, s.sub*8 + 8) AS cvec
+  FROM seeds, subs s
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), subv AS (
+  SELECT c.vec_id, s.sub, list_slice(c.v, s.sub*8 + 1, s.sub*8 + 8) AS sv
+  FROM corpus c, subs s
+), codes AS (
+  SELECT sv.vec_id, sv.sub,
+    (SELECT b.code FROM cb b WHERE b.sub = sv.sub
+     ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(sv.sv, b.cvec),
+          t -> (t[1] - t[2]) * (t[1] - t[2]))),
+        (a, x) -> a + x) ASC, b.code ASC
+     LIMIT 1) AS code
+  FROM subv sv
+)"""
+
+    def s_pq_codes(spark, sf_dir):
+        from .similarity import pq_codes
+
+        return pq_codes(_emb(spark, sf_dir), m=8, k=16).select(
+            "vec_id", F.posexplode("codes").alias("sub", "code")
+        )
+
+    reg(
+        "s_pq_codes",
+        s_pq_codes,
+        f"""WITH {_PQ_CODES_CTE}
+SELECT vec_id, sub::INT AS sub, code::BIGINT AS code FROM codes""",
+    )
+
+    def s_pq_topk(spark, sf_dir):
+        from .similarity import pq_topk
+
+        return pq_topk(_emb(spark, sf_dir), [0, 1, 2], m=8, k=16)
+
+    reg(
+        "s_pq_topk",
+        s_pq_topk,
+        f"""WITH {_PQ_CODES_CTE}, q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), qsub AS (
+  SELECT q.q_id, s.sub, list_slice(q.qv, s.sub*8 + 1, s.sub*8 + 8) AS sv
+  FROM q, subs s
+), lut AS (
+  SELECT qs.q_id, qs.sub, b.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(qs.sv, b.cvec),
+        t -> (t[1] - t[2]) * (t[1] - t[2]))),
+      (a, x) -> a + x) AS d2
+  FROM qsub qs JOIN cb b ON b.sub = qs.sub
+), adist AS (
+  SELECT l.q_id, c.vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(l.d2 ORDER BY l.sub)),
+                (a, x) -> a + x) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc_dist, rn::INT AS rn FROM (
+  SELECT q_id, vec_id, round(adc, 4) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q_id ORDER BY round(adc, 4) ASC, vec_id ASC) AS rn
+  FROM adist WHERE vec_id != q_id)
+WHERE rn <= 5""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # scale paths: full LSH dedup pipeline, ANN pair generation, kNN join,

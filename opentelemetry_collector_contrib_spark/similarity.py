@@ -391,3 +391,258 @@ def embedding_dedup_survivors(
         F.col("doc_id").alias("vec_id"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-domain ANN path
+# ---------------------------------------------------------------------------
+
+def _pq_seed_codebooks(emb: DataFrame, m: int, k: int, vec_col: str):
+    """Deterministic seed codebooks: the k lowest-vec_id corpus vectors,
+    each split into m contiguous subvectors → (m, k, d_sub) float64.
+    Code id = rank in that ordering (0-based), NOT vec_id — robust to
+    sparse id spaces. Like the IVF seed centroids, this is the
+    oracle-reproducible stand-in for offline training (`pq_fit` is the
+    trained path; plan shape is identical either way)."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id").limit(k).select("vec_id", vec_col).collect()
+    )
+    mat = np.array(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    kk, dim = mat.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return mat.reshape(kk, m, d_sub).transpose(1, 0, 2).copy()
+
+
+def _pq_encode_udf(codebooks, with_err: bool = False):
+    """ONE Arrow-batched pandas UDF encoding a vector batch against the
+    (m, k, d_sub) codebook tensor riding its closure (kilobytes shipped
+    once per task — the broadcast pattern, never a literal-inlined
+    Catalyst tree; cf. the round-2 IVF lesson, similarity.py ivf_topk).
+
+    Determinism contract with the DuckDB oracle: per-subspace squared-L2
+    is accumulated DIMENSION-AT-A-TIME (the same left-to-right fold
+    order as list_reduce over list_zip), and argmin ties resolve to the
+    LOWEST code id (np.argmin first-hit == ORDER BY d2 ASC, code ASC)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    m, _, d_sub = cbs.shape
+
+    def _enc(vecs):
+        a = np.array(vecs.tolist(), dtype=np.float64)  # (B, dim)
+        sub = a.reshape(a.shape[0], m, d_sub)
+        codes = np.zeros((a.shape[0], m), dtype=np.int64)
+        err = np.zeros(a.shape[0])
+        for j in range(m):
+            d2 = np.zeros((a.shape[0], cbs.shape[1]))
+            for i in range(d_sub):  # dim-at-a-time == SQL fold order
+                diff = sub[:, j, i][:, None] - cbs[j][:, i][None, :]
+                d2 += diff * diff
+            codes[:, j] = d2.argmin(axis=1)
+            err += d2[np.arange(a.shape[0]), codes[:, j]]
+        out = {"codes": list(codes)}
+        if with_err:
+            out["err"] = err
+        return pd.DataFrame(out)
+
+    ddl = "codes array<long>" + (", err double" if with_err else "")
+    # asNondeterministic: keeps Catalyst from re-inlining the encoder
+    # into every downstream reference (one ArrowEvalPython, plan-asserted)
+    return pandas_udf(ddl)(_enc).asNondeterministic()
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, codes array<long> of length m).
+
+    This is the 100 TB memory story: m bytes-ish per vector (m small
+    ints) instead of 4·dim bytes of float32 — 32× compression at
+    m=8, dim=64 — so a billion-vector index fits executor memory for
+    the ADC scan (`pq_topk`). Encode is a single projection: no join,
+    no shuffle, one pandas UDF evaluation over the scan."""
+    enc = _pq_encode_udf(
+        codebooks if codebooks is not None
+        else _pq_seed_codebooks(emb, m, k, vec_col)
+    )
+    return emb.select(
+        "vec_id", enc(F.col(vec_col)).getField("codes").alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k_neighbors: int = 5,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay exact, the
+    corpus is scanned in CODE space only.
+
+    Serving shape (the point at 10^9 vectors): per query, precompute an
+    (m × k) lookup table of exact-subvector→codeword squared-L2 — done
+    driver-side here because queries are a handful of rows — then ONE
+    pandas UDF gathers table entries by corpus code (a B×m fancy-index
+    per Arrow batch; no float vectors touched, no join, no shuffle).
+    Distance error vs exact L2 is the quantization residual — the
+    standard ADC trade (Jégou et al., PQ for nearest neighbor search).
+
+    Determinism contract with the oracle: LUT entries use the same
+    dim-at-a-time fold as `_pq_encode_udf`; the ADC sum accumulates
+    subspaces j = 0..m-1 left-to-right; output distance rounds to 4
+    (ties → vec_id ASC). Identical code tuples give bit-identical
+    distances, so the heavy tie class is exact on both sides."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else _pq_seed_codebooks(emb, m, k, vec_col)
+    )
+    m_, k_, d_sub = cbs.shape
+
+    q_ids = [int(q) for q in query_vec_ids]
+    q_rows = {
+        int(r["vec_id"]): [float(x) for x in r[vec_col]]
+        for r in emb.filter(F.col("vec_id").isin(q_ids))
+        .select("vec_id", vec_col)
+        .collect()
+    }
+    q_ids = [q for q in q_ids if q in q_rows]
+    luts = np.zeros((len(q_ids), m_, k_))
+    for qi, qid in enumerate(q_ids):
+        qv = np.array(q_rows[qid], dtype=np.float64).reshape(m_, d_sub)
+        for j in range(m_):
+            d2 = np.zeros(k_)
+            for i in range(d_sub):  # same fold order as the encoder
+                diff = qv[j, i] - cbs[j][:, i]
+                d2 += diff * diff
+            luts[qi, j] = d2
+
+    def _adc_fn(codes):
+        c = np.array(codes.tolist(), dtype=np.int64)  # (B, m)
+        out = np.zeros((c.shape[0], len(q_ids)))
+        for qi in range(len(q_ids)):
+            acc = np.zeros(c.shape[0])
+            for j in range(m_):  # subspace-at-a-time == oracle fold
+                acc += luts[qi, j][c[:, j]]
+            out[:, qi] = acc
+        return pd.Series(list(out))
+
+    adc = pandas_udf("array<double>")(_adc_fn).asNondeterministic()
+
+    codes = pq_codes(emb, m=m, k=k, vec_col=vec_col, codebooks=cbs)
+    qid_lit = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        codes.select("vec_id", F.posexplode(adc(F.col("codes"))).alias("qi", "adc"))
+        .select(
+            F.element_at(qid_lit, F.col("qi") + 1).alias("q_id"),
+            "vec_id",
+            F.round(F.col("adc"), 4).alias("adc_dist"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select(
+            "q_id", "vec_id", "adc_dist", F.col("rn").cast("int").alias("rn")
+        )
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+):
+    """Distributed Euclidean Lloyd's per subspace — the offline PQ
+    codebook trainer (`pq_topk(..., codebooks=...)` is the consumer).
+
+    Per iteration, ONE pass over the corpus:
+      1. ASSIGN — the (m, k, d_sub) tensor rides the closure of the
+         shared `_pq_encode_udf` (all m subspaces encoded in one Arrow
+         batch product; no join, no corpus shuffle).
+      2. UPDATE — posexplode the vector to (pos, x), derive
+         (sub = pos div d_sub, pos_in_sub = pos mod d_sub,
+         code = codes[sub]) and groupBy(sub, code, pos_in_sub).sum:
+         partial HashAggregate before the exchange, so the shuffle
+         carries ≤ P·m·k·d_sub partial rows, NOT N·dim; the collect is
+         m·k·d_sub floats (the new codebooks) — driver-side, MLlib-style.
+    Empty cells keep their previous codeword. Init = the deterministic
+    seed codebooks, so training is reproducible run-to-run. Returns
+    (codebooks (m, k, d_sub) float64, mean_err: corpus mean total
+    quantization distortion — monotone non-increasing under Lloyd's,
+    pinned in tests)."""
+    import numpy as np
+
+    cbs = _pq_seed_codebooks(emb, m, k, vec_col)
+    m_, k_, d_sub = cbs.shape
+    mean_err = float("nan")
+    for _ in range(n_iter):
+        enc = _pq_encode_udf(cbs, with_err=True)
+        a = emb.select(F.col(vec_col).alias("v"), enc(F.col(vec_col)).alias("e"))
+        a = a.select(
+            "v", F.col("e.codes").alias("codes"), F.col("e.err").alias("err")
+        )
+        exploded = a.select(
+            "codes", "err", F.posexplode("v").alias("pos", "x")
+        ).select(
+            (F.col("pos") / d_sub).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(d_sub)).alias("pos_in_sub"),
+            F.col("err"),
+            F.col("pos"),
+            F.col("x"),
+            F.col("codes"),
+        ).select(
+            "sub", "pos_in_sub", "err", "pos", "x",
+            F.element_at(F.col("codes"), F.col("sub") + 1).alias("code"),
+        )
+        stats = (
+            exploded.groupBy("sub", "code", "pos_in_sub")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("pos") == 0, F.col("err"))).alias("errsum"),
+            )
+            .collect()
+        )  # ≤ m·k·d_sub rows — the per-iteration driver sync
+        new = cbs.copy()
+        counts = np.zeros((m_, k_))
+        sums = np.zeros((m_, k_, d_sub))
+        tot_err = tot_n = 0.0
+        for r in stats:
+            sums[r["sub"], r["code"], r["pos_in_sub"]] = r["s"]
+            counts[r["sub"], r["code"]] = r["n"]
+            if r["pos_in_sub"] == 0 and r["errsum"] is not None:
+                tot_err += r["errsum"]
+                tot_n += r["n"]
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        cbs = new
+        mean_err = tot_err / max(tot_n, 1.0)
+    return cbs, mean_err

@@ -172,3 +172,57 @@ def test_lsh_below_cap_unchanged(emb):
     assert {(r["vec_a"], r["vec_b"]) for r in a} == {
         (r["vec_a"], r["vec_b"]) for r in b
     }
+
+
+def test_pq_encode_plan_is_one_udf_no_literals(emb):
+    """PQ encode must be a single ArrowEvalPython projection with the
+    codebook tensor riding the UDF closure — not per-codeword literal
+    arrays (the same scale rule the IVF scorer follows), and no shuffle:
+    encode is a map-only pass however large the corpus."""
+    from opentelemetry_collector_contrib_spark.similarity import pq_codes
+
+    out = pq_codes(emb, m=4, k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert len(plan) < 20000, f"plan unexpectedly large: {len(plan)} chars"
+
+
+def test_pq_fit_distortion_monotone_and_improves_on_seeds(clustered):
+    """Lloyd's per subspace: the reported mean distortion after more
+    iterations must not exceed the seed-codebook distortion (n_iter=1
+    reports the assignment under the UNTRAINED seeds)."""
+    from opentelemetry_collector_contrib_spark.similarity import pq_fit
+
+    _, err_seed = pq_fit(clustered, m=4, k=8, n_iter=1)
+    _, err_more = pq_fit(clustered, m=4, k=8, n_iter=4)
+    assert err_more <= err_seed + 1e-9
+    assert err_more < err_seed * 0.9  # training must actually help here
+
+
+def test_pq_trained_adc_keeps_cluster_neighbors(clustered):
+    """On the 4-axis clustered corpus, trained PQ codes must keep every
+    ADC top-5 neighbor inside the query's designed cluster (vec_id % 4):
+    the quantization residual is small next to the inter-cluster gap."""
+    from opentelemetry_collector_contrib_spark.similarity import (
+        pq_fit,
+        pq_topk,
+    )
+
+    cbs, _ = pq_fit(clustered, m=4, k=8, n_iter=4)
+    rows = pq_topk(
+        clustered, query_vec_ids=[0, 5], k_neighbors=5, codebooks=cbs
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["vec_id"] % 4 == r["q_id"] % 4, rows
+
+
+def test_pq_codes_deterministic_and_bounded(emb):
+    """Same input → same codes, every code < k, m codes per vector."""
+    from opentelemetry_collector_contrib_spark.similarity import pq_codes
+
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb, m=4, k=16).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_codes(emb, m=4, k=16).collect()}
+    assert a == b
+    assert all(len(v) == 4 and max(v) < 16 and min(v) >= 0 for v in a.values())
