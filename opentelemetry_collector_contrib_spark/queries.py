@@ -2655,6 +2655,96 @@ SELECT q_id, vec_id, adc_dist, rn::INT AS rn FROM (
 WHERE rn <= 5""",
     )
 
+    # ---- s_ivfpq_topk: the composed IVF+PQ index (FAISS IVFPQ shape) ------
+    # Coarse cell routing + PQ-coded RESIDUALS + per-(query, probed cell)
+    # LUT scan — cell id + m code bytes per vector, probed-cells-only
+    # candidate sets, float vectors never touched at query time. Encode is
+    # one pandas-UDF projection (centroids + codebooks in closure); the
+    # scorer is a second UDF over the broadcast-probe cell join. Seed
+    # quantizers (residuals of the first k vec_ids against their own
+    # cells) keep the full index SQL-expressible.
+    def s_ivfpq_topk(spark, sf_dir):
+        from .similarity import ivfpq_topk
+
+        return ivfpq_topk(
+            _emb(spark, sf_dir), [0, 1, 2], n_centroids=8, n_probe=2,
+            m=8, k=16,
+        )
+
+    reg(
+        "s_ivfpq_topk",
+        s_ivfpq_topk,
+        """WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS (
+  SELECT c.vec_id, c.v,
+    (SELECT s.cent_id FROM cents s
+     ORDER BY list_dot_product(c.v, s.cent) DESC, s.cent_id DESC
+     LIMIT 1) AS cell
+  FROM corpus c
+), resid AS (
+  SELECT a.vec_id, a.cell,
+    list_transform(list_zip(a.v, s.cent), t -> t[1] - t[2]) AS r
+  FROM assigned a JOIN cents s ON s.cent_id = a.cell
+), seeds AS (
+  SELECT vec_id, r, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16)
+), subs AS (SELECT unnest(range(8)) AS sub),
+cb AS (
+  SELECT s.sub, seeds.code, list_slice(seeds.r, s.sub*8+1, s.sub*8+8) AS cvec
+  FROM seeds, subs s
+), subv AS (
+  SELECT rr.vec_id, rr.cell, s.sub, list_slice(rr.r, s.sub*8+1, s.sub*8+8) AS sv
+  FROM resid rr, subs s
+), codes AS (
+  SELECT sv.vec_id, sv.cell, sv.sub,
+    (SELECT b.code FROM cb b WHERE b.sub = sv.sub
+     ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(sv.sv, b.cvec),
+          t -> (t[1]-t[2])*(t[1]-t[2]))),
+        (a,x)->a+x) ASC, b.code ASC LIMIT 1) AS code
+  FROM subv sv
+), q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), probes AS (
+  SELECT qq.q_id, qq.qv, s.cent_id AS cell, s.cent
+  FROM q qq, cents s
+  QUALIFY row_number() OVER (PARTITION BY qq.q_id
+    ORDER BY list_dot_product(qq.qv, s.cent) DESC, s.cent_id DESC) <= 2
+), qres AS (
+  SELECT p.q_id, p.cell,
+    list_transform(list_zip(p.qv, p.cent), t -> t[1] - t[2]) AS r
+  FROM probes p
+), qsub AS (
+  SELECT qr.q_id, qr.cell, s.sub, list_slice(qr.r, s.sub*8+1, s.sub*8+8) AS sv
+  FROM qres qr, subs s
+), lut AS (
+  SELECT qs.q_id, qs.cell, qs.sub, b.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(qs.sv, b.cvec),
+        t -> (t[1]-t[2])*(t[1]-t[2]))),
+      (a,x)->a+x) AS d2
+  FROM qsub qs JOIN cb b ON b.sub = qs.sub
+), adist AS (
+  SELECT l.q_id, c.vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(l.d2 ORDER BY l.sub)),
+                (a,x)->a+x) AS adc
+  FROM codes c
+  JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc_dist, rn::INT AS rn FROM (
+  SELECT q_id, vec_id, round(adc,4) AS adc_dist,
+    row_number() OVER (
+      PARTITION BY q_id ORDER BY round(adc,4) ASC, vec_id ASC) AS rn
+  FROM adist WHERE vec_id != q_id) WHERE rn <= 5""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # scale paths: full LSH dedup pipeline, ANN pair generation, kNN join,

@@ -646,3 +646,189 @@ def pq_fit(
         cbs = new
         mean_err = tot_err / max(tot_n, 1.0)
     return cbs, mean_err
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k_neighbors: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF+PQ — the composed billion-scale index layout (Jégou et al.;
+    the FAISS IVFPQ shape): a coarse quantizer routes each vector to a
+    cell, the RESIDUAL (v − centroid[cell]) is PQ-coded, and a query
+    scans only its probed cells in code space with a per-(query, cell)
+    LUT built from the query's own residual against that cell.
+
+    Why this is the 100 TB layout: the corpus shrinks to (cell id +
+    m code bytes) per vector, cells give sub-linear candidate sets
+    (|cell|·n_probe scanned instead of N), and the float vectors are
+    never touched at query time — the scan is a fancy-indexed gather
+    over an Arrow batch. Encode is ONE pandas-UDF projection (centroids
+    AND codebooks ride the closure); scoring is a second UDF over the
+    cell-joined candidates with the per-(query, cell) LUT tensor in
+    closure (queries × probes × m × k doubles — kilobytes).
+
+    Determinism contract (oracle-exact, same rules as `ivf_topk` +
+    `pq_topk`): cell assignment accumulates dots dim-at-a-time with
+    ties → larger centroid id; residual subtraction is exact float64;
+    per-subspace L2 folds dim-at-a-time with argmin ties → lowest code;
+    ADC sums subspaces left-to-right; output rounds to 4 with ties →
+    vec_id ASC. Seed quantizers (first n_centroids / first k vec_ids,
+    residuals against their own assigned cells) keep the whole index
+    SQL-expressible; trained matrices drop in via `centroids=` /
+    `codebooks=` with an identical plan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is not None:
+        cent_mat = np.asarray(centroids, dtype=np.float64)
+        cent_ids = np.arange(cent_mat.shape[0])
+    else:
+        cent_rows = (
+            emb.orderBy("vec_id").limit(n_centroids)
+            .select("vec_id", vec_col).collect()
+        )
+        cent_ids = np.array([int(r["vec_id"]) for r in cent_rows])
+        cent_mat = np.array(
+            [[float(x) for x in r[vec_col]] for r in cent_rows],
+            dtype=np.float64,
+        )
+    dim = cent_mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    def _assign(mat):  # (B, dim) -> (B,) cell INDEX into cent_mat
+        dots = np.zeros((mat.shape[0], cent_mat.shape[0]))
+        for i in range(dim):  # dim-at-a-time == SQL fold order
+            dots += np.outer(mat[:, i], cent_mat[:, i])
+        ids_b = np.broadcast_to(cent_ids, dots.shape)
+        # argmax by (dot ASC, cent_id ASC) last = ties -> larger cent_id
+        order = np.lexsort((ids_b, dots), axis=-1)
+        return order[:, -1]
+
+    if codebooks is not None:
+        cbs = np.asarray(codebooks, dtype=np.float64)
+    else:
+        # seed residual codebooks: the k lowest-vec_id vectors' residuals
+        # against their OWN assigned cells, split into m subvectors
+        seed_rows = (
+            emb.orderBy("vec_id").limit(k).select("vec_id", vec_col).collect()
+        )
+        seed = np.array(
+            [[float(x) for x in r[vec_col]] for r in seed_rows],
+            dtype=np.float64,
+        )
+        res = seed - cent_mat[_assign(seed)]
+        cbs = res.reshape(seed.shape[0], m, d_sub).transpose(1, 0, 2).copy()
+    k_ = cbs.shape[1]
+
+    def _enc_fn(vecs):
+        a = np.array(vecs.tolist(), dtype=np.float64)
+        cell_idx = _assign(a)
+        res = (a - cent_mat[cell_idx]).reshape(a.shape[0], m, d_sub)
+        codes = np.zeros((a.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            d2 = np.zeros((a.shape[0], k_))
+            for i in range(d_sub):
+                diff = res[:, j, i][:, None] - cbs[j][:, i][None, :]
+                d2 += diff * diff
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cent_ids[cell_idx], "codes": list(codes)}
+        )
+
+    enc = pandas_udf("cell long, codes array<long>")(
+        _enc_fn
+    ).asNondeterministic()
+
+    coded = emb.select("vec_id", enc(F.col(vec_col)).alias("e")).select(
+        "vec_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+
+    # queries: probed cells by the same dot order as ivf_topk; one LUT
+    # per (query, probed cell) from the query's residual in THAT cell
+    q_ids = [int(q) for q in query_vec_ids]
+    q_rows = {
+        int(r["vec_id"]): np.array(
+            [float(x) for x in r[vec_col]], dtype=np.float64
+        )
+        for r in emb.filter(F.col("vec_id").isin(q_ids))
+        .select("vec_id", vec_col)
+        .collect()
+    }
+    q_ids = [q for q in q_ids if q in q_rows]
+    probe_rows = []  # (q_idx, q_id, cell)
+    luts = {}  # (q_idx, cell) -> (m, k) LUT
+    for qi, qid in enumerate(q_ids):
+        qv = q_rows[qid]
+        dots = np.zeros(cent_mat.shape[0])
+        for i in range(dim):
+            dots += qv[i] * cent_mat[:, i]
+        order = np.lexsort((cent_ids, dots))[::-1][:n_probe]
+        for ci in order:
+            cell = int(cent_ids[ci])
+            qres = (qv - cent_mat[ci]).reshape(m, d_sub)
+            lut = np.zeros((m, k_))
+            for j in range(m):
+                d2 = np.zeros(k_)
+                for i in range(d_sub):
+                    diff = qres[j, i] - cbs[j][:, i]
+                    d2 += diff * diff
+                lut[j] = d2
+            probe_rows.append((qi, qid, cell))
+            luts[(qi, cell)] = lut
+    lut_tensor = luts  # closure-shipped dict of small (m, k) arrays
+
+    def _adc_fn(qi_s, cell_s, codes_s):
+        qi = qi_s.to_numpy()
+        cell = cell_s.to_numpy()
+        codes_arr = np.array(codes_s.tolist(), dtype=np.int64)
+        out = np.zeros(len(qi))
+        for key in set(zip(qi.tolist(), cell.tolist())):
+            mask = (qi == key[0]) & (cell == key[1])
+            lut = lut_tensor[(int(key[0]), int(key[1]))]
+            sub_codes = codes_arr[mask]
+            acc = np.zeros(sub_codes.shape[0])
+            for j in range(m):  # subspace-at-a-time == oracle fold
+                acc += lut[j][sub_codes[:, j]]
+            out[mask] = acc
+        return pd.Series(out)
+
+    adc = pandas_udf("double")(_adc_fn).asNondeterministic()
+
+    spark = emb.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(probe_rows, columns=["qi", "q_id", "cell"]),
+            schema="qi int, q_id long, cell long",
+        )
+    )
+    cand = probes.join(coded, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            adc(F.col("qi"), F.col("cell"), F.col("codes")), 4
+        ).alias("adc_dist"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select(
+            "q_id", "vec_id", "adc_dist", F.col("rn").cast("int").alias("rn")
+        )
+    )
