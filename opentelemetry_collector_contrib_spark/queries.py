@@ -2439,6 +2439,52 @@ SELECT doc_id, n_tokens,
 FROM c""",
     )
 
+    # ---- d_ngram_topk_tf / d_ngram_topk_df: corpus n-gram statistics ------
+    # vocabulary seeding / boilerplate discovery: one map-side-combinable
+    # shuffle + TakeOrderedAndProject top-k (never a vocabulary sort);
+    # tf = every occurrence, df = once per doc (template detector).
+    def d_ngram_topk_tf(spark, sf_dir):
+        from .textops import ngram_topk
+
+        return ngram_topk(_docs(spark, sf_dir), n=2, k=20, by="tf")
+
+    reg(
+        "d_ngram_topk_tf",
+        d_ngram_topk_tf,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT w[i] || ' ' || w[i+1] AS ngram
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+), counts AS (
+  SELECT ngram, count(*)::BIGINT AS freq FROM grams GROUP BY ngram
+)
+SELECT ngram, freq,
+       row_number() OVER (ORDER BY freq DESC, ngram ASC)::INT AS rank
+FROM counts ORDER BY freq DESC, ngram ASC LIMIT 20""",
+    )
+
+    def d_ngram_topk_df(spark, sf_dir):
+        from .textops import ngram_topk
+
+        return ngram_topk(_docs(spark, sf_dir), n=2, k=20, by="df")
+
+    reg(
+        "d_ngram_topk_df",
+        d_ngram_topk_df,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+), counts AS (
+  SELECT ngram, count(*)::BIGINT AS freq FROM grams GROUP BY ngram
+)
+SELECT ngram, freq,
+       row_number() OVER (ORDER BY freq DESC, ngram ASC)::INT AS rank
+FROM counts ORDER BY freq DESC, ngram ASC LIMIT 20""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
@@ -2890,10 +2936,7 @@ FROM clusters GROUP BY cluster_id""",
         tr = docs.filter(F.col("doc_id") % 50 != 0)
         return contamination_check(tr, ev, n=3, max_df=20)
 
-    reg(
-        "d_contamination",
-        d_contamination,
-        """WITH words AS (
+    _CONTAM_SQL = """WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), shingles AS (
   SELECT DISTINCT doc_id,
@@ -2915,8 +2958,26 @@ FROM clusters GROUP BY cluster_id""",
 )
 SELECT train_doc_id, eval_doc_id, n_overlap,
        round(n_overlap * 1.0 / n_eval_sh, 4) AS contamination
-FROM ov JOIN esizes USING (eval_doc_id)""",
-    )
+FROM ov JOIN esizes USING (eval_doc_id)"""
+
+    reg("d_contamination", d_contamination, _CONTAM_SQL)
+
+    # ---- d_contamination_bloom: the SAME check behind a map-side Bloom
+    # gate on the train shingle stream (eval-shingle bitset, JVM xxhash64
+    # probes, one Arrow gather UDF; false positives die in the exact
+    # join). Result is bit-identical to d_contamination for ANY filter
+    # size, so it shares the exact oracle — what the driver hash-checks
+    # here is precisely the "pre-filter changes the plan, not the
+    # answer" contract.
+    def d_contamination_bloom(spark, sf_dir):
+        from .textops import contamination_check_bloom
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 50 == 0)
+        tr = docs.filter(F.col("doc_id") % 50 != 0)
+        return contamination_check_bloom(tr, ev, n=3, max_df=20)
+
+    reg("d_contamination_bloom", d_contamination_bloom, _CONTAM_SQL)
 
     # ---- d_stratified_sample: deterministic per-source downsampling -------
     def d_stratified_sample(spark, sf_dir):

@@ -664,3 +664,145 @@ def curation_pipeline(
         .filter(F.col("_rn") == 1)
     )
     return pack_sequences(survivors, budget=budget, text_col="scrubbed_text")
+
+
+def contamination_check_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-gated decontamination — identical RESULT to
+    `contamination_check` (same oracle), different 100 TB plan.
+
+    At scale the train side is petabytes and the eval side is small, so
+    the expensive part of the exact path is shuffling the full exploded
+    train (doc, shingle) stream into the inverted-index join. Here a
+    Bloom filter of the EVAL shingles gates the train stream MAP-SIDE
+    before any exchange: the shuffle then carries only candidate hits
+    (eval-overlapping shingles + a bounded false-positive trickle), and
+    the exact inner join removes every false positive — so the output is
+    bit-identical to the exact operator for ANY filter size. This is the
+    broadcast-bloom pre-join pattern Spark's own runtime row-level
+    filtering applies to shuffle joins, built explicitly because
+    `bloom_filter_agg`/`might_contain` are not SQL-registered in 4.1.
+
+    Mechanics: k probe positions per shingle are computed JVM-SIDE
+    (`xxhash64(sh, seed_i) pmod n_bits` — codegen, no Python in the hash
+    path); the build side collects the DISTINCT positions of the eval
+    shingles (≤ n_hashes·|eval shingles| ints — the eval set is small by
+    definition; n_bits/8 bytes of bitset, 128 KiB at 2^20) and the gate
+    is ONE Arrow-batched UDF doing a numpy bitset gather over the
+    precomputed positions. `max_df` is applied AFTER the gate: the bloom
+    passes every occurrence of a shingle or none, so document
+    frequencies of surviving shingles are complete and the df filter
+    decides identically to the exact path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = list(range(1, n_hashes + 1))
+
+    def _positions(sh_col):
+        return [
+            F.pmod(F.xxhash64(sh_col, F.lit(s)), F.lit(n_bits)) for s in seeds
+        ]
+
+    esh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    pos_rows = (
+        esh.select(F.explode(F.array(*_positions(F.col("sh")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(n_bits, dtype=bool)
+    bits[[int(r["p"]) for r in pos_rows]] = True
+
+    def _gate_fn(*hcols):
+        ok = bits[hcols[0].to_numpy()]
+        for h in hcols[1:]:
+            ok = ok & bits[h.to_numpy()]
+        return pd.Series(ok)
+
+    gate = pandas_udf("boolean")(_gate_fn).asNondeterministic()
+
+    tsh = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).filter(gate(*_positions(F.col("sh"))))
+
+    if max_df is not None:
+        keep = (
+            tsh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        tsh = tsh.join(keep, "sh", "left_semi")
+    esizes = esh.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_sh")
+    )
+    return (
+        tsh.join(esh, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(esizes, "eval_doc_id")
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(F.col("n_overlap") * 1.0 / F.col("n_eval_sh"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    by: str = "tf",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram statistics: the k most frequent word n-grams —
+    vocabulary seeding / BPE-merge candidate counting / boilerplate
+    discovery. ``by="tf"`` counts every occurrence (term frequency);
+    ``by="df"`` counts each n-gram once per document (document
+    frequency — the boilerplate detector: high-df n-grams are
+    templates, not content).
+
+    Scale shape: explode → groupBy(ngram).count is ONE shuffle with a
+    map-side partial HashAggregate (the exchange carries at most
+    P·|vocab| partial rows, not corpus positions); top-k is ORDER BY +
+    LIMIT = TakeOrderedAndProject (per-partition heap + driver merge of
+    P·k rows — never a global sort of the vocabulary). Deterministic
+    ties: count DESC, ngram ASC. Returns (ngram, freq, rank)."""
+    if by not in ("tf", "df"):
+        raise ValueError(f"by must be 'tf' or 'df', got {by!r}")
+    w = _words(F.col(text_col))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    if by == "df":
+        grams = F.array_distinct(grams)
+    counts = (
+        _spread_small_input(docs)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.orderBy(F.col("freq").desc(), F.col("ngram").asc()).limit(k)
+    from pyspark.sql import Window as W
+
+    # rank over the k survivors only (driver-merged rows, not the corpus)
+    wspec = W.orderBy(F.col("freq").desc(), F.col("ngram").asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(wspec).cast("int")
+    ).select("ngram", F.col("freq").cast("long").alias("freq"), "rank")

@@ -150,3 +150,74 @@ def test_stratified_sample_is_pure_filter(spark):
     # s0 kept fully; unlisted stratum s2 dropped at default_rate=0
     assert {d for d in a if d % 3 == 2} == set()
     assert {r.doc_id for r in docs.filter("source='s0'").collect()} <= a
+
+
+def test_bloom_gate_equals_exact_contamination(spark):
+    """The bloom-gated path must return the EXACT result — including
+    with a deliberately undersized filter (high false-positive rate):
+    FPs only widen the candidate stream; the join removes them all."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    docs = _docs(spark)
+    tr, ev = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    exact = sorted(map(tuple, contamination_check(tr, ev, n=2, max_df=5).collect()))
+    assert exact  # fixture must actually overlap
+    bloom = sorted(map(tuple,
+        contamination_check_bloom(tr, ev, n=2, max_df=5).collect()))
+    tiny = sorted(map(tuple,
+        contamination_check_bloom(tr, ev, n=2, max_df=5, n_bits=512).collect()))
+    assert bloom == exact
+    assert tiny == exact
+
+
+def test_bloom_gate_is_mapside_no_extra_shuffle(spark):
+    """The gate must not add an exchange: probe hashes are JVM xxhash64
+    columns, the bitset gather is one Arrow UDF inside the train-side
+    scan stage — same shuffle count as the exact plan."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    docs = _docs(spark)
+    tr, ev = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    p_exact = contamination_check(
+        tr, ev, n=2, max_df=5
+    )._jdf.queryExecution().executedPlan().toString()
+    p_bloom = contamination_check_bloom(
+        tr, ev, n=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # without the df cap the train stream is consumed once -> exactly one
+    # gate UDF (the cap branch legitimately re-evaluates the gated scan:
+    # once for document frequencies, once for the probe side)
+    assert p_bloom.count("ArrowEvalPython") == 1
+    p_exact_nocap = contamination_check(
+        tr, ev, n=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert p_bloom.count("Exchange") <= p_exact_nocap.count("Exchange")
+    del p_exact
+
+
+def test_ngram_topk_plan_is_heap_topk_with_partial_agg(spark):
+    """Top-k must plan TakeOrderedAndProject (per-partition heap, no
+    vocabulary-wide sort) over a partially-aggregated count (map-side
+    combine before the one shuffle)."""
+    from opentelemetry_collector_contrib_spark.textops import ngram_topk
+
+    q = ngram_topk(_docs(spark), n=2, k=10, by="tf")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+    tf = {r["ngram"]: r["freq"] for r in q.collect()}
+    df = {
+        r["ngram"]: r["freq"]
+        for r in ngram_topk(_docs(spark), n=2, k=10, by="df").collect()
+    }
+    # df counts each doc once -> never exceeds tf for shared ngrams
+    for g in set(tf) & set(df):
+        assert df[g] <= tf[g]
