@@ -2485,6 +2485,37 @@ SELECT ngram, freq,
 FROM counts ORDER BY freq DESC, ngram ASC LIMIT 20""",
     )
 
+    # ---- d_tfidf_topterms: per-document TF-IDF keywords -------------------
+    # smooth idf ln((N+1)/(df+1)) + 1 (scikit-learn variant); two hash
+    # aggs + broadcast scalar N + bounded per-doc window.
+    def d_tfidf_topterms(spark, sf_dir):
+        from .textops import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+    reg(
+        "d_tfidf_topterms",
+        d_tfidf_topterms,
+        """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf::BIGINT AS tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+           AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored) WHERE rank <= 3""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search

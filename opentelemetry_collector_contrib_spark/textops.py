@@ -806,3 +806,59 @@ def ngram_topk(
     return ranked.withColumn(
         "rank", F.row_number().over(wspec).cast("int")
     ).select("ngram", F.col("freq").cast("long").alias("freq"), "rank")
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the standard content-keyword /
+    relevance-weighting op (tf·idf with the smooth idf
+    ln((N+1)/(df+1)) + 1, scikit-learn's variant, never negative or
+    divide-by-zero).
+
+    Scale shape: term frequencies are one map-side-combinable
+    groupBy(doc, term); document frequencies aggregate the SAME exploded
+    pass (count distinct docs per term = second hash agg over (doc,
+    term) pairs, already distinct); N is a 1-row aggregate broadcast
+    into the score projection; top-k per doc is a bounded window over
+    (doc) — never a corpus sort. Deterministic ties: score DESC, term
+    ASC. Returns (doc_id, term, tf, score, rank)."""
+    toks = _spread_small_input(docs).select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -272,3 +272,49 @@ def test_ivfpq_deterministic(emb):
     a = sorted(map(tuple, ivfpq_topk(emb, [3, 7], n_centroids=8).collect()))
     b = sorted(map(tuple, ivfpq_topk(emb, [3, 7], n_centroids=8).collect()))
     assert a == b and len(a) == 10
+
+
+def test_pq_encode_is_stream_compatible(spark, tmp_path):
+    """pq_codes is a stateless projection (one scalar UDF, no shuffle),
+    so the SAME operator must run under readStream unchanged — the
+    incremental index-build path: new corpus files get encoded as they
+    arrive, batch and stream codes identical."""
+    from opentelemetry_collector_contrib_spark.similarity import pq_codes
+
+    src = str(tmp_path / "emb_src")
+    emb = spark.range(0, 120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") * (i + 3) + i * 7) % 19 - 9.0)
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    emb.write.parquet(src)
+    want = {r["vec_id"]: list(r["codes"])
+            for r in pq_codes(emb, m=4, k=16).collect()}
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    # seed codebooks need a BATCH collect (orderBy/limit is illegal on a
+    # stream) — the incremental path trains/seeds offline and passes the
+    # matrix in, exactly like production
+    from opentelemetry_collector_contrib_spark.similarity import (
+        _pq_seed_codebooks,
+    )
+
+    cbs = _pq_seed_codebooks(emb, 4, 16, "embedding")
+    out = pq_codes(stream, m=4, k=16, codebooks=cbs)
+    sq = (
+        out.writeStream.format("memory")
+        .queryName("pq_stream_codes")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.sql("SELECT * FROM pq_stream_codes").collect()
+    }
+    assert got == want
