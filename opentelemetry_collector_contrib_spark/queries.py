@@ -3579,3 +3579,34 @@ SELECT conv_id, turn_idx,
   CASE WHEN role IS NULL THEN NULL ELSE '1' END AS seen
 FROM parsed""",
     )
+
+    # ---- t_context_windows: transcripts → SFT training examples -----------
+    # previous-3-turns context per assistant turn, bounded window frame
+    # on the conversation identity (shuffle-free under the bucketed
+    # layout); byte-stable ordering per the north rule's (conv_id,
+    # turn_idx) contract.
+    def t_context_windows(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import context_windows
+
+        fx = ensure_fixture_dir(sf_dir)
+        return context_windows(read_transcripts(spark, fx), n_context=3)
+
+    reg(
+        "t_context_windows",
+        t_context_windows,
+        f"""WITH seg AS (
+  SELECT conv_id, turn_idx, role, text,
+         role || ': ' || text AS seg
+  FROM {_TR}
+), ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+    COALESCE(array_to_string(
+      list(seg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' <sep> '), '')
+      AS context
+  FROM seg
+)
+SELECT conv_id, turn_idx, context, text AS target
+FROM ctx WHERE role = 'assistant'""",
+    )

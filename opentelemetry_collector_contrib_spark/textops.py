@@ -862,3 +862,48 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def context_windows(
+    turns: DataFrame,
+    n_context: int = 3,
+    target_role: str = "assistant",
+    sep: str = " <sep> ",
+) -> DataFrame:
+    """Transcripts → training examples: for every ``target_role`` turn,
+    the previous ``n_context`` turns (in conversation order) as the
+    context and the turn's text as the target — the canonical
+    supervised-finetuning example builder over multi-turn agent
+    transcripts.
+
+    Scale shape: ONE shuffle on the conversation identity (the window
+    partition key — conversations are the natural co-location unit, the
+    same key the rollup/recombine stages already shuffle on, so under
+    the bucketed-table layout in plans/bucketing.py this is
+    shuffle-FREE); the frame is bounded (ROWS BETWEEN n PRECEDING AND 1
+    PRECEDING), so state per row is O(n_context) — no whole-conversation
+    collect. Turn ordering is the stable (conv_id, turn_idx) sort the
+    north rule requires, making the emitted context string byte-stable.
+    Role-prefixed segments (``role: text``) joined by ``sep`` keep the
+    example self-describing; turns with no preceding context emit the
+    empty string (a conversation-opening target)."""
+    from pyspark.sql import Window as W
+
+    seg = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-n_context, -1)
+    )
+    return (
+        turns.withColumn(
+            "context", F.array_join(F.collect_list(seg).over(w), sep)
+        )
+        .filter(F.col("role") == target_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "context",
+            F.col("text").alias("target"),
+        )
+    )

@@ -382,3 +382,17 @@ def test_chained_stream_processors_share_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # Catalyst even collapses the two same-spec windows into ONE node
     assert plan.count("Window") == 1
+
+
+def test_context_windows_single_conversation_shuffle(spark):
+    """The SFT example builder shuffles ONCE on the conversation
+    identity with a bounded window frame — no whole-conversation
+    aggregation, no second exchange for the role filter."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        context_windows,
+    )
+
+    out = context_windows(read_transcripts(spark, _fx()), n_context=3)
+    plan = _plan(out, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
