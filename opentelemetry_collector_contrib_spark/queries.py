@@ -2485,6 +2485,41 @@ SELECT ngram, freq,
 FROM counts ORDER BY freq DESC, ngram ASC LIMIT 20""",
     )
 
+    # ---- d_target_mix: domain-mixture rebalancing -------------------------
+    # per-source keep-rates solved from ONE small aggregate (largest
+    # feasible corpus hitting the target proportions, no upsampling),
+    # then the same deterministic md5-bucket gate as d_stratified_sample
+    # — bit-stable kept set, verified row-by-row.
+    def d_target_mix(spark, sf_dir):
+        from .textops import target_mix_sample
+
+        out = target_mix_sample(
+            _docs(spark, sf_dir), "source",
+            {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        )
+        return out.select("doc_id", "source")
+
+    reg(
+        "d_target_mix",
+        d_target_mix,
+        """WITH tgt AS (
+  SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1))
+    AS t(source, p)
+), counts AS (
+  SELECT source, count(*)::DOUBLE AS n FROM documents
+  WHERE source IN (SELECT source FROM tgt) GROUP BY source
+), tmax AS (
+  SELECT min(n / p) AS t FROM counts JOIN tgt USING (source)
+), rates AS (
+  SELECT c.source, least(1.0, tgt.p * tmax.t / c.n) AS rate
+  FROM counts c JOIN tgt USING (source), tmax
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+      < floor(r.rate * 10000)""",
+    )
+
     # ---- d_tfidf_topterms: per-document TF-IDF keywords -------------------
     # smooth idf ln((N+1)/(df+1)) + 1 (scikit-learn variant); two hash
     # aggs + broadcast scalar N + bounded per-doc window.

@@ -907,3 +907,39 @@ def context_windows(
             F.col("text").alias("target"),
         )
     )
+
+
+def target_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    target: dict,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture rebalancing: downsample sources so the kept corpus
+    matches ``target`` proportions (fractions summing to ≤1) at the
+    LARGEST feasible size without upsampling — the pretraining data-mix
+    op ("rebalance web/code/books to 70/20/10").
+
+    Math: with per-source counts n_s and targets p_s, the max feasible
+    total is T = min_s(n_s / p_s); each source keeps rate_s = p_s·T/n_s
+    (the binding source keeps everything). Sources absent from
+    ``target`` are dropped. Counts come from ONE map-side-combinable
+    aggregate (|sources| rows to the driver); the gate is then the same
+    deterministic md5-bucket filter `stratified_sample` uses — no
+    shuffle of the corpus, reproducible across engines and retries.
+    Rates quantize to 1/10000 EXACTLY like the oracle (floor to the
+    bucket grid) so the kept set is bit-stable."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[strata_col] in target
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    t_max = min(counts[s] / p for s, p in target.items() if s in counts and p > 0)
+    rates = {
+        s: min(1.0, (target[s] * t_max) / counts[s])
+        for s in counts
+        if target[s] > 0
+    }
+    return stratified_sample(df, strata_col, rates, key_col, default_rate=0.0)

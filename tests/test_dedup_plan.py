@@ -221,3 +221,36 @@ def test_ngram_topk_plan_is_heap_topk_with_partial_agg(spark):
     # df counts each doc once -> never exceeds tf for shared ngrams
     for g in set(tf) & set(df):
         assert df[g] <= tf[g]
+
+
+def test_target_mix_hits_feasible_proportions(spark):
+    """The solved keep-rates must (a) keep the binding source intact,
+    (b) gate the rest deterministically, (c) drop unlisted sources, and
+    (d) approach the target mix in expectation (exact on the bucket
+    grid at scale; bounded deviation at fixture size)."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        target_mix_sample,
+    )
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    out = target_mix_sample(docs, "source", {"s0": 0.5, "s1": 0.5})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"s0", "s1"}           # s2/s3 dropped
+    n0 = docs.filter("source = 's0'").count()
+    # equal counts + equal targets -> both sources bind: keep everything
+    assert got.get("s0") == n0 and got.get("s1") == n0
+    # determinism
+    again = {r["source"]: r["n"] for r in
+             target_mix_sample(docs, "source", {"s0": 0.5, "s1": 0.5})
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got
+
+    skewed = target_mix_sample(docs, "source", {"s0": 0.8, "s1": 0.2})
+    g2 = {r["source"]: r["n"] for r in
+          skewed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g2["s0"] == n0                      # binding source intact
+    assert 0 < g2["s1"] < n0                   # minority source gated
