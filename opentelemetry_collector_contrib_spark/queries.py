@@ -779,6 +779,66 @@ SELECT conv_id, turn_idx,
 FROM parsed WHERE tool_name = 'bash'""",
     )
 
+    # ---- s_semdedup: SemDeDup cluster-then-prune semantic dedup ----------
+    # (Abbas et al. 2023 §3: k-means cells gate the pairwise cosine;
+    # the kept representative per dup group is the member FARTHEST from
+    # its centroid). Seed centroids = first-8 vectors so the oracle can
+    # reproduce assignment; reps ordered by (centroid_sim ASC, vec_id).
+    def s_semdedup(spark, sf_dir):
+        from .similarity import semdedup_survivors
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return semdedup_survivors(emb, k=8, threshold=0.4)
+
+    reg(
+        "s_semdedup",
+        s_semdedup,
+        """WITH RECURSIVE cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cent_id FROM cents c
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent)
+                   DESC, c.cent_id ASC
+          LIMIT 1) AS cell,
+         (SELECT round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cent), 4)
+          FROM cents c
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cent)
+                   DESC, c.cent_id ASC
+          LIMIT 1) AS centroid_sim
+  FROM embeddings e
+), vpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) >= 0.4
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM vpairs
+), reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.vec_id
+), clusters AS (
+  SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id
+), members AS (
+  SELECT a.vec_id, a.cell, a.centroid_sim, c.cluster_id
+  FROM assigned a JOIN clusters c USING (vec_id)
+), sized AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members FROM members GROUP BY 1
+), reps AS (
+  SELECT m.*, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+  FROM members m
+)
+SELECT r.vec_id, r.cell, r.centroid_sim, s.n_members
+FROM reps r JOIN sized s USING (cluster_id) WHERE r.rn = 1""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # classical relational shapes over the driver's TPC-H-shaped tables

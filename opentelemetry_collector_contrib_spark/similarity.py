@@ -832,3 +832,121 @@ def ivfpq_topk(
             "q_id", "vec_id", "adc_dist", F.col("rn").cast("int").alias("rn")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-then-prune
+# ---------------------------------------------------------------------------
+
+def semdedup_survivors(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    centroids=None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pruning for training corpora — cluster the embedding space, compare
+    ONLY within-cluster pairs, and from every duplicate group keep the
+    member FARTHEST from its cluster centroid (the paper's §3 keep rule:
+    low-centroid-similarity examples carry the most marginal
+    information; min vec_id breaks ties).
+
+    This is the fourth dedup mode next to MinHash (lexical), SimHash
+    (token-set) and LSH embedding dedup — the candidate gate is a
+    k-means cell instead of a hash bucket, which matches how the paper
+    scales to web corpora: pairwise cosine cost drops from O(N²) to
+    O(N²/k) and each cell's verify is an independent task.
+
+    Spark shape (100 TB reading):
+      1. ASSIGN — the (k × dim) centroid matrix rides the closure of ONE
+         Arrow-batched pandas UDF (kilobytes; single evaluation enforced
+         via asNondeterministic) that emits only the argmax cell;
+         centroid_sim is then computed JVM-side against a broadcast
+         (cell, centroid) dim table via the same cosine fold the rest of
+         the oracle suite uses (bit-parity with list_cosine_similarity —
+         the ivf_topk determinism recipe).
+      2. PAIRS — self-join keyed on cell (the one corpus-scale shuffle;
+         cell sizes are corpus/k by construction — for skewed spaces
+         compose with the salt-split cap used in lsh_ann_pairs).
+      3. Connected components + keep rule reuse dedup_clusters' min-label
+         propagation; the rep pick is one row_number window partitioned
+         by cluster (cluster map is corpus-sized, never collected).
+
+    `centroids`: optional trained (k, dim) matrix from `kmeans_fit`; the
+    default is the deterministic first-k seed (SQL-reproducible, used by
+    the s_semdedup oracle).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup_text import dedup_clusters
+
+    if centroids is None:
+        seed_rows = (
+            emb.orderBy("vec_id").limit(k).select(vec_col).collect()
+        )
+        centroids = np.array(
+            [[float(x) for x in r[vec_col]] for r in seed_rows],
+            dtype=np.float64,
+        )
+    mat = np.asarray(centroids, dtype=np.float64)
+    # dimension-at-a-time sum of squares = the SQL fold order (see
+    # ivf_topk's determinism note); norm is constant per centroid so
+    # argmax(dot/cnorm) == argmax(cosine) row-by-row
+    cnorm = np.sqrt(np.add.reduce(mat * mat, axis=1))
+    cnorm = np.maximum(cnorm, 1e-12)
+
+    def _assign_fn(vecs):  # pd.Series -> pd.Series of long
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        dots = np.zeros((m.shape[0], mat.shape[0]))
+        for i in range(mat.shape[1]):  # left-to-right fold, like the SQL
+            dots += np.outer(m[:, i], mat[:, i])
+        return pd.Series((dots / cnorm).argmax(axis=1))  # first max = ASC ties
+
+    assign = pandas_udf("long")(_assign_fn).asNondeterministic()
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "cell long, cent array<double>",
+    )
+    assigned = (
+        emb.select("vec_id", F.col(vec_col).alias("v"))
+        .select("vec_id", "v", assign(F.col("v")).alias("cell"))
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "v",
+            "cell",
+            F.round(cosine_sim(F.col("v"), F.col("cent")), 4)
+            .alias("centroid_sim"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("a.vec_id") < F.col("b.vec_id")])
+        .filter(F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+                >= F.lit(threshold))
+        .select(F.col("a.vec_id").alias("doc_a"),
+                F.col("b.vec_id").alias("doc_b"))
+    )
+    nodes = assigned.select(F.col("vec_id").alias("doc_id"))
+    clusters = dedup_clusters(pairs, nodes)
+    members = assigned.join(
+        clusters.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+        "vec_id",
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    rep_w = W.partitionBy("cluster_id").orderBy("centroid_sim", "vec_id")
+    return (
+        members.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select("vec_id", "cell", "centroid_sim", "n_members")
+    )
