@@ -3705,3 +3705,68 @@ FROM parsed""",
 SELECT conv_id, turn_idx, context, text AS target
 FROM ctx WHERE role = 'assistant'""",
     )
+
+    # ---- d_dsir_select: DSIR importance resampling -------------------------
+    # hashed unigram+bigram features → smoothed bucket log-ratios
+    # (target=src0 vs raw corpus) quantized to integer 1e-4 units →
+    # exact BIGINT per-doc sums → deterministic Gumbel top-k (Xie et
+    # al., NeurIPS 2023). The quantized table makes Spark's partial-agg
+    # sum order and DuckDB's bit-identical.
+    def d_dsir_select(spark, sf_dir):
+        from .textops import importance_resample
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return importance_resample(
+            docs, docs.filter(F.col("source") == "src0"),
+            k=100, buckets=4096, alpha=1.0, seed=7,
+        )
+
+    reg(
+        "d_dsir_select",
+        d_dsir_select,
+        """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), feats AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, unnest(w) AS f FROM w
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS f
+    FROM w
+  )
+), rawf AS (
+  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bucket
+  FROM feats
+), rawc AS (
+  SELECT bucket, count(*)::DOUBLE AS rn FROM rawf GROUP BY bucket
+), tgtc AS (
+  SELECT r.bucket, count(*)::DOUBLE AS tn
+  FROM rawf r JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0' GROUP BY r.bucket
+), j AS (
+  SELECT rawc.bucket, rn, coalesce(tn, 0) AS tn
+  FROM rawc LEFT JOIN tgtc USING (bucket)
+), tot AS (
+  SELECT sum(rn) AS rtot, sum(tn) AS ttot FROM j
+), lr AS (
+  SELECT bucket,
+         floor(10000 * (ln((tn + 1.0) / (ttot + 4096.0))
+                        - ln((rn + 1.0) / (rtot + 4096.0))))::BIGINT AS lr_q
+  FROM j, tot
+), scored AS (
+  SELECT doc_id, sum(lr_q)::BIGINT AS logw_q
+  FROM rawf JOIN lr USING (bucket) GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, logw_q,
+         (logw_q + floor(10000 * -ln(-ln(
+            ((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+              % 1000000) + 0.5) / 1000000.0))))::BIGINT AS key_q
+  FROM scored
+), top AS (
+  SELECT * FROM keyed ORDER BY key_q DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, logw_q, key_q,
+       row_number() OVER (ORDER BY key_q DESC, doc_id ASC)::INT AS rank
+FROM top""",
+    )

@@ -909,6 +909,121 @@ def context_windows(
     )
 
 
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (no array_distinct — importance
+    weights count every occurrence), same slice construction as
+    word_shingles."""
+    w = _words(text)
+    if n == 1:
+        return w
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+
+
+def importance_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 7,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling"): pick the raw documents whose hashed-n-gram feature
+    distribution looks most like a small TARGET corpus.
+
+    Features are word unigrams + bigrams hashed into ``buckets`` cells
+    (md5-derived for cross-engine oracle parity; production swaps in
+    ``F.xxhash64`` — one expression, same plan). Bucket importance
+    log-ratios ln(p_f/q_f) use Laplace-``alpha`` smoothing over the
+    target (p) and raw (q) occurrence counts. Per-document log-weight is
+    the sum of its features' log-ratios; sampling WITHOUT replacement is
+    the Gumbel top-k trick: key = logw + Gumbel(u), u drawn
+    deterministically from md5(doc_id, seed).
+
+    Cross-engine exactness: each bucket's log-ratio and each doc's
+    Gumbel noise are quantized ONCE to integer 1e-4 units
+    (floor(1e4·x)); per-doc scores are then exact BIGINT sums — immune
+    to float summation-order differences between Spark partial
+    aggregates and the DuckDB oracle. Ties break on doc_id.
+
+    Scale shape: two explode→groupBy(bucket) aggs whose exchanges carry
+    ≤ P·buckets partial rows (map-side combine); the ≤``buckets``-row
+    log-ratio table is computed once and BROADCAST back onto the
+    exploded raw stream; one groupBy(doc) sum; top-k is ORDER BY +
+    LIMIT = TakeOrderedAndProject (per-partition heaps, never a global
+    sort). Documents with no features (no rows after explode) are not
+    scorable and are excluded. Returns (doc_id, logw_q, key_q, rank)."""
+    SCALE = 10_000
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        both = F.concat(_word_ngrams(t, 1), _word_ngrams(t, 2))
+        return df.select(
+            F.col(key_col),
+            F.explode(both).alias("feat"),
+        ).select(
+            key_col,
+            (_md5_int(F.col("feat")) % buckets).alias("bucket"),
+        )
+
+    raw_f = feats(_spread_small_input(docs))
+    tgt_counts = (
+        feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("tn"))
+    )
+    raw_counts = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("rn"))
+    joined = raw_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket",
+        F.col("rn"),
+        F.coalesce(F.col("tn"), F.lit(0)).alias("tn"),
+    )
+    totals = joined.select(
+        F.sum("rn").alias("rtot"), F.sum("tn").alias("ttot")
+    )
+    lr = (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(SCALE)
+                * (
+                    F.log((F.col("tn") + alpha) / (F.col("ttot") + alpha * buckets))
+                    - F.log((F.col("rn") + alpha) / (F.col("rtot") + alpha * buckets))
+                )
+            ).alias("lr_q"),
+        )
+    )
+    scored = (
+        raw_f.join(F.broadcast(lr), "bucket")
+        .groupBy(key_col)
+        .agg(F.sum("lr_q").cast("long").alias("logw_q"))
+    )
+    # Gumbel(0,1) via inverse CDF on a deterministic md5 uniform in
+    # (0, 1): u = (h % 1e6 + 0.5) / 1e6 — never 0 or 1, so -ln(-ln(u))
+    # is finite
+    u = (
+        _md5_int(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+        % 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    keyed = scored.withColumn(
+        "key_q",
+        (F.col("logw_q") + F.floor(F.lit(SCALE) * -F.log(-F.log(u)))).cast("long"),
+    )
+    top = keyed.orderBy(F.col("key_q").desc(), F.col(key_col).asc()).limit(k)
+    from pyspark.sql import Window as W
+
+    wspec = W.orderBy(F.col("key_q").desc(), F.col(key_col).asc())
+    return top.withColumn("rank", F.row_number().over(wspec).cast("int")).select(
+        key_col, "logw_q", "key_q", "rank"
+    )
+
+
 def target_mix_sample(
     df: DataFrame,
     strata_col: str,

@@ -254,3 +254,56 @@ def test_target_mix_hits_feasible_proportions(spark):
           skewed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert g2["s0"] == n0                      # binding source intact
     assert 0 < g2["s1"] < n0                   # minority source gated
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # raw corpus: half the docs share the target's vocabulary, half are
+    # disjoint — the selected set must rank every target-like doc above
+    # every off-distribution doc (importance weights dominate the
+    # bounded Gumbel noise when the gap is large)
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle partition broadcast join agg") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    rows = [(i, "spark shuffle partition broadcast join agg") for i in range(8)]
+    rows += [(10 + i, "zebra yak xylophone walrus vulture unicorn") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from opentelemetry_collector_contrib_spark.textops import importance_resample
+
+    out = importance_resample(docs, target, k=8).collect()
+    assert len(out) == 8
+    assert {r.doc_id for r in out} == set(range(8))
+    # exact integer scores: every kept doc shares one quantized logw
+    assert len({r.logw_q for r in out}) == 1
+
+
+def test_dsir_plan_broadcasts_logratio_and_heap_topk(spark):
+    from opentelemetry_collector_contrib_spark.textops import importance_resample
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text body") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    out = importance_resample(docs, docs.limit(5), k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the <=buckets-row log-ratio table joins back via broadcast — the
+    # corpus-side exploded stream must NOT shuffle for this join
+    assert "BroadcastHashJoin" in plan
+    # top-k is a per-partition heap, not a global sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_scores_immune_to_partitioning(spark):
+    # the quantized-BIGINT design claim: per-doc scores are exact integer
+    # sums, so the kept set and every score are bit-identical regardless
+    # of how the corpus is partitioned (float sums would drift with
+    # partial-agg order)
+    from opentelemetry_collector_contrib_spark.textops import importance_resample
+
+    rows = [(i, f"alpha beta{i % 7} gamma delta{i % 3} epsilon") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt = docs.filter(F.col("doc_id") % 5 == 0)
+    a = importance_resample(docs.coalesce(1), tgt, k=20).collect()
+    b = importance_resample(docs.repartition(32), tgt, k=20).collect()
+    key = lambda r: (r.rank, r.doc_id, r.logw_q, r.key_q)
+    assert sorted(map(key, a)) == sorted(map(key, b))
