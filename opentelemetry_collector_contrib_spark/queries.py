@@ -3770,3 +3770,50 @@ SELECT doc_id, logw_q, key_q,
        row_number() OVER (ORDER BY key_q DESC, doc_id ASC)::INT AS rank
 FROM top""",
     )
+
+    # ---- d_dup_spans: exact-substring duplicate spans ----------------------
+    # Lee et al. 2022 ExactSubstr: overlapping k-word windows, global
+    # first occurrence exempt, per-doc gaps-and-islands merge.
+    def d_dup_spans(spark, sf_dir):
+        from .textops import duplicate_spans
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return duplicate_spans(docs, k=5)
+
+    reg(
+        "d_dup_spans",
+        d_dup_spans,
+        """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wins0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END),
+           i -> {'pos': i, 'h': md5(array_to_string(w[i + 1 : i + 5], ' '))}
+         )) AS s
+  FROM w
+), wins AS (
+  SELECT doc_id, s.pos AS pos, s.h AS h FROM wins0
+), marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+), dup AS (
+  SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1
+), g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) + 5
+              THEN 1 ELSE 0 END AS gap
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM g
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 5)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island""",
+    )

@@ -410,6 +410,80 @@ def chunk_dedup(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    stride: int = 1,
+    keep_first: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): find every
+    maximal region of a document made of ``k``-word windows whose text
+    occurs elsewhere in the corpus. Unlike chunk_dedup's disjoint C4
+    chunks, windows here OVERLAP (``stride``-word steps), so a duplicated
+    passage is caught at any alignment; overlapping duplicate windows are
+    merged into one span per document.
+
+    ``keep_first=True`` is the paper's removal policy: the globally first
+    occurrence of each window (ordered by doc_id, position) is exempt, so
+    one copy of every passage survives; ``False`` marks all occurrences
+    (the detection/reporting form).
+
+    Plan: window-explode (one row per stride position — the documented
+    cost of substring-granularity dedup; raise ``stride`` to trade recall
+    for fan-out) → rank/count over the window HASH (one shuffle; hot
+    hashes are by definition massive duplicates and reduce to rank-1 of
+    many) → per-doc interval merge via gaps-and-islands (windows share
+    length k, so interval ends are monotone in start and one lag suffices
+    — one shuffle on doc_id, reused by the span groupBy). md5 window
+    hashes for oracle parity; production swaps xxhash64. Returns
+    (doc_id, span_start, span_end, n_windows): word offsets, end
+    exclusive."""
+    from pyspark.sql import Window as W
+
+    w = _words(F.col(text_col))
+    n_win = F.when(
+        F.size(w) >= k, F.floor((F.size(w) - k) / stride).cast("int") + 1
+    ).otherwise(F.lit(0))
+    idx = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i * stride).alias("pos"),
+            F.md5(F.array_join(F.slice(w, i * stride + 1, k), " ")).alias("h"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    hwin = W.partitionBy("h")
+    horder = hwin.orderBy("doc_id", "pos")
+    marked = ex.withColumn("cnt", F.count(F.lit(1)).over(hwin)).withColumn(
+        "rn", F.row_number().over(horder)
+    )
+    dup = marked.filter(
+        (F.col("cnt") > 1) & ((F.col("rn") > 1) if keep_first else F.lit(True))
+    ).select("doc_id", "pos")
+    dwin = W.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(dwin), F.col("pos")) + k,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = dup.withColumn("island", F.sum(gap).over(dwin))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
 def quality_filter_pipeline(
     docs: DataFrame,
     text_col: str = "text",

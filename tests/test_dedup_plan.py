@@ -307,3 +307,29 @@ def test_dsir_scores_immune_to_partitioning(spark):
     b = importance_resample(docs.repartition(32), tgt, k=20).collect()
     key = lambda r: (r.rank, r.doc_id, r.logw_q, r.key_q)
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_duplicate_spans_merges_and_exempts_first_occurrence(spark):
+    from opentelemetry_collector_contrib_spark.textops import duplicate_spans
+
+    shared = "one two three four five six seven eight"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail a"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with anything else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_spans(docs, k=4).collect()}
+    # doc 1 holds the first occurrence of every shared window → exempt;
+    # doc 3 shares nothing; only doc 2's copy is marked
+    assert set(out) == {2}
+    # overlapping duplicate windows merged to ONE span covering the
+    # shared passage: word offsets [0, 8)
+    assert (out[2].span_start, out[2].span_end) == (0, 8)
+    # all 5 stride-1 windows of the 8-word passage participate
+    assert out[2].n_windows == 5
+    # detection form marks both copies
+    both = duplicate_spans(docs, k=4, keep_first=False)
+    assert {r.doc_id for r in both.collect()} == {1, 2}
