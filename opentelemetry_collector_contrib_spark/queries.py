@@ -3817,3 +3817,61 @@ SELECT doc_id, min(pos)::BIGINT AS span_start,
        count(*)::BIGINT AS n_windows
 FROM isl GROUP BY doc_id, island""",
     )
+
+    # ---- d_curriculum: curriculum binning ----------------------------------
+    # exact global rank via the two-phase distributed prefix (no
+    # single-partition window); bin = rank*n/N in BIGINT arithmetic.
+    def d_curriculum(spark, sf_dir):
+        from .textops import curriculum_bins
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return curriculum_bins(docs, n_bins=4)
+
+    reg(
+        "d_curriculum",
+        d_curriculum,
+        """WITH s AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, score,
+         (row_number() OVER (ORDER BY score, doc_id) - 1)::BIGINT AS rank,
+         count(*) OVER ()::BIGINT AS n
+  FROM s
+)
+SELECT doc_id, score, rank, ((rank * 4) // n)::INT AS bin FROM r""",
+    )
+
+    # ---- t_preference_pairs: DPO pair builder ------------------------------
+    # per conversation: highest- vs lowest-scoring assistant turn, total
+    # deterministic tie-breaks, ONE grouped aggregate (no window/join).
+    def t_preference_pairs(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import preference_pairs
+
+        fx = ensure_fixture_dir(sf_dir)
+        return preference_pairs(read_transcripts(spark, fx))
+
+    reg(
+        "t_preference_pairs",
+        t_preference_pairs,
+        f"""WITH cand AS (
+  SELECT conv_id, turn_idx, text,
+         len(string_split(text, ' '))::BIGINT AS s
+  FROM {_TR} WHERE role = 'assistant'
+), ranked AS (
+  SELECT conv_id, turn_idx, text, s,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY s DESC, turn_idx ASC) AS rc,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY s ASC, turn_idx DESC) AS rr,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM cand
+)
+SELECT c.conv_id,
+       c.turn_idx AS chosen_turn_idx, r.turn_idx AS rejected_turn_idx,
+       c.text AS chosen, r.text AS rejected,
+       (c.s - r.s)::BIGINT AS margin
+FROM ranked c JOIN ranked r USING (conv_id)
+WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2""",
+    )

@@ -711,6 +711,109 @@ def seeded_shuffle(
     )
 
 
+def curriculum_bins(
+    docs: DataFrame,
+    n_bins: int = 4,
+    score_col: str | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum binning: order the corpus by a difficulty score and cut
+    it into ``n_bins`` balanced phases (easy→hard training schedule).
+    Default difficulty is token count (length curriculum); pass
+    ``score_col`` for a precomputed signal (e.g. quality_score output).
+
+    Bin = floor(global_rank · n_bins / N) — exact BIGINT arithmetic, so
+    bins are balanced to ±1 row and reproducible across engines. The
+    global rank is the SAME two-phase distributed prefix shape as
+    pack_sequences (range-partition by (score, key) with the partition
+    assignment pinned by localCheckpoint, per-partition row_number, O(P)
+    offset window, broadcast join-back) — the corpus never collapses
+    into a single-partition global window. Ties order by ``key_col``.
+    Returns (doc_id, score, rank, bin)."""
+    from pyspark.sql import Window as W
+
+    score = (
+        F.col(score_col)
+        if score_col
+        else F.size(_words(F.col(text_col))).cast("long")
+    )
+    df = docs.select(F.col(key_col).alias("doc_id"), score.alias("score"))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange re-samples boundaries per job: pin ONE
+    # materialization so the counts side and the join side agree on
+    # partition ids (same hazard pack_sequences documents)
+    part = (
+        df.repartitionByRange(n, "score", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = W.partitionBy("_pid").orderBy("score", "doc_id")
+    part = part.withColumn("_lr", F.row_number().over(w_local) - 1)
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    total = counts.select(F.sum("_cnt").alias("_n"))
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", (F.col("_off") + F.col("_lr")).cast("long"))
+        .select(
+            "doc_id",
+            "score",
+            "rank",
+            F.expr(f"rank * {int(n_bins)} div _n").cast("int").alias("bin"),
+        )
+    )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    score: Column | None = None,
+    role: str = "assistant",
+) -> DataFrame:
+    """DPO/RLHF preference-pair builder over multi-turn transcripts: per
+    conversation, pair the highest-scoring ``role`` turn (chosen) with
+    the lowest-scoring one (rejected). Default score is token count — a
+    crude but deterministic stand-in; pass any Column (reward-model
+    output, quality_score signal) for real use.
+
+    Deterministic and total: chosen breaks score ties on LOWEST
+    turn_idx, rejected on HIGHEST, so with ≥2 candidate turns the two
+    never coincide (a turn that is max and min score AND lowest and
+    highest turn_idx is the only candidate — those conversations are
+    dropped by the n≥2 gate).
+
+    Plan: ONE map-side-combinable groupBy(conv_id) carrying two
+    max_by/min_by struct aggregates — no window, no join, one shuffle
+    (shuffle-free under the conv_id-bucketed layout). Returns (conv_id,
+    chosen_turn_idx, rejected_turn_idx, chosen, rejected, margin)."""
+    s = (score if score is not None else F.size(_words(F.col("text")))).cast(
+        "long"
+    )
+    cand = turns.filter(F.col("role") == role).select(
+        "conv_id", "turn_idx", "text", s.alias("_s")
+    )
+    payload = F.struct("turn_idx", "text", "_s")
+    agg = cand.groupBy("conv_id").agg(
+        F.max_by(payload, F.struct(F.col("_s"), -F.col("turn_idx"))).alias("c"),
+        F.min_by(payload, F.struct(F.col("_s"), -F.col("turn_idx"))).alias("r"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return agg.filter(F.col("_n") >= 2).select(
+        "conv_id",
+        F.col("c.turn_idx").alias("chosen_turn_idx"),
+        F.col("r.turn_idx").alias("rejected_turn_idx"),
+        F.col("c.text").alias("chosen"),
+        F.col("r.text").alias("rejected"),
+        (F.col("c._s") - F.col("r._s")).cast("long").alias("margin"),
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     budget: int = 128,

@@ -333,3 +333,62 @@ def test_duplicate_spans_merges_and_exempts_first_occurrence(spark):
     # detection form marks both copies
     both = duplicate_spans(docs, k=4, keep_first=False)
     assert {r.doc_id for r in both.collect()} == {1, 2}
+
+
+def test_curriculum_bins_exact_and_balanced(spark):
+    from opentelemetry_collector_contrib_spark.textops import curriculum_bins
+
+    # 40 docs with token counts 1..40 → rank == score-1, 4 bins of 10
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curriculum_bins(docs.repartition(16), n_bins=4).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.rank == r.score - 1
+        assert r.bin == (r.rank * 4) // 40
+    from collections import Counter
+
+    assert Counter(r.bin for r in out) == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_curriculum_no_global_single_partition_window(spark):
+    from opentelemetry_collector_contrib_spark.textops import curriculum_bins
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], ["doc_id", "text"]
+    )
+    plan = (
+        curriculum_bins(docs, n_bins=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only unpartitioned window runs over the O(P) per-partition
+    # totals, never the corpus: corpus-side windows must carry a
+    # partition key
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_preference_pairs_ties_and_gate(spark):
+    from opentelemetry_collector_contrib_spark.textops import preference_pairs
+
+    rows = [
+        # conv a: clear max (t2, 4 tokens) and min (t3, 1 token)
+        ("a", 1, "assistant", "two words"),
+        ("a", 2, "assistant", "four words right here"),
+        ("a", 3, "assistant", "one"),
+        ("a", 4, "user", "ignored user turn with many words"),
+        # conv b: ALL-EQUAL scores — chosen=lowest turn, rejected=highest
+        ("b", 1, "assistant", "same length"),
+        ("b", 2, "assistant", "equal tokens"),
+        ("b", 3, "assistant", "also two"),
+        # conv c: single assistant turn — dropped by the n>=2 gate
+        ("c", 1, "assistant", "alone here"),
+        ("c", 2, "user", "not a candidate"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in preference_pairs(turns).collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]
+    assert (a.chosen_turn_idx, a.rejected_turn_idx, a.margin) == (2, 3, 3)
+    assert a.chosen == "four words right here" and a.rejected == "one"
+    b = out["b"]
+    assert (b.chosen_turn_idx, b.rejected_turn_idx, b.margin) == (1, 3, 0)
