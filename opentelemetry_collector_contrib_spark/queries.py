@@ -3875,3 +3875,151 @@ SELECT c.conv_id,
 FROM ranked c JOIN ranked r USING (conv_id)
 WHERE c.rc = 1 AND r.rr = 1 AND c.n >= 2""",
     )
+
+    # ---- d_temperature_mix: n^alpha multilingual resampling ----------------
+    # q_s ∝ n_s^alpha derived from observed counts (no target dict);
+    # rates solved at the largest feasible total, same md5-bucket gate.
+    # Oracle recomputes the closed form in SQL with the normalizer
+    # summed in sorted-stratum order (float-discipline note in textops).
+    def d_temperature_mix(spark, sf_dir):
+        from .textops import temperature_mix_sample
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return temperature_mix_sample(docs, "lang", alpha=0.5).select(
+            "doc_id", "lang"
+        )
+
+    reg(
+        "d_temperature_mix",
+        d_temperature_mix,
+        """WITH counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), weights AS (
+  SELECT lang, n, pow(n, 0.5) AS w FROM counts
+), z AS (
+  SELECT sum(w ORDER BY lang) AS z FROM weights
+), probs AS (
+  SELECT lang, n, w / z.z AS q FROM weights, z
+), t AS (
+  SELECT min(n / q) AS t FROM probs
+), rates AS (
+  SELECT lang, least(1.0, q * t.t / n) AS rate FROM probs, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+      < floor(r.rate * 10000)""",
+    )
+
+    # ---- t_conv_dedup: duplicate-conversation removal ----------------------
+    # dialog-level exact dedup: canonical fingerprint from the ordered
+    # (role, text) turn sequence, keep the lowest conv_id per hash.
+    def t_conv_dedup(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import conversation_dedup
+
+        fx = ensure_fixture_dir(sf_dir)
+        return conversation_dedup(read_transcripts(spark, fx))
+
+    reg(
+        "t_conv_dedup",
+        t_conv_dedup,
+        f"""WITH conv AS (
+  SELECT conv_id,
+         md5(string_agg(role || chr(31) || text, chr(30) ORDER BY turn_idx))
+           AS conv_hash,
+         count(*)::BIGINT AS n_turns
+  FROM {_TR} GROUP BY conv_id
+), ranked AS (
+  SELECT conv_id, conv_hash, n_turns,
+         row_number() OVER (PARTITION BY conv_hash ORDER BY conv_id) AS rn,
+         count(*) OVER (PARTITION BY conv_hash)::BIGINT AS n_copies
+  FROM conv
+)
+SELECT conv_id, conv_hash, n_turns, n_copies FROM ranked WHERE rn = 1""",
+    )
+
+    # ---- t_loss_mask: SFT loss-masking token spans --------------------------
+    # per-turn [tok_start, tok_end) offsets within the assembled dialog +
+    # assistant-only 0/1 mask; per-conversation window (scale-free).
+    def t_loss_mask(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import loss_mask_spans
+
+        fx = ensure_fixture_dir(sf_dir)
+        return loss_mask_spans(read_transcripts(spark, fx))
+
+    reg(
+        "t_loss_mask",
+        t_loss_mask,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM {_TR}
+)
+SELECT conv_id, turn_idx, n_tokens,
+       (sum(n_tokens) OVER w - n_tokens)::BIGINT AS tok_start,
+       (sum(n_tokens) OVER w)::BIGINT AS tok_end,
+       CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS loss_mask
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING)""",
+    )
+
+    # ---- t_context_trim: token-budget context-window trimming ---------------
+    # keep the system prompt + the maximal suffix of remaining turns
+    # fitting the leftover budget (drop oldest middle turns first).
+    def t_context_trim(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import truncate_to_budget
+
+        fx = ensure_fixture_dir(sf_dir)
+        return truncate_to_budget(read_transcripts(spark, fx), budget=128)
+
+    reg(
+        "t_context_trim",
+        t_context_trim,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         (turn_idx = 0 AND role = 'system') AS is_sys
+  FROM {_TR}
+), gated AS (
+  SELECT conv_id, turn_idx, role, n_tokens, is_sys,
+         sum(CASE WHEN is_sys THEN n_tokens ELSE 0 END)
+           OVER (PARTITION BY conv_id) AS sys_tokens,
+         sum(CASE WHEN is_sys THEN 0 ELSE n_tokens END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS UNBOUNDED PRECEDING) AS suffix_sum
+  FROM t
+)
+SELECT conv_id, turn_idx, role, n_tokens
+FROM gated WHERE is_sys OR suffix_sum <= 128 - sys_tokens""",
+    )
+
+    # ---- t_tool_bigrams: tool-call transition counts -------------------------
+    # the conversation's ordered tool-call trace folded to global bigram
+    # counts; '<start>' marks each conversation's first call.
+    def t_tool_bigrams(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import tool_transitions
+
+        fx = ensure_fixture_dir(sf_dir)
+        return tool_transitions(read_transcripts(spark, fx))
+
+    reg(
+        "t_tool_bigrams",
+        t_tool_bigrams,
+        f"""WITH calls AS (
+  SELECT conv_id, turn_idx, tool FROM {_TR} WHERE tool IS NOT NULL
+), seq AS (
+  SELECT coalesce(
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+           '<start>') AS prev_tool,
+         tool
+  FROM calls
+)
+SELECT prev_tool, tool, count(*)::BIGINT AS n_transitions
+FROM seq GROUP BY prev_tool, tool""",
+    )

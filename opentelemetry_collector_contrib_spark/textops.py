@@ -814,6 +814,161 @@ def preference_pairs(
     )
 
 
+def conversation_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-CONVERSATION removal over multi-turn transcripts:
+    two dialogs are duplicates iff their ordered (role, text) turn
+    sequences are byte-identical. The per-doc exact_dedup misses these
+    (it hashes one row); SFT/DPO corpora dedup at the dialog level.
+
+    Plan: ONE groupBy(conv) building the canonical fingerprint —
+    collect_list of (turn_idx, role, text) structs, array_sort (exact,
+    turn_idx leads the struct so partition order is irrelevant), fold to
+    md5 — shuffle-free under the conv-bucketed layout; then a window
+    over the O(#convs) fingerprint frame keeps the lowest conv_id per
+    hash. Unit separators (\\x1f intra-turn, \\x1e inter-turn) make the
+    encoding prefix-collision-free for any text without control chars.
+    Returns (conv_id, conv_hash, n_turns, n_copies) for survivors."""
+    from pyspark.sql import Window as W
+
+    payload = F.struct(F.col(idx_col), F.col(role_col), F.col(text_col))
+    per_conv = turns.groupBy(conv_col).agg(
+        F.md5(
+            F.concat_ws(
+                "\x1e",
+                F.transform(
+                    F.array_sort(F.collect_list(payload)),
+                    lambda s: F.concat_ws(
+                        "\x1f", s.getField(role_col), s.getField(text_col)
+                    ),
+                ),
+            )
+        ).alias("conv_hash"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    w = W.partitionBy("conv_hash").orderBy(conv_col)
+    w_all = W.partitionBy("conv_hash").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        per_conv.withColumn("n_copies", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(conv_col, "conv_hash", "n_turns", "n_copies")
+    )
+
+
+def loss_mask_spans(
+    turns: DataFrame,
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT loss-masking layout: per turn, the [tok_start, tok_end) token
+    span it occupies in its assembled conversation plus a 0/1 loss mask
+    (train only on ``role`` turns — the standard chat-SFT rule). The
+    running offset is a window sum PARTITIONED BY conv_id: partitions
+    are single conversations (tens of rows), so unlike a global prefix
+    sum this window is scale-free — no two-phase machinery needed.
+    Token counts use the whitespace rule shared with token_counts."""
+    from pyspark.sql import Window as W
+
+    ntok = F.size(_words(F.col(text_col))).cast("long")
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    return turns.select(
+        conv_col,
+        idx_col,
+        ntok.alias("n_tokens"),
+        (F.sum(ntok).over(w) - ntok).alias("tok_start"),
+        F.sum(ntok).over(w).alias("tok_end"),
+        (F.col("role") == role).cast("int").alias("loss_mask"),
+    )
+
+
+def truncate_to_budget(
+    turns: DataFrame,
+    budget: int = 512,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window trimming for SFT: per conversation keep the system
+    prompt (turn 0 when its role is 'system') plus the maximal SUFFIX of
+    the remaining turns whose token total fits the leftover budget — the
+    standard chat-training trim rule (drop the oldest middle turns
+    first, never the system prompt, never a newer turn before an older
+    one). A conversation that fits entirely is untouched.
+
+    Plan: per-conversation windows only (ROWS running sums over tens of
+    rows — scale-free, no global prefix machinery): one forward window
+    computes the system-turn token count broadcast to the conversation
+    frame, one REVERSE running sum (orderBy turn_idx DESC) decides the
+    suffix cut. ONE shuffle on conv_id, shared with every other
+    conversation-keyed stage (shuffle-free under the bucketed layout).
+    Token counts use the whitespace rule shared with token_counts.
+    Returns the kept turns as (conv_id, turn_idx, role, n_tokens)."""
+    from pyspark.sql import Window as W
+
+    ntok = F.size(_words(F.col(text_col))).cast("long")
+    is_sys = (F.col(idx_col) == 0) & (F.col(role_col) == "system")
+    w_all = W.partitionBy(conv_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    w_rev = (
+        W.partitionBy(conv_col)
+        .orderBy(F.col(idx_col).desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sys_tokens = F.sum(F.when(is_sys, ntok).otherwise(F.lit(0))).over(w_all)
+    suffix_sum = F.sum(
+        F.when(is_sys, F.lit(0)).otherwise(ntok)
+    ).over(w_rev)
+    return (
+        turns.withColumn("n_tokens", ntok)
+        .withColumn("_keep", is_sys | (suffix_sum <= budget - sys_tokens))
+        .filter(F.col("_keep"))
+        .select(conv_col, idx_col, role_col, "n_tokens")
+    )
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-call transition mining over agent transcripts: the global
+    bigram counts of consecutive tool invocations WITHIN a conversation
+    (non-tool turns are skipped, not transition boundaries — the
+    sequence is the conversation's ordered tool-call trace). The first
+    call of each conversation transitions from the sentinel '<start>',
+    so per-tool entry-point frequency falls out of the same result.
+
+    Plan: filter to tool turns first (pushed to the scan), lag() over
+    the per-conversation window, then ONE hash aggregate on the
+    (prev_tool, tool) pair — map-side partials make the shuffle O(#tool
+    pairs), not O(rows). Returns (prev_tool, tool, n_transitions)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    return (
+        turns.filter(F.col(tool_col).isNotNull())
+        .withColumn(
+            "prev_tool",
+            F.coalesce(F.lag(tool_col).over(w), F.lit("<start>")),
+        )
+        .groupBy("prev_tool", F.col(tool_col).alias("tool"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     budget: int = 128,
@@ -1234,4 +1389,40 @@ def target_mix_sample(
         for s in counts
         if target[s] > 0
     }
+    return stratified_sample(df, strata_col, rates, key_col, default_rate=0.0)
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: resample so stratum
+    proportions follow q_s ∝ n_s^alpha — the multilingual up/down-
+    weighting rule (mBERT/XLM-R exponential smoothing; alpha<1 flattens
+    head strata toward the tail). Unlike ``target_mix_sample`` the
+    target distribution is DERIVED from the observed counts, so no
+    target dict is needed; alpha=1 is a no-op, alpha=0 is uniform.
+
+    Same plan as target_mix: ONE map-side-combinable count aggregate
+    (|strata| rows to the driver), rates solved in closed form at the
+    largest feasible total without upsampling (the most-upweighted
+    stratum keeps everything), then the deterministic md5-bucket gate —
+    zero corpus shuffle, reproducible across engines/retries.
+
+    Cross-engine float discipline (the oracle recomputes the rates in
+    SQL): the weight normalizer sums in sorted-stratum order on both
+    sides, and every rate floors onto the same 1/10000 bucket grid, so
+    a last-ulp pow() divergence cannot flip a row unless a rate lands
+    exactly on a grid edge (not the case for any fixture tier)."""
+    rows = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {r[strata_col]: float(r["n"]) for r in rows if r[strata_col] is not None}
+    if not counts:
+        return df.filter(F.lit(False))
+    w = {s: counts[s] ** alpha for s in counts}
+    z = sum(w[s] for s in sorted(w))  # fixed order — oracle sums the same way
+    q = {s: w[s] / z for s in w}
+    t_max = min(counts[s] / q[s] for s in counts)
+    rates = {s: min(1.0, q[s] * t_max / counts[s]) for s in counts}
     return stratified_sample(df, strata_col, rates, key_col, default_rate=0.0)

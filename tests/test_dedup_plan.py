@@ -392,3 +392,145 @@ def test_preference_pairs_ties_and_gate(spark):
     assert a.chosen == "four words right here" and a.rejected == "one"
     b = out["b"]
     assert (b.chosen_turn_idx, b.rejected_turn_idx, b.margin) == (1, 3, 0)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        temperature_mix_sample,
+    )
+
+    # skewed corpus: 160 'en', 40 'fr' (4:1). alpha=0.5 targets
+    # q ∝ sqrt(n) → 2:1, binding stratum fr keeps everything.
+    rows = [(i, "en") for i in range(160)] + [(1000 + i, "fr") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mix_sample(docs, "lang", alpha=0.5).collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in kept)
+    assert c["fr"] == 40  # most-upweighted stratum never downsampled
+    # en keep-rate = sqrt(160)/ (sqrt(160)+sqrt(40)) * T / 160 with
+    # T = 40/q_fr = 40*(1+2)/1 = 120 → en keeps 80 of 160 ± md5-bucket
+    # granularity (rate floors to the 1/10000 grid)
+    assert 60 <= c["en"] <= 100
+    # alpha=1 reproduces the corpus exactly (identity temperature)
+    assert temperature_mix_sample(docs, "lang", alpha=1.0).count() == 200
+
+
+def test_temperature_mix_partition_invariant(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        temperature_mix_sample,
+    )
+
+    rows = [(i, f"l{i % 3}") for i in range(90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = {r.doc_id for r in temperature_mix_sample(docs.coalesce(1), "lang", 0.3).collect()}
+    b = {r.doc_id for r in temperature_mix_sample(docs.repartition(32), "lang", 0.3).collect()}
+    assert a == b  # hash gate, not RNG: layout cannot change the kept set
+
+
+def test_conversation_dedup_exact_dialog_identity(spark):
+    from opentelemetry_collector_contrib_spark.textops import conversation_dedup
+
+    rows = [
+        # conv a and conv b: identical ordered (role, text) sequences
+        ("a", 1, "user", "hi"), ("a", 2, "assistant", "hello"),
+        ("b", 1, "user", "hi"), ("b", 2, "assistant", "hello"),
+        # conv c: same texts, different ROLE on turn 2 → distinct dialog
+        ("c", 1, "user", "hi"), ("c", 2, "user", "hello"),
+        # conv d: same texts, different ORDER → distinct dialog
+        ("d", 1, "user", "hello"), ("d", 2, "assistant", "hi"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in conversation_dedup(turns).collect()}
+    assert set(out) == {"a", "c", "d"}  # lowest conv_id survives the pair
+    assert out["a"].n_copies == 2 and out["c"].n_copies == 1
+    assert out["a"].n_turns == 2
+    # fingerprint is partition-order independent (array_sort on turn_idx)
+    out2 = {r.conv_id: r for r in conversation_dedup(turns.repartition(8)).collect()}
+    assert {k: v.conv_hash for k, v in out.items()} == {
+        k: v.conv_hash for k, v in out2.items()
+    }
+
+
+def test_loss_mask_spans_offsets_and_mask(spark):
+    from opentelemetry_collector_contrib_spark.textops import loss_mask_spans
+
+    rows = [
+        ("a", 1, "user", "one two three"),        # 3 tokens, [0, 3)
+        ("a", 2, "assistant", "four five"),        # 2 tokens, [3, 5)
+        ("a", 3, "assistant", "six"),              # 1 token,  [5, 6)
+        ("b", 1, "assistant", "solo"),             # own conversation: [0, 1)
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {(r.conv_id, r.turn_idx): r for r in loss_mask_spans(turns).collect()}
+    assert (out[("a", 1)].tok_start, out[("a", 1)].tok_end, out[("a", 1)].loss_mask) == (0, 3, 0)
+    assert (out[("a", 2)].tok_start, out[("a", 2)].tok_end, out[("a", 2)].loss_mask) == (3, 5, 1)
+    assert (out[("a", 3)].tok_start, out[("a", 3)].tok_end) == (5, 6)
+    assert (out[("b", 1)].tok_start, out[("b", 1)].tok_end) == (0, 1)
+    # spans tile each conversation exactly: starts == previous ends
+
+
+def test_truncate_to_budget_keeps_system_and_suffix(spark):
+    from opentelemetry_collector_contrib_spark.textops import truncate_to_budget
+
+    rows = [
+        # conv a: system(2) + 4 turns of 4 tokens each; budget 10 after
+        # system (12 - 2) fits only the last two non-system turns
+        ("a", 0, "system", "be helpful"),
+        ("a", 1, "user", "one two three four"),
+        ("a", 2, "assistant", "five six seven eight"),
+        ("a", 3, "user", "nine ten eleven twelve"),
+        ("a", 4, "assistant", "a b c d"),
+        # conv b fits entirely
+        ("b", 0, "system", "short"),
+        ("b", 1, "user", "hi"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    kept = {
+        (r.conv_id, r.turn_idx)
+        for r in truncate_to_budget(turns, budget=12).collect()
+    }
+    assert kept == {("a", 0), ("a", 3), ("a", 4), ("b", 0), ("b", 1)}
+
+
+def test_truncate_to_budget_never_splits_suffix_order(spark):
+    # kept non-system turns always form a contiguous suffix: a turn is
+    # kept only if every later turn is kept too
+    from opentelemetry_collector_contrib_spark.textops import truncate_to_budget
+
+    rows = [
+        ("c", i, "user" if i else "system", " ".join(["w"] * (1 + i % 5)))
+        for i in range(20)
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    kept = sorted(
+        r.turn_idx
+        for r in truncate_to_budget(turns, budget=17).collect()
+        if r.turn_idx > 0
+    )
+    assert kept == list(range(kept[0], 20))
+
+
+def test_tool_transitions_skip_nontool_turns(spark):
+    from opentelemetry_collector_contrib_spark.textops import tool_transitions
+
+    rows = [
+        ("a", 0, "system", None),
+        ("a", 1, "tool", "bash"),
+        ("a", 2, "assistant", None),   # skipped, NOT a boundary
+        ("a", 3, "tool", "editor"),
+        ("a", 4, "tool", "bash"),
+        ("b", 1, "tool", "bash"),      # fresh conversation restarts at <start>
+        ("b", 2, "tool", "bash"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "tool"])
+    out = {
+        (r.prev_tool, r.tool): r.n_transitions
+        for r in tool_transitions(turns).collect()
+    }
+    assert out == {
+        ("<start>", "bash"): 2,
+        ("bash", "editor"): 1,
+        ("editor", "bash"): 1,
+        ("bash", "bash"): 1,
+    }
