@@ -3913,8 +3913,10 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
     )
 
     # ---- t_conv_dedup: duplicate-conversation removal ----------------------
-    # dialog-level exact dedup: canonical fingerprint from the ordered
-    # (role, text) turn sequence, keep the lowest conv_id per hash.
+    # dialog-level exact dedup: commutative two-word xor fingerprint of
+    # the (turn_idx, role, text) element hashes (hot-conversation safe —
+    # algebraic agg, partial-combined map-side), lowest conv_id per
+    # fingerprint survives.
     def t_conv_dedup(spark, sf_dir):
         from .sources.readers import read_transcripts
         from .textops import conversation_dedup
@@ -3925,19 +3927,26 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
     reg(
         "t_conv_dedup",
         t_conv_dedup,
-        f"""WITH conv AS (
+        f"""WITH h AS (
   SELECT conv_id,
-         md5(string_agg(role || chr(31) || text, chr(30) ORDER BY turn_idx))
-           AS conv_hash,
+         md5(turn_idx::VARCHAR || chr(31) || role || chr(31) || text) AS e
+  FROM {_TR}
+), conv AS (
+  SELECT conv_id,
+         bit_xor(('0x' || substr(e, 1, 14))::BIGINT) AS conv_hash_hi,
+         bit_xor(('0x' || substr(e, 15, 14))::BIGINT) AS conv_hash_lo,
          count(*)::BIGINT AS n_turns
-  FROM {_TR} GROUP BY conv_id
+  FROM h GROUP BY conv_id
 ), ranked AS (
-  SELECT conv_id, conv_hash, n_turns,
-         row_number() OVER (PARTITION BY conv_hash ORDER BY conv_id) AS rn,
-         count(*) OVER (PARTITION BY conv_hash)::BIGINT AS n_copies
+  SELECT conv_id, conv_hash_hi, conv_hash_lo, n_turns,
+         row_number() OVER (PARTITION BY conv_hash_hi, conv_hash_lo
+                            ORDER BY conv_id) AS rn,
+         count(*) OVER (PARTITION BY conv_hash_hi, conv_hash_lo)::BIGINT
+           AS n_copies
   FROM conv
 )
-SELECT conv_id, conv_hash, n_turns, n_copies FROM ranked WHERE rn = 1""",
+SELECT conv_id, conv_hash_hi, conv_hash_lo, n_turns, n_copies
+FROM ranked WHERE rn = 1""",
     )
 
     # ---- t_loss_mask: SFT loss-masking token spans --------------------------
@@ -4022,4 +4031,26 @@ FROM gated WHERE is_sys OR suffix_sum <= 128 - sys_tokens""",
 )
 SELECT prev_tool, tool, count(*)::BIGINT AS n_transitions
 FROM seq GROUP BY prev_tool, tool""",
+    )
+
+    # ---- t_chat_render: chat-template dialog assembly ------------------------
+    # one training string per conversation: <|role|>text segments in
+    # turn order; n_tokens is the per-turn whitespace-token sum that
+    # loss_mask_spans' offsets tile.
+    def t_chat_render(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import render_dialogs
+
+        fx = ensure_fixture_dir(sf_dir)
+        return render_dialogs(read_transcripts(spark, fx))
+
+    reg(
+        "t_chat_render",
+        t_chat_render,
+        f"""SELECT conv_id,
+       string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx)
+         AS dialog,
+       count(*)::BIGINT AS n_turns,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+FROM {_TR} GROUP BY conv_id""",
     )

@@ -826,40 +826,54 @@ def conversation_dedup(
     sequences are byte-identical. The per-doc exact_dedup misses these
     (it hashes one row); SFT/DPO corpora dedup at the dialog level.
 
-    Plan: ONE groupBy(conv) building the canonical fingerprint —
-    collect_list of (turn_idx, role, text) structs, array_sort (exact,
-    turn_idx leads the struct so partition order is irrelevant), fold to
-    md5 — shuffle-free under the conv-bucketed layout; then a window
-    over the O(#convs) fingerprint frame keeps the lowest conv_id per
-    hash. Unit separators (\\x1f intra-turn, \\x1e inter-turn) make the
-    encoding prefix-collision-free for any text without control chars.
-    Returns (conv_id, conv_hash, n_turns, n_copies) for survivors."""
+    Plan — HOT-CONVERSATION SAFE: the fingerprint is a COMMUTATIVE fold,
+    not an ordered concat. Each turn hashes independently to two 56-bit
+    words (md5 of turn_idx␟role␟text, split — 56 bits so the hex→int
+    conversion is exact in both engines' signed 64-bit space), and the
+    per-conversation fingerprint is bit_xor of each word. Baking
+    turn_idx into the element hash makes the multiset of elements
+    determine the ordered sequence, so XOR order-independence loses
+    nothing (and turn_idx uniqueness within a conversation means no
+    self-cancellation). Because XOR is algebraic, Spark's partial
+    aggregation applies: a conversation holding 5% of a 10^12-turn
+    corpus contributes ONE partial row per map partition to the final
+    reducer instead of 5*10^10 rows through a single collect_list
+    buffer. 112 fingerprint bits → birthday bound ~2^56 conversations.
+    Survivors come from a window over the O(#convs) fingerprint frame
+    (lowest conv_id per fingerprint). Returns
+    (conv_id, conv_hash_hi, conv_hash_lo, n_turns, n_copies)."""
     from pyspark.sql import Window as W
 
-    payload = F.struct(F.col(idx_col), F.col(role_col), F.col(text_col))
-    per_conv = turns.groupBy(conv_col).agg(
-        F.md5(
-            F.concat_ws(
-                "\x1e",
-                F.transform(
-                    F.array_sort(F.collect_list(payload)),
-                    lambda s: F.concat_ws(
-                        "\x1f", s.getField(role_col), s.getField(text_col)
-                    ),
-                ),
-            )
-        ).alias("conv_hash"),
-        F.count(F.lit(1)).alias("n_turns"),
+    e = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col(idx_col).cast("string"),
+            F.col(role_col),
+            F.col(text_col),
+        )
     )
-    w = W.partitionBy("conv_hash").orderBy(conv_col)
-    w_all = W.partitionBy("conv_hash").rowsBetween(
+    h_hi = F.conv(F.substring(e, 1, 14), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(e, 15, 14), 16, 10).cast("long")
+    per_conv = (
+        turns.select(conv_col, h_hi.alias("_h1"), h_lo.alias("_h2"))
+        .groupBy(conv_col)
+        .agg(
+            F.expr("bit_xor(_h1)").alias("conv_hash_hi"),
+            F.expr("bit_xor(_h2)").alias("conv_hash_lo"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    w = W.partitionBy("conv_hash_hi", "conv_hash_lo").orderBy(conv_col)
+    w_all = W.partitionBy("conv_hash_hi", "conv_hash_lo").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     return (
         per_conv.withColumn("n_copies", F.count(F.lit(1)).over(w_all))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(conv_col, "conv_hash", "n_turns", "n_copies")
+        .select(
+            conv_col, "conv_hash_hi", "conv_hash_lo", "n_turns", "n_copies"
+        )
     )
 
 
@@ -888,6 +902,41 @@ def loss_mask_spans(
         (F.sum(ntok).over(w) - ntok).alias("tok_start"),
         F.sum(ntok).over(w).alias("tok_end"),
         (F.col("role") == role).cast("int").alias("loss_mask"),
+    )
+
+
+def render_dialogs(
+    turns: DataFrame,
+    sep: str = "\n",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chat-template assembly: render each conversation into ONE training
+    string — ``<|role|>text`` segments in turn order joined by ``sep``
+    (the apply-chat-template step every SFT pipeline runs before
+    tokenization). ``n_tokens`` is the sum of per-turn whitespace token
+    counts, the same rule loss_mask_spans tiles with — its
+    [tok_start, tok_end) offsets index into exactly this assembly's
+    per-turn token sequence.
+
+    Plan: ONE groupBy(conv) — collect_list of (turn_idx, role, text)
+    structs, array_sort (turn_idx leads, so partition order is
+    irrelevant), transform+concat_ws fold, all JVM-side expressions;
+    shuffle-free under the conv-bucketed layout. Output rows are
+    O(#convs) with dialog size bounded by conversation length — the
+    shape a downstream tokenizer job wants (one record per example)."""
+    payload = F.struct(F.col(idx_col), F.col(role_col), F.col(text_col))
+    seg = lambda s: F.concat(  # noqa: E731 — inline transform lambda
+        F.lit("<|"), s.getField(role_col), F.lit("|>"), s.getField(text_col)
+    )
+    return turns.groupBy(conv_col).agg(
+        F.concat_ws(
+            sep, F.transform(F.array_sort(F.collect_list(payload)), seg)
+        ).alias("dialog"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size(_words(F.col(text_col))).cast("long")).alias("n_tokens"),
     )
 
 

@@ -445,11 +445,16 @@ def test_conversation_dedup_exact_dialog_identity(spark):
     assert set(out) == {"a", "c", "d"}  # lowest conv_id survives the pair
     assert out["a"].n_copies == 2 and out["c"].n_copies == 1
     assert out["a"].n_turns == 2
-    # fingerprint is partition-order independent (array_sort on turn_idx)
+    # fingerprint is partition-order independent (commutative xor fold)
     out2 = {r.conv_id: r for r in conversation_dedup(turns.repartition(8)).collect()}
-    assert {k: v.conv_hash for k, v in out.items()} == {
-        k: v.conv_hash for k, v in out2.items()
+    assert {k: (v.conv_hash_hi, v.conv_hash_lo) for k, v in out.items()} == {
+        k: (v.conv_hash_hi, v.conv_hash_lo) for k, v in out2.items()
     }
+    # the xor fold is an algebraic aggregate: the physical plan carries a
+    # map-side partial HashAggregate, so a hot conversation contributes
+    # one partial row per partition — never a whole-dialog buffer
+    plan = conversation_dedup(turns)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2 and "ObjectHashAggregate" not in plan
 
 
 def test_loss_mask_spans_offsets_and_mask(spark):
@@ -534,3 +539,21 @@ def test_tool_transitions_skip_nontool_turns(spark):
         ("editor", "bash"): 1,
         ("bash", "bash"): 1,
     }
+
+
+def test_render_dialogs_order_and_token_sum(spark):
+    from opentelemetry_collector_contrib_spark.textops import render_dialogs
+
+    rows = [
+        ("a", 2, "assistant", "hello there"),
+        ("a", 1, "user", "hi"),             # out of storage order on purpose
+        ("b", 1, "user", "solo turn"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in render_dialogs(turns).collect()}
+    assert out["a"].dialog == "<|user|>hi\n<|assistant|>hello there"
+    assert (out["a"].n_turns, out["a"].n_tokens) == (2, 3)
+    assert out["b"].dialog == "<|user|>solo turn"
+    # partition layout cannot change the rendered string (array_sort)
+    out2 = {r.conv_id: r.dialog for r in render_dialogs(turns.repartition(8)).collect()}
+    assert out2["a"] == out["a"].dialog

@@ -311,3 +311,50 @@ def test_pack_sequences_matches_exact_prefix_sum(spark, texts, budget, buckets):
         ).collect()
     }
     assert got == exact
+
+
+@st.composite
+def _budget_rows(draw):
+    n_convs = draw(st.integers(1, 3))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 10))
+        for t in range(n_turns):
+            role = "system" if t == 0 and draw(st.booleans()) else "user"
+            n_words = draw(st.integers(1, 6))
+            rows.append((f"c{c}", t, role, " ".join(["w"] * n_words)))
+    return rows
+
+
+@given(rows=_budget_rows(), budget=st.integers(0, 30))
+@_SET
+def test_truncate_to_budget_is_the_maximal_fitting_suffix(spark, rows, budget):
+    """Trim law for ANY conversation shape and budget: the kept set is
+    exactly {system turn} ∪ the LONGEST suffix of non-system turns whose
+    token total fits budget − system_tokens — never a longer one, never
+    a shorter one, never a non-suffix subset."""
+    from opentelemetry_collector_contrib_spark.textops import truncate_to_budget
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    kept: dict[str, set[int]] = {}
+    for r in truncate_to_budget(df, budget=budget).collect():
+        kept.setdefault(r.conv_id, set()).add(r.turn_idx)
+
+    by_conv: dict[str, list[tuple[int, str, int]]] = {}
+    for conv, idx, role, text in rows:
+        by_conv.setdefault(conv, []).append((idx, role, len(text.split(" "))))
+    for conv, turns in by_conv.items():
+        turns.sort()
+        sys_tokens = sum(n for i, role, n in turns if i == 0 and role == "system")
+        non_sys = [(i, n) for i, role, n in turns if not (i == 0 and role == "system")]
+        want = {i for i, _, _ in [(i, r, n) for i, r, n in turns if i == 0 and r == "system"]}
+        total = 0
+        for i, n in reversed(non_sys):
+            total += n
+            if total <= budget - sys_tokens:
+                want.add(i)
+            else:
+                break
+        assert kept.get(conv, set()) == want, (conv, budget, turns)

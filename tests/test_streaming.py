@@ -474,3 +474,93 @@ def test_tcp_socket_receiver_feeds_operator_chain(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_otlp_envelope_stream_checkpoint_restart(spark, tmp_path):
+    """Tailing otlpjsonfile receiver over ENVELOPE lines: readStream.text
+    → parse_otlp_envelopes → typed parquet sink with a checkpoint. The
+    reader claims readStream compatibility (pure mapInPandas +
+    projections, pdata.py parse_otlp_envelopes) — prove it: drain, drop
+    a second file in, resume from the SAME checkpoint, and the sink holds
+    each record exactly once, value-equal to the batch reader over the
+    full directory (receiver-independence, testbed/correctnesstests)."""
+    import json as _json
+
+    from opentelemetry_collector_contrib_spark.pdata import (
+        parse_otlp_envelopes,
+        read_otlp_json_envelope,
+    )
+    from tests.test_pdata import ENVELOPE_LINE
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    second_env = _json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "billing"}},
+        ]},
+        "scopeLogs": [{
+            "scope": {"name": "otherlib", "version": "1.1"},
+            "logRecords": [
+                {"timeUnixNano": "1700000001000000000", "severityNumber": 13,
+                 "body": {"stringValue": "r3"}},
+            ],
+        }],
+    }]})
+    bare = _json.dumps({"body": {"stringValue": "bare"},
+                        "severityNumber": 5})
+    (in_dir / "f1.jsonl").write_text(ENVELOPE_LINE + "\n" + bare + "\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        lines = (
+            spark.readStream.format("text")
+            .load(str(in_dir))
+            .withColumnRenamed("value", "line")
+        )
+        q = (
+            parse_otlp_envelopes(lines)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def snapshot(df):
+        # every ingested column incl. the VARIANT trees (string-rendered)
+        return {
+            tuple(r) for r in df.select(
+                "ts", "severity_number", "severity_text", "body",
+                "body_kind", F.col("body_var").cast("string"),
+                F.array_sort(F.map_entries("attributes")).cast("string"),
+                F.col("resource_var").cast("string"),
+                "resource_schema_url", "scope", "scope_version",
+                "scope_schema_url",
+            ).collect()
+        }
+
+    drain()
+    first = snapshot(spark.read.parquet(out))
+    assert len(first) == 3  # 2 envelope records + the bare record
+    # a second drain with no new data emits nothing (checkpoint honored)
+    drain()
+    assert snapshot(spark.read.parquet(out)) == first
+    # new file lands; resume from the same checkpoint → only its rows add
+    (in_dir / "f2.jsonl").write_text(second_env + "\n")
+    drain()
+    got = snapshot(spark.read.parquet(out))
+    assert len(got) == 4 and first < got
+    # receiver-independence: identical to the batch envelope reader
+    want = snapshot(read_otlp_json_envelope(spark, str(in_dir)))
+    assert got == want
+    # the sink parquet preserves typed VARIANT access after the round trip
+    typed = (
+        spark.read.parquet(out)
+        .filter(F.col("body_kind") == "map")
+        .select(F.try_variant_get("body_var", "$.n", "long").alias("n"))
+        .collect()
+    )
+    assert [r["n"] for r in typed] == [7]
