@@ -112,6 +112,16 @@ def minhash_dedup_pairs(
         docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
     )
+    return _jaccard_from_candidates(cand, sh, threshold)
+
+
+def _jaccard_from_candidates(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-jaccard verify over candidate pairs: `sh` is the distinct
+    (doc_id, sh) shingle frame ALREADY gated to candidate doc_ids;
+    common-shingle counts flow through the pair join, so cost is
+    Σ_pairs(shingles per doc) — never corpus²."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -136,6 +146,35 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jacc_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("jacc_raw", 4).alias("jaccard"))
+    )
+
+
+def minhash_pairs_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The minhash_dedup_pairs pipeline over a PRE-SHINGLED distinct
+    (doc_id, sh) frame — for callers whose shingle set is not one text
+    column. conversation_fuzzy_dedup unions per-TURN shingles this way,
+    so a hot conversation never materializes a dialog string: the sig
+    step is a plain min-agg (map-side partials) and verify gates the
+    shingle frame to candidate ids before the pair join."""
+    aggs = [
+        F.min(_seed_hash(F.col("sh"), i, hash_fn)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return _jaccard_from_candidates(
+        cand, sh.join(cand_ids, "doc_id", "left_semi"), threshold
     )
 
 

@@ -4054,3 +4054,198 @@ FROM seq GROUP BY prev_tool, tool""",
        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
 FROM {_TR} GROUP BY conv_id""",
     )
+
+    # ---- t_conv_fuzzy_dedup: NEAR-duplicate conversation detection ---------
+    # the fixture has no fuzzy dup conversations, so both engines plant
+    # the same deterministic ones first: every conversation whose id ends
+    # in '01' (1% of convs) is cloned as 'dup-<id>' minus its final turn
+    # — a trimmed re-log. MinHash-LSH over per-turn <|role|>text shingle
+    # sets (union per conv — algebraic, hot-conversation safe), exact
+    # jaccard verified on candidates only.
+    def t_conv_fuzzy_dedup(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import conversation_fuzzy_dedup
+
+        fx = ensure_fixture_dir(sf_dir)
+        turns = read_transcripts(spark, fx).select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        mx = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+        clones = (
+            turns.join(mx, "conv_id")
+            .filter(
+                F.col("conv_id").endswith("01")
+                & (F.col("turn_idx") < F.col("_mx"))
+            )
+            .select(
+                F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+                "turn_idx", "role", "text",
+            )
+        )
+        return conversation_fuzzy_dedup(
+            turns.unionByName(clones), threshold=0.5
+        )
+
+    fuzzy_sig_cols = ",\n       ".join(
+        f"min(CASE WHEN seed = {i} THEN h END)::BIGINT AS sig_{i}"
+        for i in range(8)
+    )
+    fuzzy_band_arms = " ".join(
+        f"WHEN {b} THEN md5(sig_{2 * b}::VARCHAR || '_' || sig_{2 * b + 1}::VARCHAR)"
+        for b in range(4)
+    )
+    reg(
+        "t_conv_fuzzy_dedup",
+        t_conv_fuzzy_dedup,
+        f"""WITH mx AS (
+  SELECT conv_id, max(turn_idx) AS mxi FROM {_TR} GROUP BY conv_id
+), planted AS (
+  SELECT conv_id, role, text FROM {_TR}
+  UNION ALL
+  SELECT 'dup-' || t.conv_id, t.role, t.text
+  FROM {_TR} t JOIN mx ON t.conv_id = mx.conv_id
+  WHERE t.conv_id LIKE '%01' AND t.turn_idx < mx.mxi
+), words AS (
+  SELECT conv_id AS doc_id,
+         string_split('<|' || role || '|>' || text, ' ') AS w
+  FROM planted
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 8))::BIGINT AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS s(seed)
+), sigs AS (
+  SELECT doc_id, {fuzzy_sig_cols}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, CASE band {fuzzy_band_arms} END AS band_hash
+  FROM sigs, UNNEST(generate_series(0, 3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1
+), common AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT c.doc_a AS conv_a, c.doc_b AS conv_b,
+       round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4)
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5""",
+    )
+
+    # ---- t_conv_lint: structural validation of dialogs ---------------------
+    # the SFT sanity gate: contiguous turn indices, system-led,
+    # assistant-ended, adjacent-role repeats — one conv-keyed agg.
+    def t_conv_lint(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import conversation_lint
+
+        fx = ensure_fixture_dir(sf_dir)
+        return conversation_lint(read_transcripts(spark, fx))
+
+    reg(
+        "t_conv_lint",
+        t_conv_lint,
+        f"""WITH flags AS (
+  SELECT conv_id, turn_idx AS i, role AS r,
+         role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, role)
+           AS rep
+  FROM {_TR}
+), agg AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         (min(i) = 0 AND max(i) = count(*) - 1
+          AND count(DISTINCT i) = count(*)) AS is_contiguous,
+         coalesce(max(CASE WHEN i = 0 THEN (r = 'system') END), false)
+           AS starts_with_system,
+         coalesce(max(rep), false) AS has_role_repeat,
+         max_by(r = 'assistant', i) AS ends_with_assistant
+  FROM flags GROUP BY conv_id
+)
+SELECT conv_id, n_turns, is_contiguous, starts_with_system,
+       has_role_repeat, ends_with_assistant,
+       (is_contiguous AND starts_with_system AND ends_with_assistant)
+         AS is_valid
+FROM agg""",
+    )
+
+    # ---- t_sft_corpus: the full transcripts → training-examples build -------
+    # lint gate → exact dialog dedup → 128-token context trim → chat
+    # render; one conv-keyed partitioning end to end.
+    def t_sft_corpus(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import sft_corpus
+
+        fx = ensure_fixture_dir(sf_dir)
+        return sft_corpus(read_transcripts(spark, fx), budget=128)
+
+    reg(
+        "t_sft_corpus",
+        t_sft_corpus,
+        f"""WITH flags AS (
+  SELECT conv_id, turn_idx AS i, role AS r,
+         role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, role)
+           AS rep
+  FROM {_TR}
+), lint AS (
+  SELECT conv_id
+  FROM flags GROUP BY conv_id
+  HAVING (min(i) = 0 AND max(i) = count(*) - 1
+          AND count(DISTINCT i) = count(*))
+     AND coalesce(max(CASE WHEN i = 0 THEN (r = 'system') END), false)
+     AND max_by(r = 'assistant', i)
+), vt AS (
+  SELECT t.conv_id, t.turn_idx, t.role, t.text
+  FROM {_TR} t JOIN lint USING (conv_id)
+), h AS (
+  SELECT conv_id,
+         md5(turn_idx::VARCHAR || chr(31) || role || chr(31) || text) AS e
+  FROM vt
+), fp AS (
+  SELECT conv_id,
+         bit_xor(('0x' || substr(e, 1, 14))::BIGINT) AS hi,
+         bit_xor(('0x' || substr(e, 15, 14))::BIGINT) AS lo
+  FROM h GROUP BY conv_id
+), surv AS (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           row_number() OVER (PARTITION BY hi, lo ORDER BY conv_id) AS rn
+    FROM fp
+  ) q WHERE rn = 1
+), st AS (
+  SELECT vt.* FROM vt JOIN surv USING (conv_id)
+), tok AS (
+  SELECT conv_id, turn_idx, role, text,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         (turn_idx = 0 AND role = 'system') AS is_sys
+  FROM st
+), gated AS (
+  SELECT *,
+         sum(CASE WHEN is_sys THEN n_tokens ELSE 0 END)
+           OVER (PARTITION BY conv_id) AS sys_tokens,
+         sum(CASE WHEN is_sys THEN 0 ELSE n_tokens END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 ROWS UNBOUNDED PRECEDING) AS suffix_sum
+  FROM tok
+), kept AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM gated WHERE is_sys OR suffix_sum <= 128 - sys_tokens
+)
+SELECT conv_id,
+       string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx)
+         AS dialog,
+       count(*)::BIGINT AS n_turns,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+FROM kept GROUP BY conv_id""",
+    )

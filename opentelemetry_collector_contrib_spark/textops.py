@@ -940,6 +940,132 @@ def render_dialogs(
     )
 
 
+def conversation_fuzzy_dedup(
+    turns: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-duplicate conversation detection: conversations that are
+    reworded / trimmed copies of each other (retry storms, A/B-sampled
+    continuations, truncated re-logs) — conversation_dedup's exact
+    fingerprint misses every one of them. MinHash-LSH over each
+    conversation's shingle set, exact-jaccard verified on candidates.
+
+    The shingle set is built at the TURN level — word n-grams of
+    ``<|role|>text`` per turn, unioned per conversation — never by
+    rendering the dialog into one string first. That keeps the whole
+    pipeline algebraic: the union is a distinct-agg and the signature a
+    min-agg (both map-side combinable), so the fixture's hot
+    conversation (5% of all rows) contributes partial rows per
+    partition, not a multi-GB collect_list buffer. Trade vs rendered
+    dialogs: shingles never span turn boundaries and the set ignores
+    turn ORDER — for near-dup detection that is the standard corpus
+    granularity (reordered turns share ~all content shingles anyway).
+
+    Returns (conv_a, conv_b, jaccard) for verified pairs ≥ threshold."""
+    from .dedup_text import minhash_pairs_from_shingles
+
+    seg = F.concat(
+        F.lit("<|"), F.col(role_col), F.lit("|>"), F.col(text_col)
+    )
+    sh = (
+        _spread_small_input(turns)
+        .select(
+            F.col(conv_col).alias("doc_id"),
+            F.explode(word_shingles(seg, n)).alias("sh"),
+        )
+        .distinct()  # cross-turn repeats collapse here (map-side partial)
+    )
+    pairs = minhash_pairs_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, hash_fn=hash_fn,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
+def conversation_lint(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Structural validation of dialogs — the sanity gate an SFT corpus
+    runs before any content filtering: a conversation with holes in its
+    turn index, no leading system prompt, or a dangling non-assistant
+    tail yields broken training examples no matter how good the text is.
+
+    Per-conversation flags, all derived in ONE conv-keyed aggregation
+    (the lag comparison is the only window and shares the same
+    partitioning):
+      is_contiguous       turn_idx is exactly 0..n-1 (no holes, no dups:
+                          min=0, max=n-1, and n distinct indices)
+      starts_with_system  turn 0 exists and its role is 'system'
+      has_role_repeat     some adjacent pair of turns shares a role
+                          (assistant double-turns; tool echoes)
+      ends_with_assistant the final turn is the model's — a trailing
+                          user/tool turn trains nothing
+      is_valid            contiguous AND system-led AND assistant-ended
+    Returns one row per conversation; zero UDFs, algebraic aggregates
+    only, shuffle-free under the conv-bucketed layout."""
+    from pyspark.sql import Window as W
+
+    # tie-break duplicate turn indices by role: the ordered role SEQUENCE
+    # is then a pure function of the (idx, role) multiset, so
+    # has_role_repeat is deterministic even on malformed input (a bare
+    # orderBy(idx) leaves tie order to partition layout — and the same
+    # hazard exists in any SQL engine's lag)
+    prev_role = F.lag(F.col(role_col)).over(
+        W.partitionBy(conv_col).orderBy(idx_col, role_col)
+    )
+    per_turn = turns.select(
+        conv_col,
+        F.col(idx_col).alias("_i"),
+        F.col(role_col).alias("_r"),
+        (F.col(role_col) == prev_role).alias("_rep"),
+    )
+    n = F.count(F.lit(1))
+    agg = per_turn.groupBy(conv_col).agg(
+        n.alias("n_turns"),
+        (
+            (F.min("_i") == 0)
+            & (F.max("_i") == n - 1)
+            & (F.count_distinct(F.col("_i")) == n)
+        ).alias("is_contiguous"),
+        F.max(F.when(F.col("_i") == 0, F.col("_r") == "system")).alias(
+            "starts_with_system"
+        ),
+        F.coalesce(F.max("_rep"), F.lit(False)).alias("has_role_repeat"),
+        F.max_by(F.col("_r") == "assistant", F.col("_i")).alias(
+            "ends_with_assistant"
+        ),
+    )
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "is_contiguous",
+        F.coalesce("starts_with_system", F.lit(False)).alias(
+            "starts_with_system"
+        ),
+        "has_role_repeat",
+        "ends_with_assistant",
+        (
+            F.col("is_contiguous")
+            & F.coalesce("starts_with_system", F.lit(False))
+            & F.col("ends_with_assistant")
+        ).alias("is_valid"),
+    )
+
+
 def truncate_to_budget(
     turns: DataFrame,
     budget: int = 512,
@@ -947,6 +1073,7 @@ def truncate_to_budget(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Context-window trimming for SFT: per conversation keep the system
     prompt (turn 0 when its role is 'system') plus the maximal SUFFIX of
@@ -962,7 +1089,8 @@ def truncate_to_budget(
     suffix cut. ONE shuffle on conv_id, shared with every other
     conversation-keyed stage (shuffle-free under the bucketed layout).
     Token counts use the whitespace rule shared with token_counts.
-    Returns the kept turns as (conv_id, turn_idx, role, n_tokens)."""
+    Returns the kept turns as (conv_id, turn_idx, role, n_tokens);
+    keep_text=True appends the text column for downstream rendering."""
     from pyspark.sql import Window as W
 
     ntok = F.size(_words(F.col(text_col))).cast("long")
@@ -983,7 +1111,92 @@ def truncate_to_budget(
         turns.withColumn("n_tokens", ntok)
         .withColumn("_keep", is_sys | (suffix_sum <= budget - sys_tokens))
         .filter(F.col("_keep"))
-        .select(conv_col, idx_col, role_col, "n_tokens")
+        .select(
+            conv_col, idx_col, role_col, "n_tokens",
+            *((text_col,) if keep_text else ()),
+        )
+    )
+
+
+def sft_corpus(
+    turns: DataFrame,
+    budget: int = 128,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end transcripts → SFT-training-examples build, composed
+    from the verified conversation stages:
+
+      1. conversation_lint gate — keep only structurally valid dialogs
+         (contiguous turn index, system-led, assistant-ended)
+      2. conversation_dedup — drop exact dialog copies (lowest conv_id
+         survives)
+      3. truncate_to_budget — trim each survivor to the token budget
+         (system prompt + maximal fitting suffix)
+      4. render_dialogs — one ``<|role|>text`` training string per
+         conversation
+
+    TWO corpus-scale shuffles total (plan-audited; a naive
+    stage-by-stage composition re-shuffles the turns table per gate):
+    the lint flags and the dedup fingerprint FUSE into one conv-keyed
+    aggregation — is_valid needs no lag window, and the xor fingerprint
+    is algebraic, so one groupBy computes both per-conv decisions in a
+    single pass. Survivor selection is a window over the O(#convs)
+    decision frame; the kept ids gate the turns once (left-semi), and
+    trim's windows + render's groupBy reuse that semi-join's conv
+    partitioning. Returns (conv_id, dialog, n_turns, n_tokens) —
+    n_tokens is post-trim, so every example fits the budget by
+    construction."""
+    from pyspark.sql import Window as W
+
+    e = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col(idx_col).cast("string"),
+            F.col(role_col),
+            F.col(text_col),
+        )
+    )
+    per_turn = turns.select(
+        conv_col,
+        F.col(idx_col).alias("_i"),
+        F.col(role_col).alias("_r"),
+        F.conv(F.substring(e, 1, 14), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(e, 15, 14), 16, 10).cast("long").alias("_h2"),
+    )
+    n = F.count(F.lit(1))
+    per_conv = per_turn.groupBy(conv_col).agg(
+        F.expr("bit_xor(_h1)").alias("_hi"),
+        F.expr("bit_xor(_h2)").alias("_lo"),
+        (
+            (F.min("_i") == 0)
+            & (F.max("_i") == n - 1)
+            & (F.count_distinct(F.col("_i")) == n)
+            & F.coalesce(
+                F.max(F.when(F.col("_i") == 0, F.col("_r") == "system")),
+                F.lit(False),
+            )
+            & F.max_by(F.col("_r") == "assistant", F.col("_i"))
+        ).alias("_valid"),
+    )
+    w = W.partitionBy("_hi", "_lo").orderBy(conv_col)
+    surv = (
+        per_conv.filter(F.col("_valid"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(conv_col)
+    )
+    kept = turns.select(conv_col, idx_col, role_col, text_col).join(
+        surv, conv_col, "left_semi"
+    )
+    trimmed = truncate_to_budget(
+        kept, budget, conv_col, idx_col, role_col, text_col, keep_text=True
+    )
+    return render_dialogs(
+        trimmed, conv_col=conv_col, idx_col=idx_col,
+        role_col=role_col, text_col=text_col,
     )
 
 

@@ -541,6 +541,108 @@ def test_tool_transitions_skip_nontool_turns(spark):
     }
 
 
+def test_conversation_fuzzy_dedup_finds_trimmed_clone(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        conversation_fuzzy_dedup,
+    )
+
+    base = [
+        (i, "user" if i % 2 else "assistant",
+         f"step {i} alpha beta gamma delta epsilon zeta eta theta")
+        for i in range(8)
+    ]
+    rows = [("a", i, r, t) for i, r, t in base]
+    rows += [("b", i, r, t) for i, r, t in base[:-1]]  # trimmed re-log of a
+    rows += [("c", 0, "user", "totally different words nothing shared here at all")]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = conversation_fuzzy_dedup(turns, threshold=0.5).collect()
+    # exact dedup would miss this pair (dialogs differ); fuzzy finds it,
+    # and the unrelated conversation pairs with nothing
+    assert {(r.conv_a, r.conv_b) for r in out} == {("a", "b")}
+    assert 0.5 <= out[0].jaccard < 1.0
+    # every aggregation on the path is algebraic (min/count over shingles)
+    # — no per-conversation buffering anywhere, so the hot-conversation
+    # 5%-of-corpus key combines map-side like any other
+    plan = (
+        conversation_fuzzy_dedup(turns)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ObjectHashAggregate" not in plan and "CollectList" not in plan
+
+
+def test_conversation_lint_flags(spark):
+    from opentelemetry_collector_contrib_spark.textops import conversation_lint
+
+    rows = [
+        # valid: contiguous, system-led, assistant-ended, no repeats
+        ("ok", 0, "system"), ("ok", 1, "user"), ("ok", 2, "assistant"),
+        # hole in the index (no turn 1) and trailing user turn
+        ("hole", 0, "system"), ("hole", 2, "user"),
+        # no system prompt; adjacent assistant double-turn
+        ("rep", 0, "user"), ("rep", 1, "assistant"), ("rep", 2, "assistant"),
+        # duplicate turn_idx (min=0, max=n-1 holds — only the distinct
+        # count catches it)
+        ("dupi", 0, "system"), ("dupi", 1, "user"), ("dupi", 1, "assistant"),
+        ("dupi", 3, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role"])
+    out = {r.conv_id: r for r in conversation_lint(df).collect()}
+    ok = out["ok"]
+    assert (ok.is_contiguous, ok.starts_with_system, ok.has_role_repeat,
+            ok.ends_with_assistant, ok.is_valid) == (True, True, False, True, True)
+    hole = out["hole"]
+    assert not hole.is_contiguous and not hole.ends_with_assistant
+    assert not hole.is_valid
+    rep = out["rep"]
+    assert rep.has_role_repeat and not rep.starts_with_system
+    assert not rep.is_valid
+    dupi = out["dupi"]
+    # min=0 and max=n-1 both hold here — only the distinct count trips;
+    # the (idx, role) tie-break orders the two idx-1 turns
+    # assistant-then-user, so no adjacent repeat, deterministically
+    assert not dupi.is_contiguous and not dupi.has_role_repeat
+    assert not dupi.is_valid
+    # partition layout cannot change any flag (windows keyed by conv)
+    out2 = {r.conv_id: r for r in conversation_lint(df.repartition(8)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+
+def test_sft_corpus_end_to_end(spark):
+    from opentelemetry_collector_contrib_spark.textops import sft_corpus
+
+    rows = [
+        # valid conversation; budget 8 forces the middle user turn out
+        ("ok", 0, "system", "sys prompt here"),
+        ("ok", 1, "user", "a b c d e"),
+        ("ok", 2, "assistant", "f g"),
+        # exact dialog copy — dedup keeps the lower conv_id
+        ("okdup", 0, "system", "sys prompt here"),
+        ("okdup", 1, "user", "a b c d e"),
+        ("okdup", 2, "assistant", "f g"),
+        # not system-led — lint gate drops it
+        ("bad", 0, "user", "hello"),
+        ("bad", 1, "assistant", "hi"),
+    ]
+    turns = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in sft_corpus(turns, budget=8).collect()}
+    assert set(out) == {"ok"}
+    # system prompt survives; the 5-token user turn breaches 8-3 and is
+    # trimmed; the assistant suffix fits
+    assert out["ok"].dialog == "<|system|>sys prompt here\n<|assistant|>f g"
+    assert (out["ok"].n_turns, out["ok"].n_tokens) == (2, 5)
+    # the lint flags and dedup fingerprint fuse into ONE conv-keyed agg:
+    # the whole DAG carries at most 5 exchanges (2 corpus-scale — the
+    # fused agg and the kept-ids semi-join; the rest are O(#convs)
+    # decision-frame sides). A stage-by-stage composition has 8.
+    plan = (
+        sft_corpus(turns, budget=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
 def test_render_dialogs_order_and_token_sum(spark):
     from opentelemetry_collector_contrib_spark.textops import render_dialogs
 
