@@ -1,0 +1,106 @@
+"""spark-submit entrypoint for the SFT corpus build: structurally valid,
+exact-deduped conversations trimmed to a token budget and rendered to
+one ``<|role|>text`` training string each.
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_sft_corpus.py --input /path/to/transcripts_dir \
+      --checkpoint-dir /path/to/ckpt [--budget 128]
+
+Local smoke:
+  python jobs/run_sft_corpus.py --input data/sf0.01 \
+      --checkpoint-dir /tmp/sft_ckpt --cores 8
+
+Two checkpointed stages: kept_ids (the fused lint+dedup decision frame
+— O(#convs) rows, cheap to persist) and examples (semi-join → trim →
+render, bucketed by conv_id so a downstream tokenizer job joins
+shuffle-free). A restart after kept_ids replays examples without
+re-running the decision scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--input", required=True, help="dir containing transcripts.parquet"
+    )
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--budget", type=int, default=128)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.plans.runner import (
+        PipelineRunner,
+        Stage,
+        source_fingerprint,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.textops import (
+        render_dialogs,
+        sft_kept_conv_ids,
+        truncate_to_budget,
+    )
+
+    if args.force and os.path.isdir(args.checkpoint_dir):
+        shutil.rmtree(args.checkpoint_dir)
+
+    tr_path = os.path.join(args.input, "transcripts.parquet")
+    spark = get_spark("otel-sft-corpus", cores=args.cores)
+
+    def _turns(sp):
+        return sp.read.parquet(tr_path).select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+
+    def _examples(sp, ctx):
+        kept = _turns(sp).join(ctx["kept_ids"], "conv_id", "left_semi")
+        trimmed = truncate_to_budget(kept, args.budget, keep_text=True)
+        return render_dialogs(trimmed)
+
+    stages = [
+        Stage(
+            "kept_ids",
+            lambda sp, ctx: sft_kept_conv_ids(_turns(sp)),
+            deps=["transcripts"],
+        ),
+        Stage(
+            "examples",
+            _examples,
+            deps=["kept_ids"],
+            version=f"b{args.budget}",
+            bucket_by=("conv_id", 8),
+        ),
+    ]
+    fps = {"transcripts": source_fingerprint(tr_path)}
+
+    runner = PipelineRunner(spark, args.checkpoint_dir)
+    t0 = time.time()
+    outs = runner.run(stages, fps)
+    wall = time.time() - t0
+
+    print(json.dumps({
+        "kept_conversations": outs["kept_ids"].count(),
+        "examples": outs["examples"].count(),
+        "budget": args.budget,
+        "wall_sec": round(wall, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

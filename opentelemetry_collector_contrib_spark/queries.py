@@ -4170,7 +4170,8 @@ WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5""",
          coalesce(max(CASE WHEN i = 0 THEN (r = 'system') END), false)
            AS starts_with_system,
          coalesce(max(rep), false) AS has_role_repeat,
-         max_by(r = 'assistant', i) AS ends_with_assistant
+         ((max(struct_pack(i := i, r := r))).r = 'assistant')
+           AS ends_with_assistant
   FROM flags GROUP BY conv_id
 )
 SELECT conv_id, n_turns, is_contiguous, starts_with_system,
@@ -4204,7 +4205,7 @@ FROM agg""",
   HAVING (min(i) = 0 AND max(i) = count(*) - 1
           AND count(DISTINCT i) = count(*))
      AND coalesce(max(CASE WHEN i = 0 THEN (r = 'system') END), false)
-     AND max_by(r = 'assistant', i)
+     AND ((max(struct_pack(i := i, r := r))).r = 'assistant')
 ), vt AS (
   SELECT t.conv_id, t.turn_idx, t.role, t.text
   FROM {_TR} t JOIN lint USING (conv_id)

@@ -1045,7 +1045,10 @@ def conversation_lint(
             "starts_with_system"
         ),
         F.coalesce(F.max("_rep"), F.lit(False)).alias("has_role_repeat"),
-        F.max_by(F.col("_r") == "assistant", F.col("_i")).alias(
+        # greatest (idx, role) pair, not max_by(_, idx): max_by breaks
+        # duplicate-final-index ties arbitrarily, and malformed input is
+        # exactly what a linter sees — struct max is deterministic
+        (F.max(F.struct("_i", "_r")).getField("_r") == "assistant").alias(
             "ends_with_assistant"
         ),
     )
@@ -1149,6 +1152,32 @@ def sft_corpus(
     partitioning. Returns (conv_id, dialog, n_turns, n_tokens) —
     n_tokens is post-trim, so every example fits the budget by
     construction."""
+    surv = sft_kept_conv_ids(turns, conv_col, idx_col, role_col, text_col)
+    kept = turns.select(conv_col, idx_col, role_col, text_col).join(
+        surv, conv_col, "left_semi"
+    )
+    trimmed = truncate_to_budget(
+        kept, budget, conv_col, idx_col, role_col, text_col, keep_text=True
+    )
+    return render_dialogs(
+        trimmed, conv_col=conv_col, idx_col=idx_col,
+        role_col=role_col, text_col=text_col,
+    )
+
+
+def sft_kept_conv_ids(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fused per-conversation decision stage of sft_corpus: lint
+    flags and the exact-dialog xor fingerprint from ONE conv-keyed
+    aggregation, survivors from a window over the O(#convs) decision
+    frame. Returns the kept conv ids — a small checkpointable table, so
+    a resumable job can replay render/trim without re-scanning for the
+    decisions (jobs/run_sft_corpus.py stages it)."""
     from pyspark.sql import Window as W
 
     e = F.md5(
@@ -1178,25 +1207,15 @@ def sft_corpus(
                 F.max(F.when(F.col("_i") == 0, F.col("_r") == "system")),
                 F.lit(False),
             )
-            & F.max_by(F.col("_r") == "assistant", F.col("_i"))
+            & (F.max(F.struct("_i", "_r")).getField("_r") == "assistant")
         ).alias("_valid"),
     )
     w = W.partitionBy("_hi", "_lo").orderBy(conv_col)
-    surv = (
+    return (
         per_conv.filter(F.col("_valid"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(conv_col)
-    )
-    kept = turns.select(conv_col, idx_col, role_col, text_col).join(
-        surv, conv_col, "left_semi"
-    )
-    trimmed = truncate_to_budget(
-        kept, budget, conv_col, idx_col, role_col, text_col, keep_text=True
-    )
-    return render_dialogs(
-        trimmed, conv_col=conv_col, idx_col=idx_col,
-        role_col=role_col, text_col=text_col,
     )
 
 

@@ -358,3 +358,51 @@ def test_truncate_to_budget_is_the_maximal_fitting_suffix(spark, rows, budget):
             else:
                 break
         assert kept.get(conv, set()) == want, (conv, budget, turns)
+
+
+@st.composite
+def _lint_rows(draw):
+    n_convs = draw(st.integers(1, 3))
+    rows = []
+    for c in range(n_convs):
+        n = draw(st.integers(1, 6))
+        for _ in range(n):
+            i = draw(st.integers(0, 5))
+            role = draw(st.sampled_from(["system", "user", "assistant", "tool"]))
+            rows.append((f"c{c}", i, role))
+    return rows
+
+
+@given(rows=_lint_rows())
+@_SET
+def test_conversation_lint_matches_reference(spark, rows):
+    """Lint law for ANY turn multiset, including malformed shapes
+    (duplicate indices, holes): every flag equals a sorted-(idx, role)
+    reference computation — an order-nondeterministic tie-break in the
+    lag window or the final-turn pick would flunk this under Spark's
+    partition shuffling."""
+    from opentelemetry_collector_contrib_spark.textops import conversation_lint
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string"
+    ).repartition(8)
+    got = {
+        r.conv_id: (r.n_turns, r.is_contiguous, r.starts_with_system,
+                    r.has_role_repeat, r.ends_with_assistant, r.is_valid)
+        for r in conversation_lint(df).collect()
+    }
+    by_conv: dict[str, list[tuple[int, str]]] = {}
+    for c, i, r in rows:
+        by_conv.setdefault(c, []).append((i, r))
+    want = {}
+    for c, turns in by_conv.items():
+        turns.sort()
+        n = len(turns)
+        idxs = [i for i, _ in turns]
+        contiguous = idxs[0] == 0 and idxs[-1] == n - 1 and len(set(idxs)) == n
+        sys_led = any(i == 0 and r == "system" for i, r in turns)
+        repeat = any(a[1] == b[1] for a, b in zip(turns, turns[1:]))
+        ends = turns[-1][1] == "assistant"
+        want[c] = (n, contiguous, sys_led, repeat, ends,
+                   contiguous and sys_led and ends)
+    assert got == want
