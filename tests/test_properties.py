@@ -406,3 +406,52 @@ def test_conversation_lint_matches_reference(spark, rows):
         want[c] = (n, contiguous, sys_led, repeat, ends,
                    contiguous and sys_led and ends)
     assert got == want
+
+
+@st.composite
+def _dialog_rows(draw):
+    n_convs = draw(st.integers(1, 3))
+    rows = []
+    for c in range(n_convs):
+        n = draw(st.integers(1, 8))
+        for t in range(n):
+            role = draw(st.sampled_from(["system", "user", "assistant", "tool"]))
+            n_words = draw(st.integers(1, 5))
+            words = [draw(st.sampled_from(["aa", "bb", "cc"])) for _ in range(n_words)]
+            rows.append((f"c{c}", t, role, " ".join(words)))
+    return rows
+
+
+@given(rows=_dialog_rows())
+@_SET
+def test_loss_mask_spans_tile_render_dialogs(spark, rows):
+    """Cross-op law the docstrings promise: loss_mask_spans' [tok_start,
+    tok_end) spans tile EXACTLY the token sequence render_dialogs
+    assembles — contiguous, non-overlapping, in turn order, summing to
+    the rendered n_tokens — and the mask is 1 precisely on assistant
+    turns. A drift in either op's token rule breaks training alignment
+    silently; this pins them together."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        loss_mask_spans,
+        render_dialogs,
+    )
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(8)
+    spans: dict[str, list] = {}
+    for r in loss_mask_spans(df).collect():
+        spans.setdefault(r.conv_id, []).append(
+            (r.turn_idx, r.tok_start, r.tok_end, r.loss_mask)
+        )
+    rendered = {r.conv_id: r for r in render_dialogs(df).collect()}
+    roles = {(c, t): role for c, t, role, _ in rows}
+    assert set(spans) == set(rendered)
+    for conv, turns in spans.items():
+        turns.sort()
+        cursor = 0
+        for t, start, end, mask in turns:
+            assert start == cursor and end > start  # contiguous, non-empty
+            cursor = end
+            assert mask == (1 if roles[(conv, t)] == "assistant" else 0)
+        assert cursor == rendered[conv].n_tokens  # spans tile the dialog
