@@ -4250,3 +4250,55 @@ SELECT conv_id,
        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
 FROM kept GROUP BY conv_id""",
     )
+
+    # ---- t_conv_contamination: conversation-level eval-leak check ----------
+    # eval docs are built FROM the corpus (turns 1-3 of every conv whose
+    # id ends in '13' — a deterministically "leaked benchmark"), so the
+    # source conversations must surface at contamination 1.0; train units
+    # are whole dialogs via per-turn shingles unioned per conversation.
+    def t_conv_contamination(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import conversation_contamination
+
+        fx = ensure_fixture_dir(sf_dir)
+        turns = read_transcripts(spark, fx).select(
+            "conv_id", "turn_idx", "text"
+        )
+        ev = turns.filter(
+            F.col("conv_id").endswith("13")
+            & F.col("turn_idx").between(1, 3)
+        ).select(
+            F.concat_ws(
+                "#", F.col("conv_id"), F.col("turn_idx").cast("string")
+            ).alias("doc_id"),
+            "text",
+        )
+        return conversation_contamination(turns, ev, n=3)
+
+    reg(
+        "t_conv_contamination",
+        t_conv_contamination,
+        f"""WITH tw AS (
+  SELECT conv_id, string_split(text, ' ') AS w FROM {_TR}
+), tsh AS (
+  SELECT DISTINCT conv_id AS train_doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM tw, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+), ev AS (
+  SELECT conv_id || '#' || turn_idx::VARCHAR AS eval_doc_id,
+         string_split(text, ' ') AS w
+  FROM {_TR} WHERE conv_id LIKE '%13' AND turn_idx BETWEEN 1 AND 3
+), esh AS (
+  SELECT DISTINCT eval_doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM ev, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+), esizes AS (
+  SELECT eval_doc_id, count(*) AS n_eval_sh FROM esh GROUP BY 1
+), ov AS (
+  SELECT train_doc_id, eval_doc_id, count(*)::BIGINT AS n_overlap
+  FROM tsh JOIN esh USING (sh) GROUP BY 1, 2
+)
+SELECT train_doc_id AS conv_id, eval_doc_id, n_overlap,
+       round(n_overlap * 1.0 / n_eval_sh, 4) AS contamination
+FROM ov JOIN esizes USING (eval_doc_id)""",
+    )

@@ -216,6 +216,15 @@ def contamination_check(
         F.col("doc_id").alias("eval_doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     )
+    return _contamination_join(tsh, esh, max_df)
+
+
+def _contamination_join(
+    tsh: DataFrame, esh: DataFrame, max_df: int | None
+) -> DataFrame:
+    """The decontam core over pre-built shingle frames: optional train-df
+    cap, inverted-index equi-join on the shingle, per-pair overlap count
+    normalized by the eval doc's shingle count."""
     if max_df is not None:
         keep = (
             tsh.groupBy("sh")
@@ -238,6 +247,40 @@ def contamination_check(
                 "contamination"
             ),
         )
+    )
+
+
+def conversation_contamination(
+    turns: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    max_df: int | None = None,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination at the CONVERSATION level: the train
+    unit is a whole dialog, so a benchmark passage quoted anywhere in
+    any turn flags the conversation — the per-doc contamination_check
+    can't see across a dialog's rows. Per-turn word n-gram shingles are
+    unioned per conversation (one distinct-agg — map-side combinable,
+    hot-conversation safe, no dialog string ever materialized), then the
+    same inverted-index shingle join and eval-side normalization as
+    contamination_check. Returns
+    (conv_id, eval_doc_id, n_overlap, contamination)."""
+    tsh = (
+        turns.select(
+            F.col(conv_col).alias("train_doc_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+    )
+    esh = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(word_shingles(F.col(eval_text_col), n)).alias("sh"),
+    )
+    return _contamination_join(tsh, esh, max_df).withColumnRenamed(
+        "train_doc_id", conv_col
     )
 
 

@@ -643,6 +643,36 @@ def test_sft_corpus_end_to_end(spark):
     assert plan.count("Exchange hashpartitioning") <= 5
 
 
+def test_conversation_contamination_catches_cross_turn_leak(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        conversation_contamination,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            # the eval passage is SPLIT across two turns — a per-doc
+            # (per-turn) check sees only partial overlap in each row
+            ("leaky", 0, "the quick brown fox jumps"),
+            ("leaky", 1, "over the lazy dog tonight"),
+            ("clean", 0, "completely unrelated conversation text here"),
+        ],
+        ["conv_id", "turn_idx", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("bench-1", "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.conv_id, r.eval_doc_id): r
+        for r in conversation_contamination(turns, ev, n=3).collect()
+    }
+    assert set(out) == {("leaky", "bench-1")}
+    hit = out[("leaky", "bench-1")]
+    # 10-word eval doc = 8 shingles; the conversation holds the two
+    # 5-word halves = 2x3 shingles, missing the 2 straddling ones
+    assert (hit.n_overlap, hit.contamination) == (6, 0.75)
+
+
 def test_render_dialogs_order_and_token_sum(spark):
     from opentelemetry_collector_contrib_spark.textops import render_dialogs
 
