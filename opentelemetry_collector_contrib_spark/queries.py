@@ -4302,3 +4302,34 @@ SELECT train_doc_id AS conv_id, eval_doc_id, n_overlap,
        round(n_overlap * 1.0 / n_eval_sh, 4) AS contamination
 FROM ov JOIN esizes USING (eval_doc_id)""",
     )
+
+    # ---- d_unigram_xent: LM cross-entropy quality scoring -------------------
+    # Laplace-smoothed unigram LM fit on the corpus, per-doc bits/token;
+    # ln-probs quantized to BIGINT 1e-6 units pre-sum so the aggregation
+    # is order-immune exact integer math (the DSIR recipe).
+    def d_unigram_xent(spark, sf_dir):
+        from .textops import unigram_xent_score
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return unigram_xent_score(docs)
+
+    reg(
+        "d_unigram_xent",
+        d_unigram_xent,
+        """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM counts
+), logp AS (
+  SELECT w, round(ln((c + 1.0) / (total + v)) * 1e6)::BIGINT AS q_logp
+  FROM counts, tot
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(q_logp)::BIGINT AS q_sum
+  FROM tok JOIN logp USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(-(q_sum / 1000000.0) / ln(2) / n_tokens, 4) AS xent_bits
+FROM agg""",
+    )

@@ -250,6 +250,60 @@ def _contamination_join(
     )
 
 
+def unigram_xent_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LM-based quality scoring, the distributable form of the
+    CCNet/KenLM filter axis: fit a Laplace-smoothed unigram LM on the
+    corpus itself and score every document's cross-entropy in bits per
+    token. Gibberish and OCR noise score HIGH (improbable tokens),
+    boilerplate scores LOW — orthogonal to quality_score's surface
+    heuristics, and the standard third axis a corpus filter thresholds.
+
+    Cross-engine float identity (the DSIR recipe): each token's
+    ln-probability is quantized to a BIGINT in 1e-6 units BEFORE the
+    per-doc sum, so aggregation is exact integer math — Spark defines no
+    summation order, but order cannot move an integer sum. The single
+    float expression runs once per doc on exact operands with a fixed
+    association, so both engines evaluate the identical IEEE tree.
+
+    Plan: one explode + corpus token-count agg (map-side partials); the
+    O(vocab) logp table joins back on the token (broadcastable after a
+    df cap at real scale); one per-doc sum. Returns
+    (doc_id, n_tokens, xent_bits)."""
+    import math
+
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.round(
+            F.ln((F.col("c") + 1.0) / (F.col("total") + F.col("v"))) * 1e6
+        ).cast("long").alias("q_logp"),
+    )
+    return (
+        tok.join(logp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("q_logp").alias("q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                -(F.col("q_sum") / F.lit(1e6))
+                / F.lit(math.log(2.0))
+                / F.col("n_tokens"),
+                4,
+            ).alias("xent_bits"),
+        )
+    )
+
+
 def conversation_contamination(
     turns: DataFrame,
     eval_docs: DataFrame,

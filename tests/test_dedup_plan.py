@@ -673,6 +673,32 @@ def test_conversation_contamination_catches_cross_turn_leak(spark):
     assert (hit.n_overlap, hit.contamination) == (6, 0.75)
 
 
+def test_unigram_xent_orders_rare_above_common(spark):
+    from opentelemetry_collector_contrib_spark.textops import unigram_xent_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # all high-frequency tokens
+            (2, "the the the zyx"),          # one rare token
+            (3, "qqq zzz rrr vvv"),          # all singletons — gibberish
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_xent_score(docs).collect()}
+    assert all(out[d].n_tokens == 4 for d in (1, 2, 3))
+    # cross-entropy strictly orders common < mixed < gibberish
+    assert out[1].xent_bits < out[2].xent_bits < out[3].xent_bits
+    # exact bits for the common doc: count(the)=7, total=12, vocab=6
+    # -> p(the) = (7+1)/(12+6)
+    import math
+    want = round(-math.log((7 + 1) / (12 + 6), 2), 4)
+    assert abs(out[1].xent_bits - want) < 1e-3
+    # integer-quantized sums: partition layout cannot move any score
+    out2 = {r.doc_id: r.xent_bits
+            for r in unigram_xent_score(docs.repartition(8)).collect()}
+    assert out2 == {d: out[d].xent_bits for d in out}
+
+
 def test_render_dialogs_order_and_token_sum(spark):
     from opentelemetry_collector_contrib_spark.textops import render_dialogs
 
