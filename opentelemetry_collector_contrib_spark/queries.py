@@ -4333,3 +4333,58 @@ SELECT doc_id, n_tokens,
        round(-(q_sum / 1000000.0) / ln(2) / n_tokens, 4) AS xent_bits
 FROM agg""",
     )
+
+    # ---- t_turn_retry_collapse: consecutive duplicate-turn folding ----------
+    # retries are planted deterministically (every conv ending '21' gets
+    # each turn twice at indices 2i and 2i+1); consecutive identical
+    # (role, text) runs fold to one turn + count via gaps-and-islands.
+    def t_turn_retry_collapse(spark, sf_dir):
+        from .sources.readers import read_transcripts
+        from .textops import collapse_turn_retries
+
+        fx = ensure_fixture_dir(sf_dir)
+        turns = read_transcripts(spark, fx).select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        r21 = turns.filter(F.col("conv_id").endswith("21"))
+        planted = (
+            turns.filter(~F.col("conv_id").endswith("21"))
+            .unionByName(r21.select(
+                "conv_id", (F.col("turn_idx") * 2).alias("turn_idx"),
+                "role", "text"))
+            .unionByName(r21.select(
+                "conv_id", (F.col("turn_idx") * 2 + 1).alias("turn_idx"),
+                "role", "text"))
+        )
+        return collapse_turn_retries(planted)
+
+    reg(
+        "t_turn_retry_collapse",
+        t_turn_retry_collapse,
+        f"""WITH planted AS (
+  SELECT conv_id, turn_idx, role, text FROM {_TR}
+  WHERE conv_id NOT LIKE '%21'
+  UNION ALL
+  SELECT conv_id, turn_idx * 2, role, text FROM {_TR}
+  WHERE conv_id LIKE '%21'
+  UNION ALL
+  SELECT conv_id, turn_idx * 2 + 1, role, text FROM {_TR}
+  WHERE conv_id LIKE '%21'
+), flagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER w IS NULL
+                OR role != lag(role) OVER w
+                OR text != lag(text) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM planted
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), islands AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+)
+SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
+       min(text) AS text, count(*)::BIGINT AS n_repeats
+FROM islands GROUP BY conv_id, isl""",
+    )

@@ -250,6 +250,48 @@ def _contamination_join(
     )
 
 
+def collapse_turn_retries(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse consecutive retry-duplicated turns inside a conversation
+    — the logdedup idea at dialog granularity: agent frameworks re-log a
+    turn on timeout/retry, and training on the raw stream overweights
+    exactly the turns that failed. CONSECUTIVE runs of identical
+    (role, text) fold to one turn with a repeat count; a later verbatim
+    repeat (a real loop) is a NEW island and survives, which plain
+    per-row dedup would wrongly merge.
+
+    Plan: gaps-and-islands on the per-conversation window (lag compare →
+    running sum of is-new → groupBy island), all on the one conv-keyed
+    partitioning every conversation stage shares. Returns one row per
+    retained turn: (conv_id, turn_idx, role, text, n_repeats) with
+    turn_idx = the island's first index."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    prev_r, prev_t = F.lag(F.col(role_col)).over(w), F.lag(F.col(text_col)).over(w)
+    is_new = (
+        prev_r.isNull()
+        | (F.col(role_col) != prev_r)
+        | (F.col(text_col) != prev_t)
+    ).cast("int")
+    return (
+        turns.withColumn("_isl", F.sum(is_new).over(w))
+        .groupBy(conv_col, "_isl")
+        .agg(
+            F.min(idx_col).alias(idx_col),
+            F.min(role_col).alias(role_col),      # constant within island
+            F.min(text_col).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_repeats"),
+        )
+        .select(conv_col, idx_col, role_col, text_col, "n_repeats")
+    )
+
+
 def unigram_xent_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """LM-based quality scoring, the distributable form of the
     CCNet/KenLM filter axis: fit a Laplace-smoothed unigram LM on the

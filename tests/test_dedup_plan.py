@@ -699,6 +699,33 @@ def test_unigram_xent_orders_rare_above_common(spark):
     assert out2 == {d: out[d].xent_bits for d in out}
 
 
+def test_collapse_turn_retries_islands(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        collapse_turn_retries,
+    )
+
+    rows = [
+        ("a", 0, "user", "hi"),
+        ("a", 1, "assistant", "working"),
+        ("a", 2, "assistant", "working"),   # consecutive retry → collapses
+        ("a", 3, "tool", "ok"),
+        ("a", 4, "assistant", "working"),   # later verbatim repeat: NEW island
+        ("b", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.n_repeats)
+        for r in collapse_turn_retries(df.repartition(8)).collect()
+    }
+    assert got == {
+        ("a", 0): ("user", "hi", 1),
+        ("a", 1): ("assistant", "working", 2),
+        ("a", 3): ("tool", "ok", 1),
+        ("a", 4): ("assistant", "working", 1),  # real loop survives
+        ("b", 0): ("user", "solo", 1),
+    }
+
+
 def test_render_dialogs_order_and_token_sum(spark):
     from opentelemetry_collector_contrib_spark.textops import render_dialogs
 
