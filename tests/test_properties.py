@@ -455,3 +455,58 @@ def test_loss_mask_spans_tile_render_dialogs(spark, rows):
             cursor = end
             assert mask == (1 if roles[(conv, t)] == "assistant" else 0)
         assert cursor == rendered[conv].n_tokens  # spans tile the dialog
+
+
+@st.composite
+def _fuzzy_corpus(draw):
+    # tiny shared vocabulary forces shingle overlap between conversations
+    n_convs = draw(st.integers(2, 4))
+    rows = []
+    for c in range(n_convs):
+        n = draw(st.integers(1, 4))
+        for t in range(n):
+            words = [draw(st.sampled_from(["aa", "bb"])) for _ in range(4)]
+            rows.append((f"c{c}", t, "user", " ".join(words)))
+    # plant one guaranteed exact clone of conv c0
+    rows += [("zz-clone", t, r, x) for cid, t, r, x in rows if cid == "c0"]
+    return rows
+
+
+@given(rows=_fuzzy_corpus())
+@_SET
+def test_conversation_fuzzy_dedup_is_sound(spark, rows):
+    """LSH soundness laws for ANY corpus: (1) every reported pair carries
+    the EXACT brute-force jaccard of the two conversations' turn-shingle
+    sets, (2) no pair below the threshold is ever reported (banding can
+    only lose candidates, never invent similarity), (3) an identical
+    clone is ALWAYS found (equal signatures collide in every band)."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        conversation_fuzzy_dedup,
+    )
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r.conv_a, r.conv_b): r.jaccard
+        for r in conversation_fuzzy_dedup(df, threshold=0.5).collect()
+    }
+
+    def shingles(conv):
+        out = set()
+        for cid, _, role, text in rows:
+            if cid != conv:
+                continue
+            w = f"<|{role}|>{text}".split(" ")
+            out |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return out
+
+    for (a, b), j in got.items():
+        sa, sb = shingles(a), shingles(b)
+        exact = len(sa & sb) / len(sa | sb)
+        # tolerance, not round(): Python rounds half-to-even, Spark
+        # half-up — a jaccard like 17/32 would trip an equality check
+        assert abs(exact - j) <= 5.1e-5 and exact >= 0.5, (a, b)
+    # the planted exact clone of c0 must always surface with jaccard 1.0
+    pair = ("c0", "zz-clone")
+    assert got.get(pair) == 1.0
