@@ -4388,3 +4388,95 @@ SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
        min(text) AS text, count(*)::BIGINT AS n_repeats
 FROM islands GROUP BY conv_id, isl""",
     )
+
+    # ---- d_passage_chunks: overlapping word-window passage splitting --------
+    # RAG / pretraining chunking: size-32 windows at stride 24, last
+    # chunk short, sub-size doc = one chunk. Pure Column plan — split +
+    # sequence + transform + posexplode, zero shuffle, no UDF.
+    def d_passage_chunks(spark, sf_dir):
+        from .textops import passage_chunks
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return passage_chunks(docs, size=32, stride=24)
+
+    reg(
+        "d_passage_chunks",
+        d_passage_chunks,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         (1 + floor((greatest(len(w) - 32, 0) + 23) / 24))::BIGINT AS nc
+  FROM words
+)
+SELECT doc_id, i::INT AS chunk_idx,
+       array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk_text,
+       len(w[i*24+1 : i*24+32])::INT AS n_words
+FROM c, UNNEST(generate_series(0, nc - 1)) AS t(i)""",
+    )
+
+    # ---- d_incremental_dedup: new-batch-vs-kept-corpus exact dedup ----------
+    # the crawl-refresh shape: sources src10..src19 are the "new batch",
+    # src0..src9 the already-kept corpus; batch docs whose text
+    # verbatim-exists in the corpus are dropped, then keep-one in batch.
+    # Both sides reduce to distinct md5 BEFORE the anti join.
+    def d_incremental_dedup(spark, sf_dir):
+        from .textops import incremental_dedup
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        src_n = F.substring("source", 4, 10).cast("int")
+        return incremental_dedup(
+            docs.filter(src_n >= 10), docs.filter(src_n < 10)
+        )
+
+    reg(
+        "d_incremental_dedup",
+        d_incremental_dedup,
+        """WITH tagged AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         CAST(substr(source, 4) AS INT) AS src_n
+  FROM documents
+), batch AS (
+  SELECT text_hash, count(*)::BIGINT AS n_batch_dups,
+         min(doc_id)::BIGINT AS keep_doc_id
+  FROM tagged WHERE src_n >= 10 GROUP BY 1
+)
+SELECT text_hash, keep_doc_id, n_batch_dups FROM batch
+WHERE text_hash NOT IN (
+  SELECT DISTINCT text_hash FROM tagged WHERE src_n < 10
+)""",
+    )
+
+    # ---- d_containment: shingle-containment near-superset pairs -------------
+    # containment = |A∩B| / min(|A|,|B|) (Broder) — catches quote /
+    # boilerplate inclusion symmetric Jaccard misses; same inverted-
+    # index join shape as d_ngram_jaccard, threshold 0.9.
+    def d_containment(spark, sf_dir):
+        from .textops import containment_pairs
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return containment_pairs(docs, n=3, threshold=0.9)
+
+    reg(
+        "d_containment",
+        d_containment,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(c.n_common * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.9""",
+    )

@@ -1846,3 +1846,133 @@ def temperature_mix_sample(
     t_max = min(counts[s] / q[s] for s in counts)
     rates = {s: min(1.0, q[s] * t_max / counts[s]) for s in counts}
     return stratified_sample(df, strata_col, rates, key_col, default_rate=0.0)
+
+
+def passage_chunks(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size word-window chunking (RAG / pretraining
+    passage splitting): each document yields chunks of `size` words at
+    `stride`-word offsets; the last chunk may be shorter, and a document
+    shorter than `size` yields exactly one chunk.
+
+    chunk i covers words [i*stride, i*stride + size); the chunk count is
+    1 + ceil(max(0, n_words - size) / stride) — the standard sliding-
+    window rule (HF tokenizers' return_overflowing_tokens shape).
+
+    Plan shape at 100 TB: pure Column expressions — split + sequence +
+    transform + posexplode, all whole-stage codegen, ZERO shuffle; the
+    explode is narrow (per-row fan-out ~n_words/stride) so output
+    partitioning inherits the scan. No UDF, no driver round-trip."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    w = _words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+        + F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(w, i * F.lit(stride) + 1, F.lit(size)), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(w, i * F.lit(stride) + 1, F.lit(size))).alias(
+                "n_words"
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_words").alias("n_words"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact dedup — the incremental-ingest shape: dedup a
+    NEW batch against the corpus already kept (drop any new doc whose
+    text verbatim-exists in the corpus), then keep-one within the batch.
+    Returns (text_hash, keep_doc_id, n_batch_dups) for the survivors.
+
+    This is the production crawl-refresh operation: the kept corpus is
+    orders of magnitude larger than the batch, so the plan matters —
+    both sides reduce to distinct md5 hashes BEFORE the anti join
+    (map-side partial aggs; only one row per distinct text crosses the
+    shuffle), and the anti join is a hash join on a 16-byte key, never
+    a text-payload shuffle. Composes with IncrementalFileSource
+    (sources/incremental.py) for the file-diff driven variant."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    batch = new_docs.select(h, F.col(key_col)).groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_batch_dups"),
+        F.min(key_col).cast("long").alias("keep_doc_id"),
+    )
+    seen = corpus.select(h).distinct()
+    return batch.join(seen, "text_hash", "left_anti").select(
+        "text_hash", "keep_doc_id", "n_batch_dups"
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shingle-containment near-superset detection: doc pairs where the
+    SMALLER doc's distinct word n-gram shingles are >= threshold
+    contained in the larger's (containment = |A∩B| / min(|A|, |B|) —
+    Broder's containment coefficient). Catches quote/boilerplate
+    inclusion and truncated copies that symmetric Jaccard misses: a doc
+    fully embedded in one 3× its size has jaccard ~0.33 but
+    containment 1.0.
+
+    Same scalable shape as ngram_jaccard_pairs: inverted-index
+    self-join on shingle (never all-pairs), map-side-combinable counts;
+    at 100 TB gate candidates with MinHash-LSH first (dedup_text) and
+    use this as the exact verifier."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "cont_raw",
+            F.col("n_common") * 1.0
+            / F.least(F.col("sa.n_sh"), F.col("sb.n_sh")),
+        )
+        .filter(F.col("cont_raw") >= threshold)
+    )
+    return c.select(
+        "doc_a", "doc_b", F.round("cont_raw", 4).alias("containment")
+    )

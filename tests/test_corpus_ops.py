@@ -1,0 +1,111 @@
+"""Semantics + scale-shape guards for the round-4 corpus operators:
+passage chunking, incremental cross-corpus dedup, containment pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.textops import (
+    containment_pairs,
+    incremental_dedup,
+    passage_chunks,
+)
+
+
+def test_passage_chunks_tile_with_stride(spark):
+    # 85 words, size 32 / stride 24 -> chunks start at 0,24,48,72;
+    # last chunk is the 13-word tail. (80 words would tile exactly into
+    # 3 chunks — the rule adds a chunk only while words remain uncovered.)
+    words = [f"w{i}" for i in range(85)]
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = passage_chunks(docs, size=32, stride=24).orderBy("chunk_idx")
+    rows = out.collect()
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.n_words for r in rows] == [32, 32, 32, 13]
+    for r in rows:
+        start = r.chunk_idx * 24
+        assert r.chunk_text.split(" ") == words[start : start + 32]
+    # every word covered (the chunking rule never leaves a gap)
+    covered = set()
+    for r in rows:
+        covered.update(range(r.chunk_idx * 24, r.chunk_idx * 24 + r.n_words))
+    assert covered == set(range(85))
+
+
+def test_passage_chunks_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(7, "just five words right here")],
+                                 ["doc_id", "text"])
+    rows = passage_chunks(docs, size=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_idx == 0 and rows[0].n_words == 5
+    assert rows[0].chunk_text == "just five words right here"
+
+
+def test_passage_chunks_plan_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        passage_chunks(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Exchange" not in plan  # narrow explode, scan partitioning kept
+    assert "Generate" in plan      # posexplode, not a UDF
+    assert "python" not in plan.lower()
+
+
+def test_incremental_dedup_drops_corpus_hits_keeps_fresh(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also kept already")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),      # verbatim in corpus -> dropped
+            (11, "brand new text"),   # fresh -> survives
+            (12, "brand new text"),   # intra-batch dup -> folded into 11
+            (13, "another fresh one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.keep_doc_id: r.n_batch_dups
+           for r in incremental_dedup(batch, corpus).collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_incremental_dedup_reduces_before_anti_join(spark):
+    """Both sides must collapse to distinct hashes BEFORE the anti join:
+    the optimized plan aggregates under the join, and no text column
+    crosses it (hash-only shuffle at corpus scale)."""
+    corpus = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(2, "y")], ["doc_id", "text"])
+    plan = (
+        incremental_dedup(batch, corpus)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    join_pos = plan.find("LeftAnti")
+    # an Aggregate appears below (after, in tree print) the join on both inputs
+    assert plan.count("Aggregate", join_pos) >= 2
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"pad{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated words entirely different here")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    # symmetric jaccard on the same pair is far below 0.9 (why this op exists)
+    from opentelemetry_collector_contrib_spark.textops import ngram_jaccard_pairs
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
+
+
+def test_containment_is_inverted_index_join(spark):
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "b c d e")],
+                                 ["doc_id", "text"])
+    plan = (
+        containment_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join Cross" not in plan  # equi-join on shingle, never all-pairs
