@@ -4480,3 +4480,42 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE c.n_common * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.9""",
     )
+
+    # ---- d_winnowing: MOSS winnowing fingerprints ---------------------------
+    # Schleimer et al. 2003: k=5 word-gram hashes, window w=4, per-window
+    # min (rightmost tie) → (pos, fp) sketch. ONE per-row array
+    # projection — zero shuffle, no UDF; oracle replicates the nested
+    # list algebra with DuckDB lambdas.
+    def d_winnowing(spark, sf_dir):
+        from .textops import winnowing_fingerprints
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return winnowing_fingerprints(docs, k=5, w=4)
+
+    reg(
+        "d_winnowing",
+        d_winnowing,
+        """WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS wd FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 5 THEN
+      list_transform(generate_series(1, len(wd) - 4),
+        i -> ('0x' || substr(md5(array_to_string(wd[i:i+4], ' ')), 1, 8))::BIGINT)
+    ELSE [] END AS h
+  FROM words
+), wins AS (
+  SELECT doc_id,
+    list_transform(
+      generate_series(1, greatest(len(h) - 3, 1)),
+      j -> struct_pack(
+        pos := list_max(list_filter(generate_series(j, j + 3),
+                 p -> p <= len(h) AND h[p] = list_aggregate(h[j:j+3], 'min'))) - 1,
+        fp := list_aggregate(h[j:j+3], 'min'))
+    ) AS sel
+  FROM grams
+)
+SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp::BIGINT AS fp
+FROM wins, UNNEST(sel) AS t(s)
+WHERE s.fp IS NOT NULL""",
+    )

@@ -1976,3 +1976,61 @@ def containment_pairs(
     return c.select(
         "doc_a", "doc_b", F.round("cont_raw", 4).alias("containment")
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every word k-gram, slide a window of `w`
+    consecutive hashes, and from each window select the minimum hash
+    (rightmost position on ties). The selected (position, hash) set is
+    the fingerprint sketch: any shared run of >= w+k-1 words between two
+    documents is GUARANTEED to share at least one fingerprint, while
+    only ~2/(w+1) of all k-gram hashes are kept.
+
+    Plan shape at 100 TB: the entire algorithm is ONE per-row projection
+    over nested array expressions (transform/slice/array_min/filter) —
+    zero shuffle, no UDF, no self-join; output partitioning inherits the
+    scan. Pair detection downstream is the usual inverted-index
+    equi-join on fp (same shape as d_containment / d_ngram_jaccard).
+
+    Hashes are md5-derived (first 8 hex chars → long) so a SQL oracle
+    reproduces them exactly."""
+    if k <= 0 or w <= 0:
+        raise ValueError("need k > 0 and w > 0")
+    words = _words(F.col(text_col))
+    n_grams = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    # k-gram hash array: h[i] = md5-int of words[i .. i+k)
+    h = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: _md5_int(
+                F.array_join(F.slice(words, i + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_wins = F.greatest(F.size(h) - F.lit(w - 1), F.lit(1))
+    # per window j: min hash over h[j .. j+w), rightmost tying position
+    sel = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda j: F.struct(
+            F.try_element_at(
+                F.filter(
+                    F.sequence(j, j + F.lit(w - 1)),
+                    lambda p: (p < F.size(h))
+                    & (F.get(h, p) == F.array_min(F.slice(h, j + 1, w))),
+                ),
+                F.lit(-1),
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(h, j + 1, w)).alias("fp"),
+        ),
+    )
+    out = docs.select(
+        "doc_id", F.explode(F.array_distinct(sel)).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    return out.filter(F.col("fp").isNotNull())

@@ -109,3 +109,67 @@ def test_containment_is_inverted_index_join(spark):
         containment_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Join Cross" not in plan  # equi-join on shingle, never all-pairs
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    """Winnowing laws (Schleimer et al. 2003): (a) Spark output equals
+    the plain-Python algorithm bit-for-bit; (b) the match guarantee —
+    two docs sharing a run of >= w+k-1 words share >= 1 fingerprint;
+    (c) a doc shorter than k words yields no fingerprints."""
+    import hashlib
+
+    from opentelemetry_collector_contrib_spark.textops import (
+        winnowing_fingerprints,
+    )
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def winnow_py(text, k=5, w=4):
+        words = text.split(" ")
+        hs = [
+            md5int(" ".join(words[i : i + k]))
+            for i in range(max(len(words) - k + 1, 0))
+        ]
+        res = set()
+        if not hs:
+            return res
+        for j in range(max(len(hs) - w + 1, 1)):
+            win = hs[j : j + w]
+            m = min(win)
+            pos = max(
+                i for i in range(j, min(j + w, len(hs))) if hs[i] == m
+            )
+            res.add((pos, m))
+        return res
+
+    shared = " ".join(f"s{i}" for i in range(8))  # 8 >= w+k-1 = 8
+    texts = [
+        (1, "prefix words here " + shared + " suffix tail"),
+        (2, "totally other opening " + shared),
+        (3, "too short"),
+        (4, " ".join(f"w{i % 3}" for i in range(30))),  # heavy hash ties
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = winnowing_fingerprints(df, k=5, w=4)
+    got = {(r.doc_id, r.pos, r.fp) for r in out.collect()}
+    exp = {(i, p, f) for i, t in texts for p, f in winnow_py(t)}
+    assert got == exp
+    fps1 = {f for d, p, f in got if d == 1}
+    fps2 = {f for d, p, f in got if d == 2}
+    assert fps1 & fps2  # the match guarantee
+    assert not {f for d, p, f in got if d == 3}
+
+
+def test_winnowing_plan_is_one_projection(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    plan = (
+        winnowing_fingerprints(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "python" not in plan.lower()

@@ -510,3 +510,33 @@ def test_conversation_fuzzy_dedup_is_sound(spark, rows):
     # the planted exact clone of c0 must always surface with jaccard 1.0
     pair = ("c0", "zz-clone")
     assert got.get(pair) == 1.0
+
+
+@given(
+    n_words=st.integers(1, 120),
+    size=st.integers(1, 40),
+    over=st.integers(0, 39),
+)
+@_SET
+def test_passage_chunks_match_sliding_window_reference(
+    spark, n_words, size, over
+):
+    """Chunking law: for ANY (n_words, size, stride<=size) the chunks
+    equal the plain-Python sliding window — full coverage, no gap, no
+    chunk past the end, count = 1 + ceil(max(0, n-size)/stride)."""
+    from opentelemetry_collector_contrib_spark.textops import passage_chunks
+
+    stride = max(1, size - over % size)
+    words = [f"w{i}" for i in range(n_words)]
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_words)
+        for r in passage_chunks(docs, size=size, stride=stride).collect()
+    )
+
+    n_chunks = 1 + max(0, -(-(n_words - size) // stride))
+    expect = []
+    for i in range(n_chunks):
+        win = words[i * stride : i * stride + size]
+        expect.append((i, " ".join(win), len(win)))
+    assert got == expect
