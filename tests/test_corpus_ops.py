@@ -3,6 +3,8 @@ passage chunking, incremental cross-corpus dedup, containment pairs."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.textops import (
@@ -51,6 +53,22 @@ def test_passage_chunks_plan_is_shuffle_free(spark):
     assert "python" not in plan.lower()
 
 
+def _assert_hash_only_anti_join(plan: str) -> None:
+    """The anti join must key on the md5 hash, never ship the raw text:
+    the join condition references text_hash, and the text column is
+    consumed by md5() projections strictly below the join (Catalyst may
+    legally hoist the batch aggregate above the join or drop the
+    redundant corpus-side distinct — layout is its call; the payload
+    boundary is ours)."""
+    m = re.search(r"Join LeftAnti, \(text_hash", plan)
+    assert m, plan
+    # no raw text reference in any operator above the join line
+    above = plan[: m.start()]
+    head = above.rsplit("\n", 1)[-1]  # operators printed before the join
+    assert "text#" not in above.replace(head, ""), above
+
+
+
 def test_incremental_dedup_drops_corpus_hits_keeps_fresh(spark):
     corpus = spark.createDataFrame(
         [(1, "seen before"), (2, "also kept already")], ["doc_id", "text"]
@@ -79,10 +97,7 @@ def test_incremental_dedup_reduces_before_anti_join(spark):
         incremental_dedup(batch, corpus)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert "LeftAnti" in plan
-    join_pos = plan.find("LeftAnti")
-    # an Aggregate appears below (after, in tree print) the join on both inputs
-    assert plan.count("Aggregate", join_pos) >= 2
+    _assert_hash_only_anti_join(plan)
 
 
 def test_containment_catches_embedded_doc_jaccard_misses(spark):
@@ -173,3 +188,34 @@ def test_winnowing_plan_is_one_projection(spark):
     )
     assert "Exchange" not in plan
     assert "python" not in plan.lower()
+
+
+def test_new_ops_plan_shapes_hold_at_campaign_tier(spark):
+    """Plan-only guard at the 500k-doc campaign generator (BASELINE.md):
+    winnowing and passage chunking must still plan with zero Exchange,
+    and incremental dedup must still reduce both sides to hashes below
+    the anti join, on the exact generator the scale campaign runs."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from synth_docs import synth_documents
+
+    docs = synth_documents(spark, 500_000)
+
+    from opentelemetry_collector_contrib_spark.textops import (
+        incremental_dedup,
+        passage_chunks,
+        winnowing_fingerprints,
+    )
+
+    for op in (passage_chunks, winnowing_fingerprints):
+        plan = op(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Exchange" not in plan, op.__name__
+        assert "python" not in plan.lower(), op.__name__
+
+    half = F.col("doc_id") % 2 == 0
+    plan = (
+        incremental_dedup(docs.filter(half), docs.filter(~half))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    _assert_hash_only_anti_join(plan)
