@@ -321,3 +321,107 @@ def percentile_connector(
         for p, lbl in zip(percentiles, labels)
     ]
     return df.groupBy(*names).agg(*aggs)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, how deep into the step
+    sequence they got, where step i+1 only counts when it happens
+    STRICTLY AFTER the user's earliest completion of step i (the
+    standard product-analytics funnel rule). Returns one row per user
+    who completed step 1: (user, steps_completed, t_first, t_last) with
+    epoch-second step times.
+
+    Plan shape at 100 TB: one filtered map-side-combinable min-agg per
+    step plus a user-keyed equi-join of the O(users-in-previous-step)
+    threshold table — never a per-user event buffer, so a hot user with
+    millions of events costs one partial min per partition, and depth-k
+    funnels are k bounded shuffles on progressively SHRINKING user sets
+    (each join's right side is the previous stage's survivors). The
+    alternative single-shuffle collect_list-per-user plan buffers whole
+    users and dies on hot keys; this one never materializes an event
+    list."""
+    from pyspark.sql import functions as F
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    stages = [stage]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = stages[-1].select(user_col, F.col(f"t_{i-1}").alias("_t_prev"))
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(prev, user_col)
+            .filter(F.col(ts_col) > F.col("_t_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        stages.append(nxt)
+    out = stages[0]
+    for nxt in stages[1:]:
+        out = out.join(nxt, user_col, "left")
+    depth = F.lit(1)
+    last = F.col("t_1")
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t_{i}").isNotNull().cast("int")
+        last = F.coalesce(F.col(f"t_{i}"), last)
+    def _epoch(c):  # NTZ-safe epoch seconds (same idiom as session_window_agg)
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        ).cast("long")
+
+    return out.withColumn("_last", last).select(
+        user_col,
+        depth.cast("int").alias("steps_completed"),
+        _epoch("t_1").alias("t_first"),
+        _epoch("_last").alias("t_last"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their FIRST
+    event; for each (cohort, offset) report how many cohort members were
+    active `offset` periods later. The classic retention triangle.
+
+    Plan: one min-agg per user (cohort assignment), one distinct on
+    (user, period) — both map-side combinable — then a user-keyed
+    equi-join and a final small hash agg. No windows, no event
+    buffering; hot users collapse to one row per active period before
+    the join."""
+    from pyspark.sql import functions as F
+
+    period = F.floor(
+        F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+        / F.lit(period_seconds)
+    ).cast("long")
+    firsts = (
+        events.select(user_col, period.alias("p"))
+        .groupBy(user_col)
+        .agg(F.min("p").alias("cohort_period"))
+    )
+    active = events.select(user_col, period.alias("p")).distinct()
+    return (
+        active.join(firsts, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -4519,3 +4519,62 @@ SELECT DISTINCT doc_id, s.pos::INT AS pos, s.fp::BIGINT AS fp
 FROM wins, UNNEST(sel) AS t(s)
 WHERE s.fp IS NOT NULL""",
     )
+
+    # ---- e_funnel_steps: ordered funnel analysis ----------------------------
+    # view → click → purchase, step i+1 strictly after the user's
+    # earliest step i; per-step filtered min-aggs + shrinking user-keyed
+    # joins (never a per-user event buffer — hot-key safe).
+    def e_funnel_steps(spark, sf_dir):
+        from .operators.aggregate import funnel_steps
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return funnel_steps(ev, ["view", "click", "purchase"])
+
+    reg(
+        "e_funnel_steps",
+        e_funnel_steps,
+        """WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT s1.user_id,
+       (1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END)::INT
+         AS steps_completed,
+       floor(epoch(s1.t1))::BIGINT AS t_first,
+       floor(epoch(coalesce(s3.t3, s2.t2, s1.t1)))::BIGINT AS t_last
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    )
+
+    # ---- e_retention: cohort retention triangle -----------------------------
+    # cohort = hour of first event; n_users active at each period
+    # offset. Two map-side-combinable aggs + one user-keyed join.
+    def e_retention(spark, sf_dir):
+        from .operators.aggregate import retention_cohorts
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return retention_cohorts(ev, period_seconds=3600)
+
+    reg(
+        "e_retention",
+        e_retention,
+        """WITH pr AS (
+  SELECT user_id, floor(floor(epoch(ts)) / 3600)::BIGINT AS p FROM events
+), firsts AS (
+  SELECT user_id, min(p) AS cohort_period FROM pr GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, p FROM pr
+)
+SELECT cohort_period, (p - cohort_period)::BIGINT AS period_offset,
+       count(*)::BIGINT AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2""",
+    )

@@ -1,0 +1,81 @@
+"""Semantics for funnel analysis and cohort retention (events table)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.aggregate import (
+    funnel_steps,
+    retention_cohorts,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, _ts(m)) for u, t, m in rows],
+        "user_id int, event_type string, ts timestamp_ntz",
+    )
+
+
+def test_funnel_order_is_strict(spark):
+    ev = _events(spark, [
+        # u1 completes all three in order
+        (1, "view", 0), (1, "click", 5), (1, "purchase", 9),
+        # u2 clicked BEFORE viewing -> click must not count; depth 1
+        (2, "click", 0), (2, "view", 3),
+        # u3 view then click; purchase before the click -> depth 2
+        (3, "view", 0), (3, "purchase", 1), (3, "click", 4),
+        # u4 never viewed -> absent from the funnel entirely
+        (4, "click", 0), (4, "purchase", 1),
+        # u5 same-minute view+click (strict >: simultaneous won't count),
+        # later click does
+        (5, "view", 0), (5, "click", 0), (5, "click", 7),
+    ])
+    out = {r.user_id: r for r in
+           funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].steps_completed == 3
+    assert out[2].steps_completed == 1
+    assert out[3].steps_completed == 2
+    assert out[5].steps_completed == 2
+    base = int(dt.datetime(2024, 1, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp())
+    assert out[1].t_first == base and out[1].t_last == base + 9 * 60
+    assert out[5].t_last == base + 7 * 60
+
+
+def test_funnel_plan_has_no_window_no_event_buffer(spark):
+    ev = _events(spark, [(1, "view", 0)])
+    plan = (
+        funnel_steps(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan        # no per-user ordering window
+    assert "collect_list" not in plan  # no event buffering (hot-key safe)
+
+
+def test_retention_triangle(spark):
+    # periods are hours; u1 first hour 0 and active hours 0,1,3;
+    # u2 first hour 1, active hours 1,2. Duplicate events in one hour
+    # count once.
+    rows = [
+        (1, "view", 0), (1, "click", 10),      # hour 0 twice -> once
+        (1, "view", 70),                       # hour 1
+        (1, "view", 190),                      # hour 3
+        (2, "view", 65), (2, "view", 130),     # hours 1, 2
+    ]
+    out = {(r.cohort_period, r.period_offset): r.n_users
+           for r in retention_cohorts(_events(spark, rows),
+                                      period_seconds=3600).collect()}
+    h0 = int(dt.datetime(2024, 1, 1).replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert out == {
+        (h0, 0): 1, (h0, 1): 1, (h0, 3): 1,
+        (h0 + 1, 0): 1, (h0 + 1, 1): 1,
+    }
