@@ -109,3 +109,40 @@ def conversation_rollup(df: DataFrame, salted: bool = True) -> DataFrame:
             F.max("severity_number").alias("max_severity"),
         )
     return out.withColumn("n_errors", F.coalesce(F.col("n_errors"), F.lit(0)))
+
+
+def skew_stats(
+    df,
+    keys: list[str],
+    topk: int = 20,
+):
+    """Hot-key diagnosis — the operability primitive behind every
+    salting decision in this engine (conversation_rollup's salt factor,
+    lsh_ann_pairs' bucket cap): per-key row counts for the heaviest
+    `topk` keys plus each key's skew ratio vs the mean key. A key with
+    skew >> 1 is the one that serializes a shuffle stage.
+
+    Plan: ONE map-side-combinable hash agg over the keys, a 1-row
+    global agg broadcast back, and TakeOrderedAndProject for the top-k
+    (heap per partition — never a global sort). Deterministic at the
+    k-boundary: ties break on the key itself."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 4
+            ).alias("skew"),
+        )
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(topk)
+    )

@@ -4578,3 +4578,138 @@ SELECT cohort_period, (p - cohort_period)::BIGINT AS period_offset,
 FROM active JOIN firsts USING (user_id)
 GROUP BY 1, 2""",
     )
+
+    # ---- d_norm_dedup: dedup on canonicalized text ---------------------------
+    # lowercase / punctuation→space / whitespace-collapse / trim, then
+    # the exact_dedup contract — catches reformatted copies byte-exact
+    # dedup misses. Zero-UDF projection + one 16-byte-key shuffle.
+    def d_norm_dedup(spark, sf_dir):
+        from .textops import normalized_dedup
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return normalized_dedup(docs)
+
+    reg(
+        "d_norm_dedup",
+        d_norm_dedup,
+        """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+       count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY 1""",
+    )
+
+    # ---- d_stratified_topk: exactly-k-per-stratum sampling -------------------
+    # k=5 docs per source ranked by md5(doc_id) — eval-set construction.
+    # Spark runs the two-phase salted form (bounded window partitions);
+    # the oracle runs the naive one-window form — identical result.
+    def d_stratified_topk(spark, sf_dir):
+        from .textops import stratified_topk
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return stratified_topk(docs, "source", k=5).select("doc_id", "source")
+
+    reg(
+        "d_stratified_topk",
+        d_stratified_topk,
+        """WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                    doc_id) AS r
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE r <= 5""",
+    )
+
+    # ---- t_skew_stats: hot-key diagnosis -------------------------------------
+    # top-20 conversations by turn count + skew ratio vs the mean key —
+    # the measurement behind the salted-rollup decision. Hash agg +
+    # broadcast scalar + TakeOrderedAndProject.
+    def t_skew_stats(spark, sf_dir):
+        from .operators.group import skew_stats
+        from .sources.readers import read_transcripts
+
+        fx = ensure_fixture_dir(sf_dir)
+        return skew_stats(read_transcripts(spark, fx), ["conv_id"], topk=20)
+
+    reg(
+        "t_skew_stats",
+        t_skew_stats,
+        f"""WITH counts AS (
+  SELECT conv_id, count(*)::BIGINT AS n_rows FROM {_TR} GROUP BY 1
+), tot AS (
+  SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM counts
+)
+SELECT conv_id, n_rows,
+       round(n_rows * 1.0 / total, 6) AS share,
+       round(n_rows * 1.0 * n_keys / total, 4) AS skew
+FROM counts, tot
+ORDER BY n_rows DESC, conv_id LIMIT 20""",
+    )
+
+    # ---- d_vocab_cardinality: per-source vocabulary stats (exact form) ------
+    # distinct tokens + total tokens per source; the approx=True HLL++
+    # sketch twin is pytest-gated (engine-specific estimates).
+    def d_vocab_cardinality(spark, sf_dir):
+        from .textops import vocab_cardinality
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return vocab_cardinality(docs, by="source")
+
+    reg(
+        "d_vocab_cardinality",
+        d_vocab_cardinality,
+        """SELECT source, count(DISTINCT w)::BIGINT AS n_vocab,
+       count(*)::BIGINT AS n_tokens
+FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY source""",
+    )
+
+    # ---- d_corpus_merge: MERGE INTO corpus versioning ------------------------
+    # deterministic change batch: doc_id%10==0 delete, %10==1 upsert
+    # (reversed text), %10==2 re-keyed inserts; one full-outer equi-join
+    # + projection (the copy-on-write MERGE plan).
+    def d_corpus_merge(spark, sf_dir):
+        from .textops import corpus_merge
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        ch = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.lit("delete").alias("op"),
+                    F.lit(None).cast("string").alias("text"))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 10 == 1).select(
+                    "doc_id", F.lit("upsert").alias("op"),
+                    F.reverse(F.col("text")).alias("text"))
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 10 == 2).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("upsert").alias("op"),
+                    F.concat(F.lit("new doc "),
+                             F.col("doc_id").cast("string")).alias("text"))
+            )
+        )
+        out = corpus_merge(docs, ch)
+        return out.select("doc_id", "text", "lang", "source")
+
+    reg(
+        "d_corpus_merge",
+        d_corpus_merge,
+        """WITH ch AS (
+  SELECT doc_id, 'delete' AS op, NULL::VARCHAR AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'upsert', reverse(text)
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 'upsert', 'new doc ' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 10 = 2
+)
+SELECT coalesce(s.doc_id, c.doc_id)::BIGINT AS doc_id,
+       CASE WHEN c.op = 'upsert' THEN c.text ELSE s.text END AS text,
+       s.lang, s.source
+FROM documents s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op != 'delete'""",
+    )

@@ -2034,3 +2034,133 @@ def winnowing_fingerprints(
         "doc_id", F.explode(F.array_distinct(sel)).alias("s")
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     return out.filter(F.col("fp").isNotNull())
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalization used before dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    Catches trivially-reformatted copies (case/punctuation/whitespace
+    edits) that byte-exact dedup misses. Pure codegen expressions."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on NORMALIZED text (same keep-lowest-id contract as
+    exact_dedup): one zero-UDF projection then the same hash groupBy —
+    map-side partials, one 16-byte-key shuffle."""
+    return docs.groupBy(
+        F.md5(normalize_text(F.col(text_col))).alias("norm_hash")
+    ).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling (eval-set
+    construction: "k docs from every source"): rank rows within each
+    stratum by md5(key) (a fixed pseudo-random order — reproducible
+    across engines, retries, and partitionings) and keep rank <= k.
+
+    Scale shape: a naive per-stratum window puts an entire hot stratum
+    in ONE task. This runs TWO phases: a per-(stratum, salt-bucket)
+    window keeps the local top-k (bounded input: any one task sees one
+    sub-bucket), then the global per-stratum window ranks only the
+    <= salt_buckets*k survivors — so the second window's partitions are
+    O(k·buckets) rows regardless of corpus size. The salt phase keeps a
+    SUPERSET of the global top-k, so the result is identical to the
+    one-window plan (the oracle runs the naive form)."""
+    # 8 hex chars = 32 bits (safe in signed BIGINT on both engines);
+    # rank ties break on key_col so determinism survives collisions
+    h = _md5_int(F.col(key_col).cast("string"), 8)
+    from pyspark.sql import Window as W
+
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    w_local = W.partitionBy(strata_col, "_salt").orderBy("_h", key_col)
+    w_global = W.partitionBy(strata_col).orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("_r", F.row_number().over(w_global))
+        .filter(F.col("_r") <= k)
+        .drop("_h", "_salt", "_lr", "_r")
+    )
+
+
+def vocab_cardinality(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group vocabulary statistics: distinct-token count and total
+    token count. Scale choice is EXPLICIT (the percentile_connector
+    pattern): the exact form shuffles every distinct (group, token)
+    pair once — fine into the billions, and it backs the cross-engine
+    oracle; ``approx=True`` switches to approx_count_distinct
+    (HyperLogLog++: bounded memory, map-side MERGEABLE sketches — the
+    plan you run at 100 TB, where per-group token sets don't fit
+    anywhere). Sketch estimates are engine-specific, so the approx form
+    is pytest-gated by relative error instead of an oracle."""
+    tok = docs.select(
+        F.col(by), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    if approx:
+        agg = [
+            F.approx_count_distinct("w", rsd).cast("long").alias("n_vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        ]
+    else:
+        agg = [
+            F.countDistinct("w").alias("n_vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        ]
+    return tok.groupBy(by).agg(*agg)
+
+
+def corpus_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """MERGE INTO for corpus versioning (the Iceberg upsert shape):
+    apply a change batch of (key, op, payload...) to a snapshot —
+    op='delete' removes the row, op='upsert' replaces the payload or
+    inserts a new row; unchanged snapshot rows pass through. Column set
+    = snapshot's columns; change payloads override per-column via
+    coalesce.
+
+    Plan: ONE full-outer equi-join on the key (sort-merge or, under the
+    conv/doc-bucketed checkpoint layout, zero-Exchange co-bucketed),
+    then a pure projection — the copy-on-write MERGE plan; on Iceberg
+    the same DataFrame is the MERGE source and the writer handles
+    row-level deletes (merge-on-read) instead of the rewrite."""
+    payload = [c for c in snapshot.columns if c != key_col]
+    s, c = snapshot.alias("s"), changes.alias("c")
+    joined = s.join(c, F.col(f"s.{key_col}") == F.col(f"c.{key_col}"), "full_outer")
+    keep = F.col("c.op").isNull() | (F.col("c.op") != F.lit("delete"))
+    cols = [
+        F.coalesce(F.col(f"s.{key_col}"), F.col(f"c.{key_col}")).alias(key_col)
+    ]
+    for p in payload:
+        if p in changes.columns:
+            cols.append(
+                F.when(F.col("c.op") == "upsert", F.col(f"c.{p}"))
+                .otherwise(F.col(f"s.{p}"))
+                .alias(p)
+            )
+        else:
+            cols.append(F.col(f"s.{p}").alias(p))
+    return joined.filter(keep).select(*cols)

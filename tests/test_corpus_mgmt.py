@@ -1,0 +1,110 @@
+"""Semantics for corpus-management ops: normalized dedup, exact-k
+stratified sampling, vocab cardinality, MERGE upsert, skew diagnosis."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.group import skew_stats
+from opentelemetry_collector_contrib_spark.textops import (
+    corpus_merge,
+    normalized_dedup,
+    stratified_topk,
+    vocab_cardinality,
+)
+
+
+def test_normalized_dedup_folds_reformatted_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),      # same after normalization
+            (3, "HELLO WORLD."),       # same
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.keep_doc_id: r.n_dups for r in normalized_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_stratified_topk_two_phase_equals_naive_window(spark):
+    """The salted two-phase plan must return EXACTLY the rows the naive
+    one-window rank would — including on a hot stratum larger than the
+    salt bucket count."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, "hot") for i in range(500)] + [(1000 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {(r.doc_id, r.source)
+           for r in stratified_topk(df, "source", k=7, salt_buckets=8).collect()}
+
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    naive = (
+        df.withColumn("_h", h)
+        .withColumn("_r", F.row_number().over(
+            W.partitionBy("source").orderBy("_h", "doc_id")))
+        .filter(F.col("_r") <= 7).drop("_h", "_r")
+    )
+    exp = {(r.doc_id, r.source) for r in naive.collect()}
+    assert got == exp
+    assert sum(1 for d, s in got if s == "hot") == 7
+    assert sum(1 for d, s in got if s == "cold") == 3  # stratum smaller than k
+
+
+def test_stratified_topk_is_partitioning_invariant(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {tuple(r) for r in stratified_topk(df, "source", k=4).collect()}
+    b = {tuple(r) for r in
+         stratified_topk(df.repartition(13), "source", k=4).collect()}
+    assert a == b
+
+
+def test_vocab_cardinality_sketch_tracks_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(f"tok{j}" for j in range(i, i + 50)))
+         for i in range(0, 2000, 25)],
+        ["doc_id", "source", "text"],
+    )
+    exact = vocab_cardinality(docs, by="source").collect()[0]
+    approx = vocab_cardinality(docs, by="source", approx=True).collect()[0]
+    assert approx.n_tokens == exact.n_tokens
+    rel = abs(approx.n_vocab - exact.n_vocab) / exact.n_vocab
+    assert rel < 0.05, (approx.n_vocab, exact.n_vocab)
+
+
+def test_corpus_merge_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "one", "en"), (2, "two", "en"), (3, "three", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "delete", None),
+            (3, "upsert", "drei"),   # replace payload
+            (9, "upsert", "nine"),   # brand-new row
+        ],
+        ["doc_id", "op", "text"],
+    )
+    out = {r.doc_id: (r.text, r.lang) for r in corpus_merge(snap, ch).collect()}
+    assert out == {
+        1: ("one", "en"),      # untouched passthrough
+        3: ("drei", "de"),     # upsert keeps non-payload columns
+        9: ("nine", None),     # insert: no snapshot columns to inherit
+    }
+
+
+def test_skew_stats_flags_the_hot_key(spark):
+    rows = [("hot", i) for i in range(90)] + [(f"k{i}", 0) for i in range(9)]
+    df = spark.createDataFrame(rows, ["conv_id", "x"])
+    out = skew_stats(df, ["conv_id"], topk=3).collect()
+    assert out[0].conv_id == "hot" and out[0].n_rows == 90
+    # 10 keys, 99 rows, mean 9.9 -> hot skew = 90/9.9
+    assert abs(out[0].skew - round(90 * 10 / 99, 4)) < 1e-9
+    assert out[0].share == round(90 / 99, 6)
+    plan = (
+        skew_stats(df, ["conv_id"], topk=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # heap top-k, never a global sort
