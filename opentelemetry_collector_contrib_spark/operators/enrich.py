@@ -29,3 +29,56 @@ def enrich_transcripts(
 ) -> DataFrame:
     """Flagship enrich stage: role + tool dims (both broadcast)."""
     return enrich(enrich(df, dim_roles, "role"), dim_tools, "tool")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the right row with
+    the greatest timestamp <= the left row's timestamp, per key — the
+    temporal-enrichment operator Spark lacks as a builtin (most-recent
+    exchange rate / config version / feature snapshot at event time).
+    Left rows with no prior right row keep NULLs (ASOF LEFT JOIN).
+
+    Spark shape — the ONE-SHUFFLE union trick, never a range join:
+    tag and union both inputs, sort per key by (ts, side) with right
+    rows first on ties (inclusive backward semantics), and carry the
+    latest right payload forward with last(ignorenulls) over a running
+    window; filter back to left rows. Cost = one shuffle of |L|+|R| on
+    the key — versus the naive inequality join, which Spark plans as a
+    broadcast-nested-loop or an exploding range join. Right rows must be
+    unique per (key, ts) (pre-aggregate if not — ties are otherwise
+    ambiguous in every engine's asof).
+
+    Payload columns that collide with left column names are suffixed
+    `_r`."""
+    from pyspark.sql import Window as W
+
+    keys = [by] if isinstance(by, str) else list(by)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    renames = {p: (p + "_r" if p in left.columns else p) for p in payload}
+
+    l2 = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_ats", F.col(left_ts)
+    )
+    for p, out in renames.items():
+        l2 = l2.withColumn(out, F.lit(None).cast(dict(right.dtypes)[p]))
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(p).alias(out) for p, out in renames.items()],
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_ats", "_is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for out in renames.values():
+        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
+    return u.filter(F.col("_is_left") == 1).drop("_is_left", "_ats")

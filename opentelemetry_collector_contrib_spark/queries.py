@@ -4713,3 +4713,44 @@ SELECT coalesce(s.doc_id, c.doc_id)::BIGINT AS doc_id,
 FROM documents s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id
 WHERE c.op IS NULL OR c.op != 'delete'""",
     )
+
+    # ---- e_asof_rates: backward as-of temporal join --------------------------
+    # each purchase gets the user's most recent signup "rate" at or
+    # before event time (ASOF LEFT JOIN); Spark runs the one-shuffle
+    # union + last(ignorenulls) running-window form — never a range join.
+    def e_asof_rates(spark, sf_dir):
+        from .operators.enrich import asof_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        updates = (
+            ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("rate"))
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        out = asof_join(purchases, updates, by="user_id")
+        return out.select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).cast("long").alias("t_event"),
+            F.round("rate", 6).alias("rate"),
+        )
+
+    reg(
+        "e_asof_rates",
+        e_asof_rates,
+        """WITH updates AS (
+  SELECT user_id, ts, max(value) AS rate FROM events
+  WHERE event_type = 'signup' GROUP BY 1, 2
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, floor(epoch(p.ts))::BIGINT AS t_event,
+       round(u.rate, 6) AS rate
+FROM purchases p ASOF LEFT JOIN updates u
+  ON p.user_id = u.user_id AND p.ts >= u.ts""",
+    )

@@ -79,3 +79,58 @@ def test_retention_triangle(spark):
         (h0, 0): 1, (h0, 1): 1, (h0, 3): 1,
         (h0 + 1, 0): 1, (h0 + 1, 1): 1,
     }
+
+
+def test_asof_join_backward_inclusive_and_left(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        asof_join,
+    )
+
+    left = _events(spark, [
+        (1, "q", 10), (1, "q", 30), (1, "q", 5),
+        (2, "q", 10),                    # no update ever -> NULL
+    ]).select("user_id", "ts")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.5), (1, _ts(20), 2.5)],
+        "user_id int, ts timestamp_ntz, rate double",
+    )
+    out = {(r.user_id, r.ts.minute): r.rate
+           for r in asof_join(left, right, by="user_id").collect()}
+    assert out == {
+        (1, 5): None,    # before any update
+        (1, 10): 1.5,    # equal ts matches (inclusive backward)
+        (1, 30): 2.5,    # latest prior update wins
+        (2, 10): None,   # key never updated (left semantics)
+    }
+
+
+def test_asof_join_is_one_shuffle_union_not_range_join(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        asof_join,
+    )
+
+    left = _events(spark, [(1, "q", 1)]).select("user_id", "ts")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "user_id int, ts timestamp_ntz, rate double"
+    )
+    plan = (
+        asof_join(left, right, by="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # the union shuffle
+
+
+def test_asof_join_suffixes_colliding_payload(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts(9), "L")], "user_id int, ts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), "R")], "user_id int, ts timestamp_ntz, tag string"
+    )
+    row = asof_join(left, right, by="user_id").collect()[0]
+    assert row.tag == "L" and row.tag_r == "R"
