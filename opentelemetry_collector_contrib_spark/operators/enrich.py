@@ -82,3 +82,59 @@ def asof_join(
     for out in renames.values():
         u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
     return u.filter(F.col("_is_left") == 1).drop("_is_left", "_ats")
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    by: str | list[str],
+    ts_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Distributed interval (range) join: match each fact row to every
+    interval row with the same key whose [start, end] (inclusive)
+    contains the fact's timestamp — sessionization lookups, attribution
+    windows, validity-period dimensions.
+
+    Spark plans a bare `ON key = key AND ts BETWEEN start AND end` as an
+    equi-join whose range residual explodes on hot keys (every fact of a
+    key meets every interval of that key). This runs the TIME-BUCKET
+    CO-PARTITIONING form instead: each interval is exploded to the
+    `bucket_seconds` buckets it overlaps (intervals are typically a few
+    buckets long), each fact computes its single bucket, and the join is
+    EQUI on (key, bucket) with the exact range check as a post-filter —
+    per-task fan-out is bounded by bucket occupancy, not key
+    cardinality. Each (fact, interval) pair meets exactly once (a fact
+    has one bucket), so no dedup pass is needed. Pick bucket_seconds
+    near the typical interval length: shorter buckets = more interval
+    replication, longer = more residual filtering."""
+    keys = [by] if isinstance(by, str) else list(by)
+    epoch = lambda c: F.expr(  # noqa: E731 — NTZ-safe epoch seconds
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    )
+    fb = facts.withColumn(
+        "_bkt", F.floor(epoch(ts_col) / F.lit(bucket_seconds))
+    )
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_col) / F.lit(bucket_seconds)),
+                F.floor(epoch(end_col) / F.lit(bucket_seconds)),
+            )
+        ),
+    )
+    cond = [F.col(f"f.{k}") == F.col(f"i.{k}") for k in keys] + [
+        F.col("f._bkt") == F.col("i._bkt"),
+        F.col(f"f.{ts_col}") >= F.col(f"i.{start_col}"),
+        F.col(f"f.{ts_col}") <= F.col(f"i.{end_col}"),
+    ]
+    f, i = fb.alias("f"), ib.alias("i")
+    fact_cols = [F.col(f"f.{c}") for c in facts.columns]
+    ivl_cols = [
+        F.col(f"i.{c}").alias(c if c not in facts.columns else c + "_i")
+        for c in intervals.columns
+    ]
+    return f.join(i, cond).select(*fact_cols, *ivl_cols)

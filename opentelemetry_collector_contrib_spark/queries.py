@@ -4754,3 +4754,59 @@ SELECT p.event_id, p.user_id, floor(epoch(p.ts))::BIGINT AS t_event,
 FROM purchases p ASOF LEFT JOIN updates u
   ON p.user_id = u.user_id AND p.ts >= u.ts""",
     )
+
+    # ---- e_attribution: attribution-window interval join ---------------------
+    # purchases credited to every signup of the same user within a
+    # 2-hour window; the time-bucket co-partitioned interval join (equi
+    # on (user, bucket), exact range post-filter). Cents-quantized sums
+    # (order-immune integer math, the repo's BIGINT discipline).
+    def e_attribution(spark, sf_dir):
+        from .operators.enrich import interval_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        signups = ev.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("t_start"),
+            F.expr("ts + INTERVAL 2 HOURS").alias("t_end"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        hits = interval_join(purchases, signups, by="user_id")
+        agg = hits.groupBy("signup_id").agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_cents"),
+        )
+        return (
+            signups.join(agg, "signup_id", "left")
+            .select(
+                "signup_id",
+                "user_id",
+                F.coalesce("n_purchases", F.lit(0)).cast("long").alias(
+                    "n_purchases"
+                ),
+                F.round(
+                    F.coalesce(F.col("_cents"), F.lit(0)) / 100.0, 2
+                ).alias("sum_value"),
+            )
+        )
+
+    reg(
+        "e_attribution",
+        e_attribution,
+        """WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts AS t0,
+         ts + INTERVAL 2 HOUR AS t1
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id,
+       count(p.ts)::BIGINT AS n_purchases,
+       round(coalesce(sum(round(p.value * 100)::BIGINT), 0) / 100.0, 2)
+         AS sum_value
+FROM s LEFT JOIN p
+  ON s.user_id = p.user_id AND p.ts >= s.t0 AND p.ts <= s.t1
+GROUP BY 1, 2""",
+    )

@@ -134,3 +134,52 @@ def test_asof_join_suffixes_colliding_payload(spark):
     )
     row = asof_join(left, right, by="user_id").collect()[0]
     assert row.tag == "L" and row.tag_r == "R"
+
+
+def test_interval_join_matches_between_semantics(spark):
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        interval_join,
+    )
+
+    facts = _events(spark, [
+        (1, "p", 0), (1, "p", 61), (1, "p", 90), (2, "p", 61),
+    ]).select("user_id", "ts")
+    ivl = spark.createDataFrame(
+        [
+            (100, 1, _ts(60), _ts(120)),   # covers 61 and 90 for u1
+            (101, 1, _ts(85), _ts(95)),    # overlapping: also covers 90
+            (102, 2, _ts(0), _ts(30)),     # u2's fact at 61 is outside
+        ],
+        "ivl_id int, user_id int, t_start timestamp_ntz, t_end timestamp_ntz",
+    )
+    # bucket shorter than the intervals -> replication path exercised
+    out = interval_join(facts, ivl, by="user_id", bucket_seconds=600)
+    got = sorted((r.user_id, r.ts.minute + 60 * r.ts.hour, r.ivl_id)
+                 for r in out.collect())
+    assert got == [(1, 61, 100), (1, 90, 100), (1, 90, 101)]
+    # boundary inclusivity: ts == start and ts == end both match
+    edge = interval_join(
+        _events(spark, [(1, "p", 60), (1, "p", 120)]).select("user_id", "ts"),
+        ivl.filter("ivl_id = 100"), by="user_id", bucket_seconds=600,
+    )
+    assert edge.count() == 2
+
+
+def test_interval_join_no_duplicate_pairs_across_buckets(spark):
+    """An interval spanning many buckets is replicated per bucket, but a
+    fact lives in exactly one bucket — each (fact, interval) pair must
+    appear exactly once."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        interval_join,
+    )
+
+    facts = _events(spark, [(1, "p", m) for m in range(0, 300, 30)]).select(
+        "user_id", "ts"
+    )
+    ivl = spark.createDataFrame(
+        [(7, 1, _ts(0), _ts(299))],
+        "ivl_id int, user_id int, t_start timestamp_ntz, t_end timestamp_ntz",
+    )
+    out = interval_join(facts, ivl, by="user_id", bucket_seconds=60)
+    assert out.count() == 10
+    assert out.distinct().count() == 10
