@@ -425,3 +425,52 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    window: int = 20,
+    min_points: int = 5,
+) -> DataFrame:
+    """Trailing-window anomaly score per stream: for each event, the
+    z-score of its value against the PRECEDING `window` events of the
+    same key — the metrics-anomaly primitive telemetry backends bolt on
+    after the collector (value spike / latency regression detection).
+    NULL until `min_points` history exists or when the window variance
+    is zero.
+
+    Cross-engine float discipline: values are quantized to integer
+    cents BEFORE the window sums, so sum/sum-of-squares are exact
+    BIGINTs in any accumulation order; mean/variance/z derive from
+    those integers through one fixed arithmetic expression — identical
+    last-bit in Spark and the SQL oracle. Ordering is total
+    ((ts, order_cols) within key), so the frame is deterministic.
+
+    Scale: ONE shuffle on the stream key; frames are ROWS-bounded so
+    state per row is O(1) (running sums), and keys (user/stream ids)
+    are plentiful — no hot single partition."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order = [ts_col] + list(order_cols or [])
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window, -1)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    df = events.withColumn("_c", cents)
+    n = F.count("_c").over(w)
+    s1 = F.sum("_c").over(w)
+    s2 = F.sum(F.col("_c") * F.col("_c")).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col("_c") - mean) / F.sqrt(var)
+    return df.withColumn(
+        "zscore",
+        F.when((n >= min_points) & (var > 0), F.round(z, 4)),
+    ).drop("_c")

@@ -4810,3 +4810,41 @@ FROM s LEFT JOIN p
   ON s.user_id = p.user_id AND p.ts >= s.t0 AND p.ts <= s.t1
 GROUP BY 1, 2""",
     )
+
+    # ---- e_anomaly_zscore: trailing-window value anomaly score ---------------
+    # per-user z of each value vs the preceding 20 events; cents-
+    # quantized window sums (exact BIGINTs), one fixed float expression
+    # on top — last-bit identical across engines.
+    def e_anomaly_zscore(spark, sf_dir):
+        from .operators.aggregate import rolling_zscore
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = rolling_zscore(
+            ev, keys=["user_id"], order_cols=["event_id"],
+            window=20, min_points=5,
+        )
+        return out.select("event_id", "user_id", "zscore")
+
+    reg(
+        "e_anomaly_zscore",
+        e_anomaly_zscore,
+        """WITH c AS (
+  SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS cents
+  FROM events
+), s AS (
+  SELECT event_id, user_id, cents,
+         count(cents) OVER w AS n,
+         sum(cents) OVER w AS s1,
+         sum(cents * cents) OVER w AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN n >= 5
+              AND (s2 - s1 * s1 / n) / (n - 1) > 0
+            THEN round((cents - s1 * 1.0 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+       END AS zscore
+FROM s""",
+    )

@@ -183,3 +183,40 @@ def test_interval_join_no_duplicate_pairs_across_buckets(spark):
     out = interval_join(facts, ivl, by="user_id", bucket_seconds=60)
     assert out.count() == 10
     assert out.distinct().count() == 10
+
+
+def test_rolling_zscore_hand_computed(spark):
+    import statistics
+
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        rolling_zscore,
+    )
+
+    vals = [10.0, 12.0, 11.0, 13.0, 9.0, 50.0]
+    ev = spark.createDataFrame(
+        [(i, 1, _ts(i), vals[i]) for i in range(len(vals))],
+        "event_id int, user_id int, ts timestamp_ntz, value double",
+    )
+    out = {r.event_id: r.zscore
+           for r in rolling_zscore(ev, keys=["user_id"],
+                                   order_cols=["event_id"],
+                                   window=20, min_points=5).collect()}
+    # first five rows lack min_points history
+    assert all(out[i] is None for i in range(5))
+    hist = [v * 100 for v in vals[:5]]
+    z = (5000 - statistics.mean(hist)) / statistics.stdev(hist)
+    assert abs(out[5] - round(z, 4)) < 1e-9
+
+
+def test_rolling_zscore_null_on_zero_variance(spark):
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        rolling_zscore,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, 1, _ts(i), 7.0) for i in range(8)],
+        "event_id int, user_id int, ts timestamp_ntz, value double",
+    )
+    out = rolling_zscore(ev, keys=["user_id"], order_cols=["event_id"],
+                         min_points=3).collect()
+    assert all(r.zscore is None for r in out)
