@@ -126,3 +126,71 @@ def last_seen_stream(stream: DataFrame, key: str = "conv_id") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = "event_id long, user_id long, zscore double"
+ZSCORE_STATE_SCHEMA = "buf array<long>"
+
+
+def zscore_stream(
+    stream: DataFrame,
+    window: int = 20,
+    min_points: int = 5,
+) -> DataFrame:
+    """Streaming twin of operators.aggregate.rolling_zscore: per user, the
+    z-score of each event's value against the trailing `window` events,
+    with the trailing buffer carried ACROSS micro-batches in the state
+    store (an array of the last `window` integer-cent values — bounded
+    O(window) state per key). Within a batch, events are processed in
+    (ts, event_id) order, so for time-ordered arrival (each micro-batch
+    a prefix of the remaining stream — the tailing-file case) output
+    equals the batch operator run over the whole stream (asserted in
+    tests/test_stateful_streaming.py). Out-of-order arrival needs a
+    watermarked reorder buffer upstream, same as every state-store op
+    here.
+
+    Same exact-integer discipline as the batch form: cents are BIGINTs,
+    mean/variance/z come from one fixed float expression."""
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out_ids, out_z = [], []
+        for _, row in batch.iterrows():
+            c = int(round(float(row["value"]) * 100))
+            z = None
+            n = len(buf)
+            if n >= min_points:
+                s1 = sum(buf)
+                s2 = sum(v * v for v in buf)
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    z = round((c - s1 / n) / var**0.5, 4)
+            out_ids.append(int(row["event_id"]))
+            out_z.append(z)
+            buf.append(c)
+            if len(buf) > window:
+                buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [int(key_tuple[0])] * len(out_ids),
+                "zscore": pd.array(out_z, dtype="Float64"),
+            }
+        )
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            ZSCORE_OUTPUT_SCHEMA,
+            ZSCORE_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -109,3 +109,56 @@ def test_last_seen_stream(spark, sf_dir, two_batch_input):
                 r["last_turn_idx"], r["last_role"], r["n_seen"]
             )
     assert final == want
+
+
+EVENTS_DIR = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def two_batch_events(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zscore_in")
+    t = pq.read_table(os.path.join(EVENTS_DIR, "events.parquet"))
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part1.parquet"))
+    return str(d)
+
+
+def test_zscore_stream_equals_batch_operator(spark, two_batch_events):
+    """The trailing-window buffer must survive the micro-batch boundary:
+    streaming z-scores over two time-ordered micro-batches == the batch
+    rolling_zscore over the whole events table, per event."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        rolling_zscore,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    ev_schema = spark.read.parquet(
+        os.path.join(EVENTS_DIR, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_events)
+    )
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in _drain(spark, zscore_stream(stream), "zscore_stream").collect()
+    }
+
+    batch = spark.read.parquet(os.path.join(EVENTS_DIR, "events.parquet"))
+    want = {
+        r["event_id"]: r["zscore"]
+        for r in rolling_zscore(
+            batch, keys=["user_id"], order_cols=["event_id"]
+        ).select("event_id", "zscore").collect()
+    }
+    assert len(got) == len(want) and len(got) > 0
+    diffs = [
+        k for k in want
+        if (got[k] is None) != (want[k] is None)
+        or (got[k] is not None and abs(got[k] - want[k]) > 1e-9)
+    ]
+    assert not diffs, diffs[:5]
