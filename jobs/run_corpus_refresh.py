@@ -1,0 +1,91 @@
+"""spark-submit entrypoint for the incremental corpus-refresh loop: each
+poll ingests ONLY the new/changed document files, drops docs whose
+normalized text already exists in the kept corpus (cross-corpus dedup)
+or earlier in the same batch (keep-lowest-id), applies the composed
+quality gate, and appends the survivors as an idempotent batch.
+
+This is the crawl-refresh production shape: the kept corpus grows
+monotonically, each poll's work is proportional to the DELTA (new files
+× one anti join against distinct corpus hashes — 16-byte keys, never a
+text-payload shuffle), and replaying a poll after a crash rewrites the
+same batch_id directory (exactly-once downstream).
+
+Cluster usage:
+  zip -r otel_spark.zip opentelemetry_collector_contrib_spark
+  spark-submit --master <cluster> --py-files otel_spark.zip \
+      jobs/run_corpus_refresh.py --input /path/to/docs_dir \
+      --out-dir /path/to/corpus [--min-words 3]
+
+Local smoke:
+  python jobs/run_corpus_refresh.py --input data/docs_in \
+      --out-dir /tmp/corpus --cores 8
+
+Run it from cron/Airflow per arrival interval; each invocation is one
+poll (None exit = nothing new).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def refresh_transform(src, min_words: int):
+    """Build the per-poll transform: dedup against the corpus kept so
+    far + within the batch, then the length gate."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.textops import (
+        normalize_text,
+    )
+
+    def transform(new_docs):
+        norm = F.md5(normalize_text(F.col("text"))).alias("_nh")
+        batch = new_docs.withColumn("_nh", norm)
+        # keep-lowest-id within the batch (one 16-byte-key shuffle)
+        keep = batch.groupBy("_nh").agg(F.min("doc_id").alias("doc_id"))
+        batch = batch.join(keep, ["_nh", "doc_id"], "left_semi")
+        # cross-corpus: drop anything already kept. The _nh column is
+        # PERSISTED with each batch, so later polls anti-join against
+        # stored hashes instead of re-hashing the whole corpus — only
+        # distinct 16-byte keys cross the join.
+        try:
+            seen = src.table().select("_nh").distinct()
+        except FileNotFoundError:  # very first poll: empty corpus
+            seen = None
+        if seen is not None:
+            batch = batch.join(seen, "_nh", "left_anti")
+        gate = F.size(F.split(F.col("text"), " ")) >= min_words
+        return batch.filter(gate)
+
+    return transform
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="dir of *.parquet docs")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--cores", default=None)
+    ap.add_argument("--min-words", type=int, default=3)
+    args = ap.parse_args()
+
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.sources.incremental import (
+        IncrementalFileSource,
+    )
+
+    spark = get_spark(app_name="corpus-refresh", cores=args.cores)
+    src = IncrementalFileSource(spark, args.input, args.out_dir)
+    info = src.poll(refresh_transform(src, args.min_words))
+    print(json.dumps(info))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4848,3 +4848,39 @@ SELECT event_id, user_id,
        END AS zscore
 FROM s""",
     )
+
+    # ---- s_topic_hist: corpus topic distribution over embedding space -------
+    # nearest-centroid assignment (ivf_topk's coarse quantizer, shared
+    # scorer UDF) → per-cell size, share, and 1e-6-quantized mean member
+    # cosine (cluster coherence); the latent-domain input to mixture
+    # rebalancing.
+    def s_topic_hist(spark, sf_dir):
+        from .similarity import topic_histogram
+
+        return topic_histogram(_emb(spark, sf_dir), n_centroids=8)
+
+    reg(
+        "s_topic_hist",
+        s_topic_hist,
+        """WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cent
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cent) DESC,
+                   c.cell DESC LIMIT 1) AS cell
+  FROM embeddings e
+), tot AS (
+  SELECT count(*)::DOUBLE AS n FROM embeddings
+), q AS (
+  SELECT a.cell,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       c.cent) * 1e6)::BIGINT AS qc
+  FROM assigned a JOIN cents c USING (cell)
+)
+SELECT cell, count(*)::BIGINT AS n_vecs,
+       round(count(*) / tot.n, 6) AS share,
+       round(sum(qc) / 1e6 / count(*), 4) AS mean_cos
+FROM q, tot GROUP BY cell, tot.n""",
+    )

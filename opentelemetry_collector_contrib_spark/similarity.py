@@ -258,6 +258,47 @@ def kmeans_fit(
     return cent, mean_sim
 
 
+def _seed_centroids(emb: DataFrame, n: int, vec_col: str):
+    """Deterministic seed codebook: the n lowest vec_ids. Returns
+    (cent_ids, (n × dim) float64 matrix) — kilobytes to a few MB,
+    driver-collected ONCE and closure-shipped into the scorer UDF."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(n).select("vec_id", vec_col).collect()
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    mat = np.array(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    return ids, mat
+
+
+def _make_top_cells_udf(cent_ids, cent_mat, n_probe: int):
+    """Arrow-batched cell scorer shared by ivf_topk / topic_histogram:
+    per vector, the top-`n_probe` centroid ids by (dot DESC, cent_id
+    DESC). Dots accumulate dimension-by-dimension — the same
+    left-to-right fold order as the SQL oracle's list_dot_product, so
+    assignment is bit-identical cross-engine. asNondeterministic: a
+    pushed join-key null filter otherwise re-inlines the scorer,
+    re-running the batch×centroids product per reference (3
+    ArrowEvalPython nodes measured where the DAG needs 2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _top_cells_fn(vecs):  # pd.Series -> pd.Series of array<long>
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (B, dim)
+        dots = np.zeros((m.shape[0], cent_mat.shape[0]))
+        for i in range(cent_mat.shape[1]):
+            dots += np.outer(m[:, i], cent_mat[:, i])
+        # argsort by (dot DESC, cent_id DESC): ascending lexsort, reversed
+        ids_b = np.broadcast_to(cent_ids, dots.shape)
+        order = np.lexsort((ids_b, dots), axis=-1)[:, ::-1]
+        top = cent_ids[order[:, :n_probe]]
+        return pd.Series(list(top))
+
+    return pandas_udf("array<long>")(_top_cells_fn).asNondeterministic()
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_ids: list[int],
@@ -295,40 +336,13 @@ def ivf_topk(
     codebook for oracle parity — approximation quality vs probe count is
     a training concern, plan shape is identical either way."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     if centroids is not None:
         cent_mat = np.asarray(centroids, dtype=np.float64)
         cent_ids = np.arange(cent_mat.shape[0])
     else:
-        cent_rows = (
-            emb.orderBy("vec_id").limit(n_centroids)
-            .select("vec_id", vec_col).collect()
-        )
-        cent_ids = np.array([int(r["vec_id"]) for r in cent_rows])
-        cent_mat = np.array(
-            [[float(x) for x in r[vec_col]] for r in cent_rows],
-            dtype=np.float64,
-        )  # (C, dim) — captured by the UDF closure → shipped once per task
-
-    def _top_cells_fn(vecs):  # pd.Series -> pd.Series of array<long>
-        m = np.array(vecs.tolist(), dtype=np.float64)  # (B, dim)
-        # dimension-at-a-time accumulation = left-to-right fold order
-        dots = np.zeros((m.shape[0], cent_mat.shape[0]))
-        for i in range(cent_mat.shape[1]):
-            dots += np.outer(m[:, i], cent_mat[:, i])
-        # argsort by (dot DESC, cent_id DESC): sort ascending on
-        # (dot, cent_id) then reverse
-        ids_b = np.broadcast_to(cent_ids, dots.shape)
-        order = np.lexsort((ids_b, dots), axis=-1)[:, ::-1]
-        top = cent_ids[order[:, :n_probe]]
-        return pd.Series(list(top))
-
-    # asNondeterministic: the join-key null filter otherwise re-inlines
-    # the scorer, re-running the batch×centroids product per reference
-    # (3 ArrowEvalPython nodes measured where the DAG needs 2)
-    top_cells = pandas_udf("array<long>")(_top_cells_fn).asNondeterministic()
+        cent_ids, cent_mat = _seed_centroids(emb, n_centroids, vec_col)
+    top_cells = _make_top_cells_udf(cent_ids, cent_mat, n_probe)
 
     assigned = emb.select(
         "vec_id", vec_col,
@@ -949,4 +963,61 @@ def semdedup_survivors(
         .filter(F.col("rn") == 1)
         .join(sizes, "cluster_id")
         .select("vec_id", "cell", "centroid_sim", "n_members")
+    )
+
+
+def topic_histogram(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Corpus topic distribution: assign every embedding to its nearest
+    centroid (same coarse quantizer as ivf_topk — pass a kmeans_fit
+    matrix for trained topics, default deterministic seed codebook for
+    oracle parity) and report per-cell size, share, and mean member
+    cosine to the centroid (cluster coherence). The upstream signal for
+    domain-mixture decisions over embedding space (the target_mix /
+    temperature_mix input when "domain" is latent rather than a column).
+
+    Plan: ONE closure-shipped scorer UDF (no join, no corpus shuffle) →
+    broadcast join to the tiny centroid table for the coherence cosine
+    (JVM fold, element order) → one hash agg. Float discipline: per-row
+    cosines quantize to BIGINT 1e-6 units before the sum, so the mean is
+    exact integer math divided once — cross-engine identical."""
+    import numpy as np
+
+    if centroids is not None:
+        cent_mat = np.asarray(centroids, dtype=np.float64)
+        cent_ids = np.arange(cent_mat.shape[0])
+    else:
+        cent_ids, cent_mat = _seed_centroids(emb, n_centroids, vec_col)
+    top_cells = _make_top_cells_udf(cent_ids, cent_mat, 1)
+
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cent_mat)],
+        "cell long, cent array<double>",
+    )
+    assigned = emb.select(
+        "vec_id", vec_col, top_cells(F.col(vec_col))[0].alias("cell")
+    )
+    withc = assigned.join(F.broadcast(cents), "cell")
+    q = F.round(
+        cosine_sim(F.col(vec_col), F.col("cent")) * 1e6
+    ).cast("long")
+    agg = withc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(q).alias("_qsum"),
+    )
+    # corpus total from the ≤n_centroids-row agg (an unpartitioned window
+    # over the TINY frame — not the corpus), no second scan
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_vecs").over(W.partitionBy())
+    return agg.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / total, 6).alias("share"),
+        F.round(F.col("_qsum") / 1e6 / F.col("n_vecs"), 4).alias("mean_cos"),
     )

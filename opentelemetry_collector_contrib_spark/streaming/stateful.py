@@ -160,7 +160,10 @@ def zscore_stream(
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         out_ids, out_z = [], []
         for _, row in batch.iterrows():
-            c = int(round(float(row["value"]) * 100))
+            # half-away-from-zero, matching Spark/DuckDB round() — NOT
+            # Python's banker's rounding (0.125*100 would diverge)
+            v = float(row["value"]) * 100
+            c = int(v + 0.5) if v >= 0 else -int(-v + 0.5)
             z = None
             n = len(buf)
             if n >= min_points:

@@ -348,3 +348,51 @@ def test_sync_rollup_reconciles_all_gaps(spark, tmp_path):
     assert 0 in sync["retracted"] and sync["added"]
     got2 = {r["k"]: (r["n"], r["sum_v"]) for r in roll.snapshot().collect()}
     assert got2 == want()
+
+
+def test_corpus_refresh_job_dedups_across_polls(spark, tmp_path):
+    """jobs/run_corpus_refresh.py transform: poll 2's docs that verbatim
+    (post-normalization) duplicate poll 1's kept corpus are dropped;
+    fresh docs survive; replaying the poll is idempotent."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_corpus_refresh import refresh_transform
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def write_docs(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write \
+            .mode("overwrite").parquet(os.path.join(input_dir, name))
+
+    write_docs("p1", [
+        (1, "alpha beta gamma"),
+        (2, "Alpha  beta GAMMA!"),   # normalized dup of 1 -> folded
+        (3, "delta epsilon zeta"),
+        (4, "too short"),            # fails the min-words gate
+    ])
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    rec1 = src.poll(refresh_transform(src, min_words=3))
+    assert rec1["rows_out"] == 2
+    assert {r.doc_id for r in src.table().collect()} == {1, 3}
+
+    write_docs("p2", [
+        (10, "ALPHA beta gamma."),       # dup of kept corpus -> dropped
+        (11, "eta theta iota"),          # fresh -> kept
+        (12, "eta  THETA iota"),         # batch dup of 11 -> folded
+        (13, "delta epsilon zeta"),      # byte-equal corpus dup -> dropped
+    ])
+    rec2 = src.poll(refresh_transform(src, min_words=3))
+    assert rec2["rows_out"] == 1
+    assert {r.doc_id for r in src.table().collect()} == {1, 3, 11}
+
+    # crash-replay: rewriting the same batch output is idempotent
+    state_path = os.path.join(out_dir, STATE_FILE)
+    st = json.load(open(state_path))
+    st["files"] = {k: v for k, v in st["files"].items() if "p2" not in k}
+    st["batches"] = [b for b in st["batches"] if b["batch_id"] != rec2["batch_id"]]
+    json.dump(st, open(state_path, "w"))
+    rec2b = src.poll(refresh_transform(src, min_words=3))
+    assert rec2b["rows_out"] == 1
+    assert {r.doc_id for r in src.table().collect()} == {1, 3, 11}

@@ -318,3 +318,35 @@ def test_pq_encode_is_stream_compatible(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pq_stream_codes").collect()
     }
     assert got == want
+
+
+def test_topic_histogram_covers_corpus_and_matches_assignment(spark):
+    """Histogram invariants: cell sizes sum to the corpus, shares sum to
+    1, every cell id is a centroid id, and a trained-centroid run on
+    clearly-clustered data yields one coherent cell per natural cluster
+    (mean_cos ≈ 1 on duplicated-direction clusters)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_spark.similarity import (
+        topic_histogram,
+    )
+
+    # two tight clusters along axes 0 and 1, 30 vectors each
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 2] = 1.0
+        base[7] = 0.001 * (i // 2)  # break exact ties deterministically
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = np.zeros((2, 8))
+    cents[0, 0] = 1.0
+    cents[1, 1] = 1.0
+    out = topic_histogram(emb, centroids=cents).collect()
+    assert {r.cell for r in out} == {0, 1}
+    assert sum(r.n_vecs for r in out) == 60
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-6
+    for r in out:
+        assert r.n_vecs == 30
+        assert r.mean_cos > 0.999
