@@ -685,6 +685,7 @@ FROM {_TR}""",
     _register_scale_paths(reg)
     _register_relational(reg)
     _register_round4_features(reg)
+    _register_template_mining(reg)
     # Registry is emitted in NATURAL registration order (the order the
     # operators were built), never reordered: the driver's correctness
     # artifact samples a prefix of this dict, and a hand-picked ordering
@@ -837,6 +838,70 @@ FROM parsed WHERE tool_name = 'bash'""",
 )
 SELECT r.vec_id, r.cell, r.centroid_sim, s.n_members
 FROM reps r JOIN sized s USING (cluster_id) WHERE r.rn = 1""",
+    )
+
+
+def _register_template_mining(reg) -> None:
+    """Drain-style log template mining over the transcript text column
+    (textops.py mask_log_variables / template_stats / rare_template_turns
+    — the telemetry analog of logdedup body templating). The oracle SQL
+    compiles from the SAME TEMPLATE_MASKS table the Spark projection
+    compiles from (patterns are RE2-safe, so one pattern string runs in
+    Java regex AND DuckDB)."""
+    from .textops import (
+        TEMPLATE_MASKS,
+        log_templates,
+        rare_template_turns,
+        template_stats,
+    )
+
+    masked = "text"
+    for _pat, _repl in TEMPLATE_MASKS:
+        masked = f"regexp_replace({masked}, '{_pat}', '{_repl}', 'g')"
+
+    def t_log_template(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return log_templates(read_transcripts(spark, fx))
+
+    reg(
+        "t_log_template",
+        t_log_template,
+        f"""SELECT conv_id, turn_idx, text,
+       {masked} AS template
+FROM {_TR}""",
+    )
+
+    def t_template_stats(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return template_stats(read_transcripts(spark, fx))
+
+    reg(
+        "t_template_stats",
+        t_template_stats,
+        f"""WITH t AS (
+  SELECT {masked} AS template, conv_id, text FROM {_TR}
+)
+SELECT template, count(*)::BIGINT AS n_turns,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       min(text) AS example
+FROM t GROUP BY 1""",
+    )
+
+    def t_rare_templates(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return rare_template_turns(read_transcripts(spark, fx), max_count=1)
+
+    reg(
+        "t_rare_templates",
+        t_rare_templates,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx, {masked} AS template FROM {_TR}
+), rare AS (
+  SELECT template, count(*)::BIGINT AS n_turns
+  FROM t GROUP BY 1 HAVING count(*) <= 1
+)
+SELECT t.conv_id, t.turn_idx, t.template, r.n_turns
+FROM t JOIN rare r USING (template)""",
     )
 
 

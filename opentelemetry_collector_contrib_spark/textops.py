@@ -2036,6 +2036,104 @@ def winnowing_fingerprints(
     return out.filter(F.col("fp").isNotNull())
 
 
+# ---------------------------------------------------------------------------
+# log template mining (Drain-style variable masking)
+# ---------------------------------------------------------------------------
+
+# single source of truth for BOTH engines: the Spark projection and the
+# DuckDB oracle SQL compile from this table (the PII_PATTERNS pattern).
+# Order matters: 0x-prefixed addresses, then long bare hex ids, then
+# digits (else the digit rule shreds both hex forms).
+# RE2-safe (no lookaround) so the same pattern string runs in Java regex
+# AND DuckDB. {16,} keeps the hex rule off ordinary English words.
+TEMPLATE_MASKS: tuple[tuple[str, str], ...] = (
+    (r"\b0x[0-9a-fA-F]+\b", "<hexid>"),
+    (r"\b[0-9a-f]{16,}\b", "<hexid>"),
+    (r"[0-9]+", "<num>"),
+)
+
+
+def mask_log_variables(col: Column) -> Column:
+    """Variable-token masking — the first pass of every log-template
+    miner (Drain, He et al. 2017 ICWS): numbers and long hex ids are
+    parameters, the residue is the message template. Chained
+    regexp_replace — pure codegen, pipelined into the scan."""
+    out = col
+    for pat, repl in TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def log_templates(
+    turns: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Per-record log template: the text with variable tokens masked.
+    The telemetry analog of the logdedup processor's body templating
+    (processor/logdedupprocessor collapses identical bodies; templating
+    first makes 'err=E7974' and 'err=E2118' the same signature).
+    Zero shuffles — one narrow projection."""
+    return turns.select(
+        *id_cols,
+        F.col(text_col),
+        mask_log_variables(F.col(text_col)).alias("template"),
+    )
+
+
+def template_stats(
+    turns: DataFrame,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Corpus template inventory: occurrence count, distinct-conversation
+    spread, and a deterministic example (min raw text) per template —
+    the signature table a log-pattern dashboard is built from.
+
+    Plan: masking projection → ONE hash agg keyed by the template string
+    (map-side partials; count-distinct expands to the standard two-phase
+    agg). At 100 TB the group key would be md5(template) with the string
+    carried as min(template) — identical shape."""
+    t = mask_log_variables(F.col(text_col)).alias("template")
+    return turns.select(t, F.col(conv_col), F.col(text_col)).groupBy(
+        "template"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct(conv_col).cast("long").alias("n_convs"),
+        F.min(text_col).alias("example"),
+    )
+
+
+def rare_template_turns(
+    turns: DataFrame,
+    max_count: int = 1,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Novel-pattern anomaly feed: the turns whose template occurs at
+    most ``max_count`` times corpus-wide — the 'new log line we have
+    never seen' alert stream (the standard template-mining application:
+    a FATAL with a fresh shape pages someone; the millionth identical
+    timeout does not).
+
+    Plan: template agg (map-side partials) → filter to rare templates →
+    join back on the template key. The join is skew-proof by
+    construction: every surviving group has ≤ max_count rows, and the
+    hot templates that could skew a shuffle are filtered out BEFORE the
+    join. No broadcast hint — the rare set is corpus-dependent and can
+    be a large fraction of distinct templates; AQE may still choose one
+    when it is small."""
+    t = log_templates(turns, text_col, id_cols)
+    rare = (
+        t.groupBy("template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .filter(F.col("n_turns") <= max_count)
+    )
+    return t.join(rare, "template").select(
+        *id_cols, "template", "n_turns"
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonicalization used before dedup: lowercase, strip
     non-alphanumerics to spaces, collapse runs of whitespace, trim.

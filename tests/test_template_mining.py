@@ -1,0 +1,107 @@
+"""Log template mining (textops.py mask_log_variables / log_templates /
+template_stats / rare_template_turns) — the Drain-style first pass
+(He et al. 2017 ICWS) over the transcript text column, the telemetry
+analog of the logdedup processor's body templating
+(processor/logdedupprocessor in the reference collapses identical
+bodies; masking first makes 'err=E7974' and 'err=E2118' one signature).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.textops import (
+    TEMPLATE_MASKS,
+    log_templates,
+    mask_log_variables,
+    rare_template_turns,
+    template_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def test_masking_rules(spark):
+    rows = [
+        ("c1", 0, "timeout after 1500 ms on call 9f86d081884c7d65"),
+        ("c1", 1, "timeout after 20 ms on call ab12cd34ef56ab78"),
+        ("c2", 0, "user deadbeef logged in"),  # 8 hex chars: NOT an id
+        ("c2", 1, "retry 3 of 5"),
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): r.template
+        for r in log_templates(_df(spark, rows)).collect()
+    }
+    # numbers and long (>=16) hex ids mask; both timeout lines converge
+    assert got[("c1", 0)] == "timeout after <num> ms on call <hexid>"
+    assert got[("c1", 0)] == got[("c1", 1)]
+    # short hex words are ordinary words (the {16,} floor)
+    assert got[("c2", 0)] == "user deadbeef logged in"
+    assert got[("c2", 1)] == "retry <num> of <num>"
+
+
+def test_mask_order_hexid_before_num():
+    # the hex rules MUST run before the digit rule or digit-bearing hex
+    # ids shred into word/num fragments
+    repls = [r for _, r in TEMPLATE_MASKS]
+    assert repls.index("<num>") > max(
+        i for i, r in enumerate(repls) if r == "<hexid>"
+    )
+
+
+def test_template_stats_counts(spark):
+    rows = [
+        ("c1", 0, "timeout after 10 ms"),
+        ("c1", 1, "timeout after 20 ms"),
+        ("c2", 0, "timeout after 30 ms"),
+        ("c2", 1, "disk full"),
+    ]
+    got = {
+        r.template: r for r in template_stats(_df(spark, rows)).collect()
+    }
+    t = got["timeout after <num> ms"]
+    assert (t.n_turns, t.n_convs) == (3, 2)
+    # deterministic example = min raw text
+    assert t.example == "timeout after 10 ms"
+    assert got["disk full"].n_turns == 1
+
+
+def test_rare_templates_only_singletons(spark):
+    rows = [
+        ("c1", 0, "timeout after 10 ms"),
+        ("c1", 1, "timeout after 20 ms"),
+        ("c2", 0, "segfault at 0xdeadbeefdeadbeef"),
+    ]
+    out = rare_template_turns(_df(spark, rows), max_count=1).collect()
+    assert len(out) == 1
+    assert out[0].template == "segfault at <hexid>"
+    assert out[0].n_turns == 1
+
+
+def test_log_templates_plan_is_shuffle_free(spark):
+    df = _df(spark, [("c1", 0, "x 1")])
+    plan = log_templates(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_masks_are_duckdb_compatible(spark):
+    """The registry's oracle compiles the SAME TEMPLATE_MASKS into DuckDB
+    regexp_replace — assert both engines agree on a tricky line (digits
+    adjacent to hex, word boundaries)."""
+    import duckdb
+
+    line = "call 9f86d081884c7d65 took 1500ms, code 404 (ref deadbeef)"
+    spark_val = (
+        spark.range(1)
+        .select(mask_log_variables(F.lit(line)).alias("t"))
+        .collect()[0]
+        .t
+    )
+    expr = "'" + line.replace("'", "''") + "'"
+    for pat, repl in TEMPLATE_MASKS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    duck_val = duckdb.sql(f"SELECT {expr} AS t").fetchone()[0]
+    assert spark_val == duck_val
