@@ -904,6 +904,61 @@ SELECT t.conv_id, t.turn_idx, t.template, r.n_turns
 FROM t JOIN rare r USING (template)""",
     )
 
+    # Drain leaf-group generalization (textops.drain_templates): the
+    # order-independent fixed point of the cluster-merge rule — a token
+    # position is <*> iff its (token count, first token) group ever
+    # disagrees on it. Both engines compute the identical pipeline.
+    from .textops import drain_cluster_stats, drain_templates
+
+    _drain_cte = f"""toks AS (
+  SELECT conv_id, turn_idx, string_split({masked}, ' ') AS t FROM {_TR}
+), base AS (
+  SELECT conv_id, turn_idx, t,
+         len(t)::VARCHAR || chr(31) || t[1] AS gkey
+  FROM toks
+), pos AS (
+  SELECT gkey, i AS pos, t[i] AS tok
+  FROM base, UNNEST(generate_series(1, len(t))) AS g(i)
+), posagg AS (
+  SELECT gkey, pos,
+         CASE WHEN min(tok) = max(tok) THEN min(tok)
+              ELSE '<*>' END AS outtok
+  FROM pos GROUP BY 1, 2
+), tmpl AS (
+  SELECT gkey, string_agg(outtok, ' ' ORDER BY pos) AS template
+  FROM posagg GROUP BY 1
+)"""
+
+    def t_drain_assign(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return drain_templates(read_transcripts(spark, fx))
+
+    reg(
+        "t_drain_assign",
+        t_drain_assign,
+        f"""WITH {_drain_cte}
+SELECT b.conv_id, b.turn_idx, t.template
+FROM base b JOIN tmpl t USING (gkey)""",
+    )
+
+    def t_drain_clusters(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return drain_cluster_stats(read_transcripts(spark, fx))
+
+    reg(
+        "t_drain_clusters",
+        t_drain_clusters,
+        f"""WITH {_drain_cte},
+assigned AS (
+  SELECT b.conv_id, t.template FROM base b JOIN tmpl t USING (gkey)
+)
+SELECT template, count(*)::BIGINT AS n_turns,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       len(list_filter(string_split(template, ' '),
+                       x -> x = '<*>'))::INT AS n_wildcards
+FROM assigned GROUP BY 1""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # classical relational shapes over the driver's TPC-H-shaped tables

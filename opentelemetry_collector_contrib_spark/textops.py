@@ -2134,6 +2134,113 @@ def rare_template_turns(
     )
 
 
+# Drain groups lines by (token count, first tokens) before clustering —
+# the fixed-depth prefix tree of He et al. 2017 §III.B steps 2-3. \x1f
+# (unit separator) joins the composite key: it cannot occur in
+# whitespace-split tokens, so distinct (n, prefix) pairs never collide.
+_DRAIN_KEY_SEP = "\x1f"
+
+
+def _drain_grouped(
+    turns: DataFrame,
+    text_col: str,
+    id_cols: tuple[str, ...],
+    prefix_tokens: int,
+) -> DataFrame:
+    toks = F.split(mask_log_variables(F.col(text_col)), " ")
+    return turns.select(
+        *id_cols, toks.alias("toks")
+    ).withColumn(
+        "gkey",
+        F.concat_ws(
+            _DRAIN_KEY_SEP,
+            F.size("toks").cast("string"),
+            F.array_join(F.slice("toks", 1, prefix_tokens), " "),
+        ),
+    )
+
+
+def drain_templates(
+    turns: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    prefix_tokens: int = 1,
+) -> DataFrame:
+    """Drain log-template extraction (He et al. 2017 ICWS), re-expressed
+    as an ORDER-INDEPENDENT distributed job: per-turn assignment of the
+    generalized template for the turn's Drain leaf group.
+
+    The sequential algorithm routes each line down a fixed-depth prefix
+    tree — (token count, first tokens) — then merges it into the leaf
+    cluster whose template agrees on enough token positions, updating
+    the template's disagreeing positions to the ``<*>`` wildcard. That
+    last step is order-dependent (cluster identity depends on arrival
+    order). The distributed formulation computes the FIXED POINT of the
+    merge rule per leaf group directly — a token position becomes
+    ``<*>`` iff the group ever disagrees on it — which is exactly what
+    Drain's templates converge to when every line of a group merges
+    into one cluster, and is deterministic under any row order (so it
+    has an exact SQL oracle).
+
+    Plan (three shuffles, all key-partitioned, no Python):
+      mask+tokenize projection → posexplode → hash agg on (gkey, pos)
+      [min/max carry the collapse test — map-side partials, no distinct
+      expansion] → hash agg on gkey (sort-by-position rebuild inside
+      collect_list, O(tokens-per-line) per group) → shuffle join back to
+      turns on gkey. Group count ≪ turn count at every scale; AQE may
+      broadcast the template side when it is small.
+    """
+    base = _drain_grouped(turns, text_col, id_cols, prefix_tokens)
+    pos = base.select(
+        "gkey", F.posexplode("toks").alias("pos", "tok")
+    )
+    posagg = pos.groupBy("gkey", "pos").agg(
+        F.when(F.min("tok") == F.max("tok"), F.min("tok"))
+        .otherwise(F.lit("<*>"))
+        .alias("outtok"),
+    )
+    tmpl = posagg.groupBy("gkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "outtok"))
+                ),
+                lambda s: s["outtok"],
+            ),
+            " ",
+        ).alias("template"),
+    )
+    return base.join(tmpl, "gkey").select(*id_cols, "template")
+
+
+def drain_cluster_stats(
+    turns: DataFrame,
+    text_col: str = "text",
+    prefix_tokens: int = 1,
+) -> DataFrame:
+    """Drain cluster inventory: one row per generalized template with
+    its population and wildcard arity (how many positions collapsed) —
+    the table a log-pattern browser renders. Same plan as
+    drain_templates with the join-back replaced by ONE more hash agg."""
+    assigned = drain_templates(
+        turns, text_col, ("conv_id",), prefix_tokens
+    )
+    n_wild = F.size(
+        F.filter(
+            F.split(F.col("template"), " "),
+            lambda t: t == F.lit("<*>"),
+        )
+    )
+    return (
+        assigned.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+        .withColumn("n_wildcards", n_wild.cast("int"))
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonicalization used before dedup: lowercase, strip
     non-alphanumerics to spaces, collapse runs of whitespace, trim.

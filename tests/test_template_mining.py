@@ -105,3 +105,79 @@ def test_masks_are_duckdb_compatible(spark):
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     duck_val = duckdb.sql(f"SELECT {expr} AS t").fetchone()[0]
     assert spark_val == duck_val
+
+
+# ---------------------------------------------------------------------------
+# Drain leaf-group generalization
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.textops import (  # noqa: E402
+    drain_cluster_stats,
+    drain_templates,
+)
+
+
+def test_drain_collapses_disagreeing_positions(spark):
+    rows = [
+        ("c1", 0, "worker alpha started on node7"),
+        ("c1", 1, "worker beta started on node9"),
+        ("c2", 0, "worker alpha stopped on node7"),
+        ("c2", 1, "disk full"),
+    ]
+    got = {
+        (r.conv_id, r.turn_idx): r.template
+        for r in drain_templates(_df(spark, rows)).collect()
+    }
+    # same (5 tokens, 'worker') group: positions 1 and 2 disagree →
+    # wildcards; trailing node ids already masked to a COMMON token
+    assert got[("c1", 0)] == "worker <*> <*> on node<num>"
+    assert got[("c1", 0)] == got[("c1", 1)] == got[("c2", 0)]
+    # different token count → different leaf, untouched
+    assert got[("c2", 1)] == "disk full"
+
+
+def test_drain_groups_split_by_token_count_and_head(spark):
+    # same first token, different lengths → DIFFERENT groups (no bleed)
+    rows = [
+        ("c1", 0, "job finished ok"),
+        ("c1", 1, "job finished with 3 warnings"),
+    ]
+    got = {r.turn_idx: r.template
+           for r in drain_templates(_df(spark, rows)).collect()}
+    assert got[0] == "job finished ok"
+    assert got[1] == "job finished with <num> warnings"
+
+
+def test_drain_is_order_independent(spark):
+    rows = [
+        ("c1", 0, "call a ok"),
+        ("c1", 1, "call b ok"),
+        ("c2", 0, "call c failed"),
+    ]
+    a = sorted(map(tuple, drain_templates(_df(spark, rows)).collect()))
+    b = sorted(map(tuple,
+                   drain_templates(_df(spark, list(reversed(rows)))).collect()))
+    assert a == b
+    # all three share the (3, 'call') leaf: pos1 and pos2 both collapse
+    assert a[0][2] == "call <*> <*>"
+
+
+def test_drain_cluster_stats(spark):
+    rows = [
+        ("c1", 0, "call a ok"),
+        ("c1", 1, "call b ok"),
+        ("c2", 0, "disk full"),
+    ]
+    got = {r.template: r
+           for r in drain_cluster_stats(_df(spark, rows)).collect()}
+    c = got["call <*> ok"]
+    assert (c.n_turns, c.n_convs, c.n_wildcards) == (2, 1, 1)
+    assert got["disk full"].n_wildcards == 0
+
+
+def test_drain_plan_stays_jvm_side_with_partial_aggs(spark):
+    df = _df(spark, [("c1", 0, "x 1"), ("c1", 1, "x 2")])
+    plan = drain_templates(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan          # pure built-in expressions
+    # the (gkey,pos) min/max collapse must map-side combine
+    assert plan.count("HashAggregate") >= 2
