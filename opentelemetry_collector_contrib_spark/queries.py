@@ -959,6 +959,102 @@ SELECT template, count(*)::BIGINT AS n_turns,
 FROM assigned GROUP BY 1""",
     )
 
+    # template analytics on top of the mined templates: novelty
+    # attribution, burst detection, and market-basket co-occurrence —
+    # the three standard consumers of a template table.
+    from .textops import (
+        template_bursts,
+        template_cooccurrence,
+        template_first_seen,
+    )
+
+    def t_template_novelty(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return template_first_seen(read_transcripts(spark, fx))
+
+    reg(
+        "t_template_novelty",
+        t_template_novelty,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx, ts, {masked} AS template FROM {_TR}
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY template ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM t
+), agg AS (
+  SELECT template, count(*)::BIGINT AS n_turns FROM t GROUP BY 1
+)
+SELECT r.template, floor(epoch(r.ts))::BIGINT AS first_epoch,
+       r.conv_id AS first_conv_id, r.turn_idx AS first_turn_idx,
+       a.n_turns
+FROM r JOIN agg a USING (template) WHERE r.rn = 1""",
+    )
+
+    def t_template_bursts(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return template_bursts(
+            read_transcripts(spark, fx),
+            bucket_s=600, lookback=3, factor=4, min_count=10,
+        )
+
+    reg(
+        "t_template_bursts",
+        t_template_bursts,
+        f"""WITH t AS (
+  SELECT {masked} AS template,
+         (floor(epoch(ts))::BIGINT // 600) * 600 AS bucket_epoch
+  FROM {_TR}
+), c AS (
+  SELECT template, bucket_epoch, count(*)::BIGINT AS n
+  FROM t GROUP BY 1, 2
+), s AS (
+  SELECT template, bucket_epoch, n,
+         coalesce(sum(n) OVER (
+           PARTITION BY template ORDER BY bucket_epoch
+           RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS trailing_n
+  FROM c
+)
+SELECT template, bucket_epoch, n, trailing_n,
+       (n >= 10 AND n * 3 > 4 * trailing_n) AS is_burst
+FROM s""",
+    )
+
+    def t_template_cooccur(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return template_cooccurrence(
+            read_transcripts(spark, fx),
+            max_per_conv=64, min_pair_convs=2,
+        )
+
+    reg(
+        "t_template_cooccur",
+        t_template_cooccur,
+        f"""WITH ct AS (
+  SELECT conv_id AS conv, {masked} AS template, count(*) AS m
+  FROM {_TR} GROUP BY 1, 2
+), capped AS (
+  SELECT conv, template FROM (
+    SELECT conv, template, row_number() OVER (
+      PARTITION BY conv ORDER BY m DESC, template) AS rn
+    FROM ct
+  ) WHERE rn <= 64
+), pairs AS (
+  SELECT a.template AS template_a, b.template AS template_b,
+         count(*)::BIGINT AS n_both
+  FROM capped a JOIN capped b
+    ON a.conv = b.conv AND a.template < b.template
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), solo AS (
+  SELECT template, count(*)::BIGINT AS n_solo FROM capped GROUP BY 1
+)
+SELECT p.template_a, p.template_b, p.n_both,
+       sa.n_solo AS n_a, sb.n_solo AS n_b
+FROM pairs p
+JOIN solo sa ON sa.template = p.template_a
+JOIN solo sb ON sb.template = p.template_b""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # classical relational shapes over the driver's TPC-H-shaped tables

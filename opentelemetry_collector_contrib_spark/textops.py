@@ -2241,6 +2241,183 @@ def drain_cluster_stats(
     )
 
 
+def template_first_seen(
+    turns: DataFrame,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Template novelty attribution: one row per template with the
+    corpus-wide FIRST occurrence (epoch second, conversation, turn) and
+    the total population — the feed behind 'a log shape we have never
+    seen appeared at 14:02 in conv X' alerts, and the join side that
+    splits any window into known-vs-novel traffic.
+
+    Plan: masking projection → ONE hash agg keyed by template. The
+    first-occurrence witness rides inside ``min(struct(ts, conv, idx))``
+    — lexicographic struct-min is the (ts, conv_id, turn_idx) ordering,
+    total because (conv_id, turn_idx) is unique — so map-side partials
+    apply and hot templates cost nothing extra (no window over raw
+    turns, which a row_number formulation would need and which skews on
+    exactly the high-frequency templates this table exists to rank)."""
+    t = turns.select(
+        mask_log_variables(F.col(text_col)).alias("template"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(conv_col),
+        F.col(idx_col),
+    )
+    first = t.groupBy("template").agg(
+        F.min(F.struct("_ts", conv_col, idx_col)).alias("f"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+    return first.select(
+        "template",
+        F.col("f._ts").cast("long").alias("first_epoch"),
+        F.col(f"f.{conv_col}").alias("first_conv_id"),
+        F.col(f"f.{idx_col}").alias("first_turn_idx"),
+        "n_turns",
+    )
+
+
+def template_bursts(
+    turns: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lookback: int = 3,
+    factor: int = 4,
+    min_count: int = 10,
+) -> DataFrame:
+    """Template burst detection: per (template, time bucket) counts with
+    a trailing-rate flag — a bucket bursts when its count is at least
+    ``min_count`` AND exceeds ``factor`` × the mean of the trailing
+    ``lookback`` buckets. The comparison is pure integer arithmetic
+    (``n * lookback > factor * trailing_sum``), so Spark and any SQL
+    engine agree bit-for-bit; a template's very first bucket bursts iff
+    it clears ``min_count`` (trailing sum 0 — the novelty case).
+
+    Plan: masking+bucketing projection → hash agg on (template, bucket)
+    [map-side partials absorb hot templates] → window per template in
+    RANGE frame on the bucket epoch (gaps between observed buckets count
+    as zero by construction). The window runs over the AGGREGATED table
+    — cardinality ≈ templates × buckets, orders of magnitude below the
+    turn count — so the sort it needs is on the small side of the DAG."""
+    from pyspark.sql import Window as W
+
+    bucket = (
+        (F.floor(F.col(ts_col).cast("timestamp").cast("long") / bucket_s)
+         * bucket_s).cast("long")
+    )
+    counts = (
+        turns.select(
+            mask_log_variables(F.col(text_col)).alias("template"),
+            bucket.alias("bucket_epoch"),
+        )
+        .groupBy("template", "bucket_epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("template")
+        .orderBy("bucket_epoch")
+        .rangeBetween(-lookback * bucket_s, -1)
+    )
+    trailing = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    return counts.select(
+        "template",
+        "bucket_epoch",
+        "n",
+        trailing.alias("trailing_n"),
+        (
+            (F.col("n") >= F.lit(min_count))
+            & (F.col("n") * F.lit(lookback)
+               > F.lit(factor) * trailing)
+        ).alias("is_burst"),
+    )
+
+
+def template_cooccurrence(
+    turns: DataFrame,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    max_per_conv: int = 64,
+    min_pair_convs: int = 2,
+) -> DataFrame:
+    """Market-basket mining over (conversation, template): which log
+    shapes travel together? One row per unordered template pair with the
+    number of conversations containing both plus each side's solo
+    support (the integer inputs to lift/PMI, left un-divided so the
+    result stays engine-exact) — 'this timeout template co-occurs with
+    that retry template in 80% of its conversations' is the root-cause
+    table operators actually read.
+
+    The pair fan-out is bounded BY CONSTRUCTION: per conversation the
+    distinct templates are capped to the ``max_per_conv`` most frequent
+    (ties broken on the template string, so the cap is deterministic),
+    giving ≤ C(cap, 2) pairs per conversation regardless of how
+    pathological one conversation gets — the standard guard that keeps
+    basket self-joins from exploding on outlier baskets at scale.
+
+    Plan: mask projection → hash agg to distinct (conv, template, m) →
+    per-conv row_number cap (window partitions are conversation-sized,
+    never template-sized — no hot-key risk) → conv-keyed self-join with
+    ``a < b`` → hash agg on the pair → broadcast-friendly join of the
+    two solo-support sides."""
+    from pyspark.sql import Window as W
+
+    ct = (
+        turns.select(
+            F.col(conv_col).alias("conv"),
+            mask_log_variables(F.col(text_col)).alias("template"),
+        )
+        .groupBy("conv", "template")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("conv").orderBy(
+            F.col("m").desc(), F.col("template")
+        )
+    )
+    capped = ct.withColumn("rn", rn).filter(
+        F.col("rn") <= max_per_conv
+    ).select("conv", "template")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv") == F.col("b.conv"))
+            & (F.col("a.template") < F.col("b.template")),
+        )
+        .groupBy(
+            F.col("a.template").alias("template_a"),
+            F.col("b.template").alias("template_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_convs)
+    )
+    solo = capped.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_solo")
+    )
+    return (
+        pairs.join(
+            solo.select(
+                F.col("template").alias("template_a"),
+                F.col("n_solo").alias("n_a"),
+            ),
+            "template_a",
+        )
+        .join(
+            solo.select(
+                F.col("template").alias("template_b"),
+                F.col("n_solo").alias("n_b"),
+            ),
+            "template_b",
+        )
+        .select("template_a", "template_b", "n_both", "n_a", "n_b")
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonicalization used before dedup: lowercase, strip
     non-alphanumerics to spaces, collapse runs of whitespace, trim.

@@ -181,3 +181,118 @@ def test_drain_plan_stays_jvm_side_with_partial_aggs(spark):
     assert "Python" not in plan          # pure built-in expressions
     # the (gkey,pos) min/max collapse must map-side combine
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# template analytics: novelty, bursts, co-occurrence
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from opentelemetry_collector_contrib_spark.textops import (  # noqa: E402
+    template_bursts,
+    template_cooccurrence,
+    template_first_seen,
+)
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+
+
+def test_first_seen_picks_earliest_with_deterministic_ties(spark):
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    t1 = datetime(2025, 1, 1, 0, 5, 0)
+    rows = [
+        ("c2", 7, "timeout after 20 ms", t1),
+        ("c1", 3, "timeout after 1500 ms", t0),   # earliest ts wins
+        ("c9", 0, "disk full", t0),
+        ("c0", 5, "disk full", t0),               # ts tie → min conv_id
+    ]
+    got = {r.template: r for r in
+           template_first_seen(_ts_df(spark, rows)).collect()}
+    to = got["timeout after <num> ms"]
+    assert (to.first_conv_id, to.first_turn_idx, to.n_turns) == ("c1", 3, 2)
+    assert to.first_epoch == int(t0.timestamp())
+    assert got["disk full"].first_conv_id == "c0"
+
+
+def test_bursts_flag_integer_rate_rule(spark):
+    # one template, 600-s buckets: counts 2, 3, then 12 — the 12 bucket
+    # bursts (12*3 > 4*(2+3) and 12 >= 10); earlier buckets don't.
+    rows = []
+    for i, (minute, n) in enumerate([(0, 2), (10, 3), (20, 12)]):
+        for j in range(n):
+            rows.append(
+                ("c1", i * 100 + j, "tick", datetime(2025, 1, 1, 0, minute, 1))
+            )
+    got = {r.bucket_epoch: r for r in
+           template_bursts(_ts_df(spark, rows), bucket_s=600,
+                           lookback=3, factor=4, min_count=10).collect()}
+    assert [got[k].is_burst for k in sorted(got)] == [False, False, True]
+    assert got[max(got)].trailing_n == 5
+
+
+def test_bursts_first_bucket_is_novelty_case(spark):
+    # no history: bursts iff the count clears min_count
+    rows = [("c1", j, "boom", datetime(2025, 1, 1)) for j in range(10)]
+    (only,) = template_bursts(_ts_df(spark, rows), min_count=10).collect()
+    assert (only.n, only.trailing_n, only.is_burst) == (10, 0, True)
+
+
+def test_bursts_range_frame_sees_gap_as_zero(spark):
+    # 10 rows at t=0, then 10 rows three+ buckets later: the trailing
+    # RANGE frame is empty across the gap, so the late bucket bursts.
+    rows = [("c1", j, "boom", datetime(2025, 1, 1, 0, 0, 0))
+            for j in range(10)]
+    rows += [("c2", j, "boom", datetime(2025, 1, 1, 1, 0, 0))
+             for j in range(10)]
+    got = sorted(
+        template_bursts(_ts_df(spark, rows), bucket_s=600,
+                        lookback=3).collect(),
+        key=lambda r: r.bucket_epoch,
+    )
+    assert [r.trailing_n for r in got] == [0, 0]
+    assert [r.is_burst for r in got] == [True, True]
+
+
+def test_cooccurrence_counts_and_supports(spark):
+    rows = [
+        ("c1", 0, "alpha"), ("c1", 1, "beta"),
+        ("c2", 0, "alpha"), ("c2", 1, "beta"), ("c2", 2, "beta"),
+        ("c3", 0, "alpha"), ("c3", 1, "gamma"),
+    ]
+    got = template_cooccurrence(_df(spark, rows)).collect()
+    # (alpha, gamma) appears in one conv only → filtered by min_pair_convs
+    assert len(got) == 1
+    p = got[0]
+    assert (p.template_a, p.template_b) == ("alpha", "beta")
+    assert (p.n_both, p.n_a, p.n_b) == (2, 3, 2)
+
+
+def test_cooccurrence_cap_bounds_basket_fanout(spark):
+    # cap 1 keeps only each conv's most frequent template → no pairs at
+    # all, regardless of how wide the conversation is
+    rows = [("c1", i, w) for i, w in enumerate(
+        ["alpha", "alpha", "beta", "gamma", "delta"])]
+    got = template_cooccurrence(
+        _df(spark, rows), max_per_conv=1, min_pair_convs=1
+    ).collect()
+    assert got == []
+
+
+def test_template_analytics_plans_stay_jvm_side(spark):
+    rows = [("c1", 0, "x 1", datetime(2025, 1, 1))]
+    for df in (
+        template_first_seen(_ts_df(spark, rows)),
+        template_bursts(_ts_df(spark, rows)),
+        template_cooccurrence(_df(spark, [("c1", 0, "x")]),
+                              min_pair_convs=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        # struct-min compiles to SortAggregate; the rest hash-agg —
+        # either way the agg is two-phase (map-side partials)
+        assert "HashAggregate" in plan or "SortAggregate" in plan
