@@ -1055,6 +1055,34 @@ JOIN solo sa ON sa.template = p.template_a
 JOIN solo sb ON sb.template = p.template_b""",
     )
 
+    # per-request latency: user turn → next assistant turn, one window
+    # pass per conversation, integer seconds (engine-exact)
+    from .textops import response_latency
+
+    def t_response_latency(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return response_latency(read_transcripts(spark, fx))
+
+    reg(
+        "t_response_latency",
+        t_response_latency,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx, role, floor(epoch(ts))::BIGINT AS ep
+  FROM {_TR}
+), s AS (
+  SELECT conv_id, turn_idx, role, ep,
+         first_value(CASE WHEN role = 'assistant' THEN ep END
+                     IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS nxt
+  FROM t
+)
+SELECT conv_id, turn_idx, (nxt - ep)::BIGINT AS wait_s,
+       nxt IS NOT NULL AS answered
+FROM s WHERE role = 'user'""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # classical relational shapes over the driver's TPC-H-shaped tables

@@ -1389,6 +1389,58 @@ def tool_transitions(
     )
 
 
+def response_latency(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    ask_role: str = "user",
+    answer_role: str = "assistant",
+) -> DataFrame:
+    """Per-request response latency over agent transcripts: for every
+    ``ask_role`` turn, the whole seconds until the NEXT ``answer_role``
+    turn later in the same conversation (by turn order, however many
+    tool/system turns intervene) — the time-to-first-token analog a
+    latency dashboard plots, and the per-turn feed behind SLO
+    percentiles. Unanswered asks (conversation ends first) surface with
+    a NULL wait and ``answered = false`` instead of silently dropping.
+
+    Plan: ONE window per conversation ordered by turn index — the
+    next-answer timestamp is ``first_value(ignore nulls)`` of a
+    role-gated ts projection over the strictly-following frame, so one
+    pass resolves every ask regardless of how turns interleave; then a
+    pushed filter to ask turns. Integer epoch arithmetic end-to-end —
+    engine-exact. Window partitions are conversation-sized (bounded),
+    never corpus-sized."""
+    from pyspark.sql import Window as W
+
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        W.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col(role_col) == answer_role, F.col("_ep")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        turns.select(
+            F.col(conv_col), F.col(idx_col), F.col(role_col),
+            ep.alias("_ep"),
+        )
+        .withColumn("_nxt", nxt)
+        .filter(F.col(role_col) == ask_role)
+        .select(
+            conv_col,
+            idx_col,
+            (F.col("_nxt") - F.col("_ep")).cast("long").alias("wait_s"),
+            F.col("_nxt").isNotNull().alias("answered"),
+        )
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     budget: int = 128,

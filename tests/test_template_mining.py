@@ -296,3 +296,54 @@ def test_template_analytics_plans_stay_jvm_side(spark):
         # struct-min compiles to SortAggregate; the rest hash-agg —
         # either way the agg is two-phase (map-side partials)
         assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# response latency (conversation window analytics)
+# ---------------------------------------------------------------------------
+
+from opentelemetry_collector_contrib_spark.textops import (  # noqa: E402
+    response_latency,
+)
+
+
+def _role_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, ts timestamp",
+    )
+
+
+def test_response_latency_skips_interleaved_tool_turns(spark):
+    t = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("c1", 0, "user", t(0)),
+        ("c1", 1, "tool", t(5)),        # intervening tool turn: skipped
+        ("c1", 2, "assistant", t(12)),
+        ("c1", 3, "user", t(20)),       # conversation ends unanswered
+    ]
+    got = {r.turn_idx: r for r in
+           response_latency(_role_df(spark, rows)).collect()}
+    assert set(got) == {0, 3}           # only user turns survive
+    assert (got[0].wait_s, got[0].answered) == (12, True)
+    assert (got[3].wait_s, got[3].answered) == (None, False)
+
+
+def test_response_latency_is_conversation_scoped(spark):
+    # an assistant turn in ANOTHER conversation never answers this one
+    rows = [
+        ("c1", 0, "user", datetime(2025, 1, 1, 0, 0, 0)),
+        ("c2", 0, "assistant", datetime(2025, 1, 1, 0, 0, 1)),
+    ]
+    (only,) = response_latency(_role_df(spark, rows)).collect()
+    assert (only.conv_id, only.answered) == ("c1", False)
+
+
+def test_response_latency_plan_single_window_no_python(spark):
+    rows = [("c1", 0, "user", datetime(2025, 1, 1))]
+    plan = (
+        response_latency(_role_df(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert plan.count("Window") == 1
