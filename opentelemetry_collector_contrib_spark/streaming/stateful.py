@@ -197,3 +197,97 @@ def zscore_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+BURST_OUTPUT_SCHEMA = (
+    "template string, bucket_epoch long, n long, trailing_n long, "
+    "is_burst boolean"
+)
+BURST_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+
+def burst_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lookback: int = 3,
+    factor: int = 4,
+    min_count: int = 10,
+) -> DataFrame:
+    """Streaming twin of textops.template_bursts: per masked template,
+    tumbling-bucket counts with the integer burst rule
+    (``n * lookback > factor * trailing_sum`` AND ``n >= min_count``),
+    trailing state carried ACROSS micro-batches in the state store.
+
+    State per template is the (bucket, count) pairs still inside the
+    trailing horizon of the newest bucket seen — bounded O(lookback+1)
+    per key. A bucket that spans a micro-batch boundary re-emits with
+    its grown count ("update" semantics); the LAST emission per
+    (template, bucket) equals the batch operator run over the whole
+    stream, under the same time-ordered-arrival contract as
+    zscore_stream (each micro-batch a prefix of the remaining stream —
+    the tailing-file case; asserted in tests/test_stateful_streaming.py).
+
+    The masking projection runs JVM-side BEFORE the state shuffle, so
+    the only Python boundary is the Arrow-batched state function and the
+    state-store exchange doubles as the groupBy-template exchange."""
+    from ..textops import mask_log_variables
+
+    horizon = lookback * bucket_s
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            bks, cts = state.get
+            held = dict(zip(list(bks), list(cts)))
+        else:
+            held = {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        ep = batch["_ep"].astype("int64")
+        per_bucket = (
+            (ep // bucket_s * bucket_s).value_counts().sort_index()
+        )
+        out = []
+        for b, m in per_bucket.items():
+            b = int(b)
+            cum = held.get(b, 0) + int(m)
+            held[b] = cum
+            trailing = sum(
+                c for bb, c in held.items() if b - horizon <= bb < b
+            )
+            out.append(
+                (
+                    b,
+                    cum,
+                    trailing,
+                    cum >= min_count and cum * lookback > factor * trailing,
+                )
+            )
+        newest = max(held)
+        held = {b: c for b, c in held.items() if b >= newest - horizon}
+        state.update((list(held.keys()), list(held.values())))
+        yield pd.DataFrame(
+            {
+                "template": [key_tuple[0]] * len(out),
+                "bucket_epoch": [o[0] for o in out],
+                "n": [o[1] for o in out],
+                "trailing_n": [o[2] for o in out],
+                "is_burst": [o[3] for o in out],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    projected = stream.select(
+        mask_log_variables(F.col(text_col)).alias("template"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ep"),
+    )
+    return projected.groupBy("template").applyInPandasWithState(
+        fn,
+        BURST_OUTPUT_SCHEMA,
+        BURST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -162,3 +162,68 @@ def test_zscore_stream_equals_batch_operator(spark, two_batch_events):
         or (got[k] is not None and abs(got[k] - want[k]) > 1e-9)
     ]
     assert not diffs, diffs[:5]
+
+
+@pytest.fixture(scope="module")
+def two_batch_ordered(sf_dir, tmp_path_factory):
+    """Time-ordered two-batch split: the tailing-file arrival contract
+    the trailing-state twins document (each micro-batch a prefix of the
+    remaining stream BY EVENT TIME — the raw fixture is row-shuffled)."""
+    d = tmp_path_factory.mktemp("burst_in")
+    t = (
+        pq.read_table(os.path.join(sf_dir, "transcripts.parquet"))
+        .sort_by([("ts", "ascending"), ("conv_id", "ascending"),
+                  ("turn_idx", "ascending")])
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "part0.parquet"))
+    pq.write_table(t.slice(half), str(d / "part1.parquet"))
+    return str(d)
+
+
+def test_burst_stream_equals_batch_operator(spark, sf_dir, two_batch_ordered):
+    """Streaming burst detector vs the batch template_bursts truth: the
+    LAST emission per (template, bucket) must carry the full-bucket count
+    and the identical integer burst decision, with trailing state crossing
+    the micro-batch boundary (buckets split across files re-emit grown)."""
+    import os
+
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        burst_stream,
+    )
+    from opentelemetry_collector_contrib_spark.textops import template_bursts
+
+    kw = dict(bucket_s=600, lookback=3, factor=4, min_count=10)
+    out = _drain(
+        spark,
+        burst_stream(_stream(spark, two_batch_ordered), **kw),
+        "burst_stream",
+    ).collect()
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = {
+        (r["template"], r["bucket_epoch"]): (
+            r["n"], r["trailing_n"], r["is_burst"]
+        )
+        for r in template_bursts(batch, **kw).collect()
+    }
+
+    # last emission per key = the one with max n (counts only grow)
+    final = {}
+    for r in out:
+        k = (r["template"], r["bucket_epoch"])
+        cur = final.get(k)
+        if cur is None or r["n"] > cur[0]:
+            final[k] = (r["n"], r["trailing_n"], r["is_burst"])
+    assert final == want
+
+    # at least one (template, bucket) must actually have re-emitted with
+    # a grown count — i.e. state genuinely crossed the batch boundary
+    seen = {}
+    grew = 0
+    for r in out:
+        k = (r["template"], r["bucket_epoch"])
+        if k in seen and r["n"] > seen[k]:
+            grew += 1
+        seen[k] = max(seen.get(k, 0), r["n"])
+    assert grew > 0, "expected a bucket spanning both micro-batches"
