@@ -1083,6 +1083,35 @@ SELECT conv_id, turn_idx, (nxt - ep)::BIGINT AS wait_s,
 FROM s WHERE role = 'user'""",
     )
 
+    # MTTR: error-marked turn → next non-error turn, same window shape
+    from .textops import error_recovery_time
+
+    def t_error_recovery(spark, sf_dir):
+        fx = ensure_fixture_dir(sf_dir)
+        return error_recovery_time(read_transcripts(spark, fx))
+
+    reg(
+        "t_error_recovery",
+        t_error_recovery,
+        f"""WITH t AS (
+  SELECT conv_id, turn_idx,
+         contains(text, 'level=ERROR') AS is_err,
+         floor(epoch(ts))::BIGINT AS ep
+  FROM {_TR}
+), s AS (
+  SELECT conv_id, turn_idx, is_err, ep,
+         first_value(CASE WHEN NOT is_err THEN ep END
+                     IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS nxt
+  FROM t
+)
+SELECT conv_id, turn_idx, (nxt - ep)::BIGINT AS wait_s,
+       nxt IS NOT NULL AS answered
+FROM s WHERE is_err""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # classical relational shapes over the driver's TPC-H-shaped tables

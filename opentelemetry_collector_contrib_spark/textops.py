@@ -1389,27 +1389,24 @@ def tool_transitions(
     )
 
 
-def response_latency(
+def latency_to_next(
     turns: DataFrame,
+    ask: Column,
+    answer: Column,
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
-    role_col: str = "role",
     ts_col: str = "ts",
-    ask_role: str = "user",
-    answer_role: str = "assistant",
 ) -> DataFrame:
-    """Per-request response latency over agent transcripts: for every
-    ``ask_role`` turn, the whole seconds until the NEXT ``answer_role``
-    turn later in the same conversation (by turn order, however many
-    tool/system turns intervene) — the time-to-first-token analog a
-    latency dashboard plots, and the per-turn feed behind SLO
-    percentiles. Unanswered asks (conversation ends first) surface with
-    a NULL wait and ``answered = false`` instead of silently dropping.
+    """Generic ask→answer latency over conversations: for every turn
+    matching the ``ask`` predicate, the whole seconds until the NEXT
+    turn later in the same conversation matching ``answer`` (any turns
+    interleave). Asks the conversation never answers surface with a
+    NULL wait and ``answered = false`` instead of silently dropping.
 
     Plan: ONE window per conversation ordered by turn index — the
-    next-answer timestamp is ``first_value(ignore nulls)`` of a
-    role-gated ts projection over the strictly-following frame, so one
-    pass resolves every ask regardless of how turns interleave; then a
+    next-answer timestamp is ``first_value(ignore nulls)`` of an
+    answer-gated ts projection over the strictly-following frame, so
+    one pass resolves every ask regardless of interleaving; then a
     pushed filter to ask turns. Integer epoch arithmetic end-to-end —
     engine-exact. Window partitions are conversation-sized (bounded),
     never corpus-sized."""
@@ -1422,22 +1419,64 @@ def response_latency(
         .rowsBetween(1, W.unboundedFollowing)
     )
     nxt = F.first(
-        F.when(F.col(role_col) == answer_role, F.col("_ep")),
-        ignorenulls=True,
+        F.when(F.col("_ans"), F.col("_ep")), ignorenulls=True
     ).over(w)
     return (
         turns.select(
-            F.col(conv_col), F.col(idx_col), F.col(role_col),
+            F.col(conv_col), F.col(idx_col),
+            ask.alias("_ask"), answer.alias("_ans"),
             ep.alias("_ep"),
         )
         .withColumn("_nxt", nxt)
-        .filter(F.col(role_col) == ask_role)
+        .filter(F.col("_ask"))
         .select(
             conv_col,
             idx_col,
             (F.col("_nxt") - F.col("_ep")).cast("long").alias("wait_s"),
             F.col("_nxt").isNotNull().alias("answered"),
         )
+    )
+
+
+def response_latency(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    ask_role: str = "user",
+    answer_role: str = "assistant",
+) -> DataFrame:
+    """Per-request response latency: user turn → next assistant turn —
+    the time-to-first-token analog a latency dashboard plots, and the
+    per-turn feed behind SLO percentiles. The role form of
+    :func:`latency_to_next` (see there for the plan)."""
+    return latency_to_next(
+        turns,
+        ask=F.col(role_col) == ask_role,
+        answer=F.col(role_col) == answer_role,
+        conv_col=conv_col, idx_col=idx_col, ts_col=ts_col,
+    )
+
+
+def error_recovery_time(
+    turns: DataFrame,
+    error_marker: str = "level=ERROR",
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MTTR over transcripts: for every turn whose text carries the
+    error marker, the whole seconds until the conversation next produces
+    a non-error turn — the per-incident feed behind mean-time-to-recovery
+    dashboards; ``answered = false`` marks conversations that END in the
+    error state (never recover). Same single-window plan as
+    :func:`latency_to_next`."""
+    is_err = F.col(text_col).contains(error_marker)
+    return latency_to_next(
+        turns, ask=is_err, answer=~is_err,
+        conv_col=conv_col, idx_col=idx_col, ts_col=ts_col,
     )
 
 

@@ -347,3 +347,29 @@ def test_response_latency_plan_single_window_no_python(spark):
     )
     assert "Python" not in plan
     assert plan.count("Window") == 1
+
+
+def test_error_recovery_time(spark):
+    from opentelemetry_collector_contrib_spark.textops import (
+        error_recovery_time,
+    )
+
+    t = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("c1", 0, "user", "run it", t(0)),
+        ("c1", 1, "tool", "boom level=ERROR code 500", t(3)),
+        ("c1", 2, "tool", "retry level=ERROR code 500", t(7)),
+        ("c1", 3, "assistant", "recovered level=INFO ok", t(15)),
+        ("c2", 0, "tool", "dead level=ERROR", t(0)),  # never recovers
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " ts timestamp",
+    )
+    got = {(r.conv_id, r.turn_idx): r
+           for r in error_recovery_time(df).collect()}
+    assert set(got) == {("c1", 1), ("c1", 2), ("c2", 0)}
+    assert (got[("c1", 1)].wait_s, got[("c1", 1)].answered) == (12, True)
+    assert got[("c1", 2)].wait_s == 8
+    assert (got[("c2", 0)].wait_s, got[("c2", 0)].answered) == (None, False)
