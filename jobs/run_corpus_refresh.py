@@ -45,7 +45,7 @@ def refresh_transform(src, min_words: int):
         normalize_text,
     )
 
-    def transform(new_docs):
+    def transform(new_docs, ctx=None):
         norm = F.md5(normalize_text(F.col("text"))).alias("_nh")
         batch = new_docs.withColumn("_nh", norm)
         # keep-lowest-id within the batch (one 16-byte-key shuffle)
@@ -54,9 +54,16 @@ def refresh_transform(src, min_words: int):
         # cross-corpus: drop anything already kept. The _nh column is
         # PERSISTED with each batch, so later polls anti-join against
         # stored hashes instead of re-hashing the whole corpus — only
-        # distinct 16-byte keys cross the join.
+        # distinct 16-byte keys cross the join. Batches this poll is
+        # about to supersede are EXCLUDED from the dedup set: a rewrite
+        # carries the superseded batch's still-live files into this
+        # batch, and anti-joining them against their own old hashes
+        # would silently drop them from the corpus once the old batch
+        # retires.
         try:
-            seen = src.table().select("_nh").distinct()
+            seen = src.table(
+                exclude_batches=(ctx or {}).get("supersedes")
+            ).select("_nh").distinct()
         except FileNotFoundError:  # very first poll: empty corpus
             seen = None
         if seen is not None:

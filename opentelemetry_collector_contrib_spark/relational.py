@@ -8,9 +8,15 @@ grouped top-k with deterministic tie-breaks, semi/anti joins, and
 multi-aggregate rollups. Each function here is one such shape, expressed
 so Catalyst plans it the way a cluster wants it:
 
-- dimension tables (region, nation, supplier, customer-as-dim) are
-  explicitly `F.broadcast`; fact-fact joins (lineitem ⋈ orders) stay
-  shuffle joins so AQE can pick SMJ/shuffled-hash and split skew.
+- ONLY fixed-cardinality dims (region = 5 rows, nation = 25 rows) and
+  genuinely reduced intermediates (1-row scalar aggregates, per-group
+  threshold tables) carry an explicit `F.broadcast` hint. customer /
+  supplier / part / orders grow linearly with scale factor, so hinting
+  them would override `autoBroadcastJoinThreshold` and OOM the build
+  side at a 100× tier; they are left unhinted so AQE broadcasts them
+  while they fit and degrades to SMJ/shuffled-hash (with skew split)
+  when they don't. Fact-fact joins (lineitem ⋈ orders) always stay
+  shuffle joins.
 - top-k is groupBy → window-free `orderBy(...).limit(k)` with a unique
   tie-break column, which Spark executes as TakeOrderedAndProject — no
   global sort materialization.
@@ -54,16 +60,18 @@ def shipping_priority(
     date: str = "1998-06-01",
     k: int = 10,
 ) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
+    """TPC-H Q3 shape: selective customer filter joined into a fact-fact
     shuffle join, grouped revenue, deterministic top-k
-    (TakeOrderedAndProject via orderBy+limit with o_orderkey tie-break)."""
+    (TakeOrderedAndProject via orderBy+limit with o_orderkey tie-break).
+    The filtered customer side is unhinted — it scales with SF, so AQE
+    broadcasts it while small and shuffles it when it isn't."""
     d = F.lit(date).cast("timestamp")
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.filter(F.col("o_orderdate") < d)
     li = lineitem.filter(F.col("l_shipdate") > d)
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -95,10 +103,11 @@ def region_sales(
     year_start: str = "1996-01-01",
     year_end: str = "1997-01-01",
 ) -> DataFrame:
-    """TPC-H Q5 shape: star join — the fact-fact joins shuffle, every
-    dimension arm (supplier, customer, nation, region) broadcasts; the
-    local-supplier constraint (c_nationkey == s_nationkey) rides the
-    joined row, no extra shuffle."""
+    """TPC-H Q5 shape: star join — the fact-fact joins shuffle; the
+    fixed-size nation/region arm is broadcast-hinted, while supplier and
+    customer (SF-scaling) are unhinted so AQE picks broadcast vs SMJ by
+    measured size; the local-supplier constraint (c_nationkey ==
+    s_nationkey) rides the joined row, no extra shuffle."""
     r = region.filter(F.col("r_name") == region_name)
     n = nation.join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -109,10 +118,10 @@ def region_sales(
     )
     return (
         lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -139,7 +148,7 @@ def large_orders(
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.col("o_orderdate"), F.col("o_totalprice"), F.col("total_qty"),
@@ -177,15 +186,16 @@ def promo_revenue_ratio(
     lineitem: DataFrame, part: DataFrame,
     date_start: str = "1996-01-01", date_end: str = "1996-04-01",
 ) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + ratio of conditional sums in
-    a single global aggregate (one partial-agg shuffle to one row)."""
+    """TPC-H Q14 shape: part join (unhinted — AQE broadcasts while part
+    fits) + ratio of conditional sums in a single global aggregate (one
+    partial-agg shuffle to one row)."""
     li = lineitem.filter(
         (F.col("l_shipdate") >= F.lit(date_start).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(date_end).cast("timestamp"))
     )
     rev = _revenue()
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -208,7 +218,7 @@ def supplier_part_variety(
         lineitem.join(
             excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("p_size").isin(1, 5, 9, 13))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -224,7 +234,7 @@ def small_quantity_revenue(
     one global sum. Never a per-row subquery, never a window over the
     whole fact table."""
     pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
-    li = lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+    li = lineitem.join(pk, F.col("l_partkey") == F.col("p_partkey"))
     thresholds = li.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
@@ -241,15 +251,16 @@ def disjunctive_part_revenue(
 ) -> DataFrame:
     """TPC-H Q19 shape: disjunctive join predicates — equi-join on
     partkey carries the OR-of-ANDs as a post-join filter, so Catalyst
-    still plans a broadcast HASH join (never a cross/theta join); the
-    common conjunct is what keeps it an equi-join."""
+    still plans a HASH equi-join (broadcast while part fits, SMJ past
+    the threshold — never a cross/theta join); the common conjunct is
+    what keeps it an equi-join."""
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
@@ -272,7 +283,7 @@ def top_customers_per_nation(
     rev = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "c_custkey", "c_name")
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
@@ -314,11 +325,11 @@ def nation_pair_volume(
     pair: tuple[str, str] = ("NATION_1", "NATION_2"),
 ) -> DataFrame:
     """TPC-H Q7 shape: two fact tables joined, each side independently
-    enriched against broadcast dims (supplier-nation and customer-nation),
-    a DISJUNCTIVE nation-pair predicate that Catalyst keeps above the
-    joins, grouped by (supp_nation, cust_nation, year). The only shuffle
-    joins are lineitem ⋈ orders and the final agg; all four dim hops are
-    broadcasts."""
+    enriched (supplier-nation and customer-nation), a DISJUNCTIVE
+    nation-pair predicate that Catalyst keeps above the joins, grouped by
+    (supp_nation, cust_nation, year). The two nation-role hops are
+    broadcast-hinted (25 rows each); supplier/customer are unhinted
+    (SF-scaling) so AQE sizes them; lineitem ⋈ orders shuffles."""
     a, b = pair
     n1 = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
@@ -328,8 +339,8 @@ def nation_pair_volume(
     )
     j = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -389,7 +400,7 @@ def top_revenue_supplier(
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -430,7 +441,7 @@ def exclusive_return_suppliers(
         F.count(F.lit(1)).alias("numwait")
     )
     return (
-        agg.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        agg.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(k)
@@ -479,11 +490,12 @@ def national_market_share(
     year_end: str = "1997-01-01",
 ) -> DataFrame:
     """TPC-H Q8 shape: the widest star join in the suite — SEVEN tables
-    around the lineitem fact. Every dimension arm (part, supplier,
-    customer, both nation roles, region) broadcasts; lineitem ⋈ orders is
-    the only shuffle join. The market-share ratio is a single-pass
-    conditional aggregate (sum(case)/sum) per year — never a self-join of
-    the volume CTE."""
+    around the lineitem fact. The nation/region arms (fixed 25/5 rows)
+    are broadcast-hinted; part, supplier, and customer scale with SF and
+    are unhinted, so AQE broadcasts them below the threshold and
+    degrades to SMJ above it; lineitem ⋈ orders always shuffles. The
+    market-share ratio is a single-pass conditional aggregate
+    (sum(case)/sum) per year — never a self-join of the volume CTE."""
     r = region.filter(F.col("r_name") == region_name)
     cust_n = nation.join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -499,11 +511,11 @@ def national_market_share(
     )
     vol = _revenue()
     return (
-        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -531,18 +543,19 @@ def profit_by_nation_year(
     discounted revenue rather than revenue - supplycost*qty). The
     operator content is intact: a non-pushable LIKE '%frag%' filter on
     the part dimension (contains() stays in the scan's data filters, not
-    PushedFilters — that's expected for infix LIKE), three broadcast
-    dimension arms, ONE fact-fact shuffle (lineitem ⋈ orders, needed only
-    for the order year), and a two-key hash aggregate. Spark evaluates
-    year() at the join output — no second pass."""
+    PushedFilters — that's expected for infix LIKE), a broadcast-hinted
+    nation arm plus unhinted part/supplier arms (SF-scaling, AQE-sized),
+    ONE fact-fact shuffle (lineitem ⋈ orders, needed only for the order
+    year), and a two-key hash aggregate. Spark evaluates year() at the
+    join output — no second pass."""
     p = part.filter(F.col("p_name").contains(name_fragment)).select("p_partkey")
     supp = supplier.select("s_suppkey", "s_nationkey")
     nat = nation.select("n_nationkey", "n_name")
     o = orders.select("o_orderkey", "o_orderdate")
     return (
-        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -577,7 +590,7 @@ def important_parts(
     return (
         val.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
-        .join(F.broadcast(part.select("p_partkey", "p_name")),
+        .join(part.select("p_partkey", "p_name"),
               F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey", "p_name", F.round("value", 4).alias("part_value")
@@ -655,8 +668,8 @@ def min_cost_supplier(
     )
     p = part.filter(F.col("p_size") == size_limit).select("p_partkey", "p_name")
     return (
-        winners.join(F.broadcast(p), winners.l_partkey == p.p_partkey)
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), "s_suppkey")
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .join(supplier.select("s_suppkey", "s_name"), "s_suppkey")
         .select("p_partkey", "p_name", "s_suppkey", "s_name",
                 F.col("avg_price").alias("min_avg_price"))
     )
@@ -676,7 +689,7 @@ def promo_part_suppliers(
     promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     big_lines = (
         lineitem.filter(F.col("l_quantity") > min_qty)
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"),
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"),
               "left_semi")
         .select("l_suppkey")
     )

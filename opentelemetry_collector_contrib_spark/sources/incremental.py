@@ -205,7 +205,13 @@ class IncrementalFileSource:
             paths = [os.path.join(self.input_dir, rel) for rel in to_process]
         df = self.spark.read.format(self.fmt).load(paths)
         if transform is not None:
-            df = transform(df)
+            # context-aware transforms (df, ctx) learn which batches this
+            # poll supersedes BEFORE the state commit — anything that
+            # dedups the batch against table() must exclude those batches
+            # or the carried files' rows anti-join against their own old
+            # hashes and vanish from the corpus once the batch retires
+            ctx = {"batch_id": batch_id, "supersedes": list(affected)}
+            df = self._apply_transform(transform, df, ctx)
 
         # idempotent batch-scoped sink: replay after a crash between the
         # write and the state commit overwrites the SAME directory
@@ -235,15 +241,39 @@ class IncrementalFileSource:
         self._commit_state(state)
         return record
 
+    @staticmethod
+    def _apply_transform(transform, df: DataFrame, ctx: dict) -> DataFrame:
+        """Call transform(df, ctx) when it takes two positional args,
+        else transform(df) — keeps plain single-arg transforms working."""
+        import inspect
+
+        try:
+            params = [
+                p
+                for p in inspect.signature(transform).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+            ]
+            takes_ctx = len(params) >= 2 or any(
+                p.kind == p.VAR_POSITIONAL for p in params
+            )
+        except (TypeError, ValueError):  # builtins/C callables
+            takes_ctx = False
+        return transform(df, ctx) if takes_ctx else transform(df)
+
     # -- reading back --------------------------------------------------------
-    def table(self) -> DataFrame:
+    def table(self, exclude_batches=None) -> DataFrame:
         """The cumulative output across all committed batches; batch_id is
         a partition column (ingest lineage, prunable). mergeSchema
         handles upstream schema evolution — a later batch adding a column
         surfaces it table-wide with NULLs for older batches (the same
-        contract an Iceberg schema evolution gives)."""
+        contract an Iceberg schema evolution gives).
+
+        ``exclude_batches``: additional batch ids to skip — a mid-poll
+        transform passes the poll's ``supersedes`` set here so it never
+        reads rows that are about to be retired."""
         state = self._load_state()
-        dead = set(state.get("superseded", []))
+        dead = set(state.get("superseded", [])) | set(exclude_batches or ())
         committed = [
             b["batch_id"] for b in state["batches"]
             if b["batch_id"] not in dead

@@ -396,3 +396,44 @@ def test_corpus_refresh_job_dedups_across_polls(spark, tmp_path):
     rec2b = src.poll(refresh_transform(src, min_words=3))
     assert rec2b["rows_out"] == 1
     assert {r.doc_id for r in src.table().collect()} == {1, 3, 11}
+
+
+def test_corpus_refresh_rewrite_keeps_carried_docs(spark, tmp_path):
+    """Rewrite path (round-4 ADVICE, medium): when a poll supersedes a
+    batch, its still-live sibling files ride into the new batch — and
+    the cross-corpus dedup must NOT anti-join those carried docs against
+    their own hashes in the about-to-be-retired batch, or they vanish
+    from the cumulative corpus the moment the old batch is excluded."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_corpus_refresh import refresh_transform
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    def write_docs(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write \
+            .mode("overwrite").parquet(os.path.join(input_dir, name))
+
+    # one poll ingests BOTH files into batch 0
+    write_docs("p1", [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    write_docs("p2", [(3, "eta theta iota"), (4, "kappa lambda mu")])
+    src = IncrementalFileSource(spark, input_dir, out_dir)
+    rec1 = src.poll(refresh_transform(src, min_words=3))
+    assert rec1["rows_out"] == 4
+
+    # rewrite p1 only: batch 0 is superseded, p2's files are carried
+    write_docs("p1", [(1, "alpha beta gamma"), (5, "nu xi omicron")])
+    rec2 = src.poll(refresh_transform(src, min_words=3))
+    assert rec2["supersedes"] == [0]
+    # p2's docs (3, 4) MUST survive the rewrite; doc 1 (unchanged text in
+    # the rewritten file) and doc 5 (new) are kept too — the superseded
+    # batch is excluded from the dedup set entirely
+    assert {r.doc_id for r in src.table().collect()} == {1, 3, 4, 5}
+
+    # a later poll still dedups against the LIVE corpus as before
+    write_docs("p3", [(6, "eta theta iota"), (7, "pi rho sigma")])
+    rec3 = src.poll(refresh_transform(src, min_words=3))
+    assert rec3["rows_out"] == 1
+    assert {r.doc_id for r in src.table().collect()} == {1, 3, 4, 5, 7}

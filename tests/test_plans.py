@@ -396,3 +396,88 @@ def test_context_windows_single_conversation_shuffle(spark):
     plan = _plan(out, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_sf_scaling_tables_never_hint_broadcast(spark):
+    """The 100×-tier contract for the TPC-H family (round-4 VERDICT #1):
+    customer/supplier/part grow linearly with scale factor, so the code
+    must NOT carry `F.broadcast` hints on them — a hint overrides
+    `autoBroadcastJoinThreshold` and OOMs the build side once the table
+    outgrows executor memory. Simulated here by setting both broadcast
+    thresholds to -1 (exactly what a 100× tier does to these tables:
+    they blow past the threshold): with size-based broadcast off, ANY
+    BroadcastHashJoin left in the plan can only come from a hint, so
+    each plan must show the SF-scaling joins as SMJ/shuffled-hash while
+    only the fixed-size nation/region arms and reduced intermediates
+    (1-row scalars, per-part thresholds) stay broadcast."""
+    from opentelemetry_collector_contrib_spark.relational import (
+        large_orders,
+        nation_pair_volume,
+        region_sales,
+        small_quantity_revenue,
+        top_customers_per_nation,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # Q18: no hints at all → the customer join degrades to a shuffle
+        q18 = large_orders(t("customer"), t("orders"), t("lineitem"))
+        p18 = _plan(q18, "simple")
+        assert p18.count("BroadcastHashJoin") == 0
+        assert (
+            p18.count("SortMergeJoin") + p18.count("ShuffledHashJoin") >= 2
+        )
+
+        # Q5: only the region→nation arm keeps its 2 hinted broadcasts;
+        # supplier + customer + lineitem⋈orders shuffle
+        q5 = region_sales(
+            t("customer"), t("orders"), t("lineitem"), t("supplier"),
+            t("nation"), t("region"),
+        )
+        p5 = _plan(q5, "simple")
+        assert p5.count("BroadcastHashJoin") == 2
+        assert p5.count("SortMergeJoin") + p5.count("ShuffledHashJoin") >= 3
+
+        # Q7: exactly the two 25-row nation roles stay broadcast
+        q7 = nation_pair_volume(
+            t("lineitem"), t("orders"), t("customer"), t("supplier"),
+            t("nation"),
+        )
+        p7 = _plan(q7, "simple")
+        assert p7.count("BroadcastHashJoin") == 2
+
+        # Q10: only the nation arm stays broadcast
+        q10 = top_customers_per_nation(
+            t("customer"), t("orders"), t("lineitem"), t("nation")
+        )
+        p10 = _plan(q10, "simple")
+        assert p10.count("BroadcastHashJoin") == 1
+
+        # Q17: the per-part threshold aggregate (a genuinely reduced
+        # side) keeps its hint; the part-key prefilter join shuffles
+        q17 = small_quantity_revenue(t("lineitem"), t("part"))
+        p17 = _plan(q17, "simple")
+        assert p17.count("BroadcastHashJoin") == 1
+        assert (
+            p17.count("SortMergeJoin") + p17.count("ShuffledHashJoin") >= 1
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
