@@ -47,12 +47,19 @@ def asof_join(
     Spark shape — the ONE-SHUFFLE union trick, never a range join:
     tag and union both inputs, sort per key by (ts, side) with right
     rows first on ties (inclusive backward semantics), and carry the
-    latest right payload forward with last(ignorenulls) over a running
-    window; filter back to left rows. Cost = one shuffle of |L|+|R| on
-    the key — versus the naive inequality join, which Spark plans as a
-    broadcast-nested-loop or an exploding range join. Right rows must be
-    unique per (key, ts) (pre-aggregate if not — ties are otherwise
-    ambiguous in every engine's asof).
+    latest right payload forward with a SINGLE last(ignorenulls) over a
+    running window; filter back to left rows. Cost = one shuffle of
+    |L|+|R| on the key — versus the naive inequality join, which Spark
+    plans as a broadcast-nested-loop or an exploding range join. Right
+    rows must be unique per (key, ts) (pre-aggregate if not — ties are
+    otherwise ambiguous in every engine's asof).
+
+    All payload columns travel as ONE struct, so the most recent right
+    ROW wins atomically even when individual payload fields are NULL —
+    carrying each column independently would let an older non-NULL value
+    survive a newer NULL and mix fields from different right rows
+    (true ASOF semantics, matching DuckDB's ASOF JOIN on nullable
+    payloads).
 
     Payload columns that collide with left column names are suffixed
     `_r`."""
@@ -65,23 +72,39 @@ def asof_join(
     l2 = left.withColumn("_is_left", F.lit(1)).withColumn(
         "_ats", F.col(left_ts)
     )
-    for p, out in renames.items():
-        l2 = l2.withColumn(out, F.lit(None).cast(dict(right.dtypes)[p]))
     r2 = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_is_left"),
-        *[F.col(p).alias(out) for p, out in renames.items()],
+        *(
+            [
+                F.struct(
+                    *[F.col(p).alias(out) for p, out in renames.items()]
+                ).alias("_rpay")
+            ]
+            if renames
+            else []
+        ),
     )
+    # left rows get a NULL _rpay struct via allowMissingColumns — a right
+    # row's struct is never NULL (even all-NULL fields), so ignorenulls
+    # skips exactly the left rows and never a genuine right payload
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         W.partitionBy(*keys)
         .orderBy("_ats", "_is_left")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    for out in renames.values():
-        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
-    return u.filter(F.col("_is_left") == 1).drop("_is_left", "_ats")
+    if renames:
+        u = u.withColumn("_rpay", F.last("_rpay", ignorenulls=True).over(w))
+        u = u.select(
+            "*",
+            *[
+                F.col("_rpay").getField(out).alias(out)
+                for out in renames.values()
+            ],
+        )
+    return u.filter(F.col("_is_left") == 1).drop("_is_left", "_ats", "_rpay")
 
 
 def interval_join(

@@ -1293,8 +1293,9 @@ LIMIT 100""",
        count(*)::BIGINT AS n_customers,
        sum(c_acctbal) AS sum_acctbal
 FROM customer
-WHERE c_custkey NOT IN (
-  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_custkey = c_custkey)
 GROUP BY c_mktsegment""",
     )
 
@@ -1357,7 +1358,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_size IN (1, 5, 9, 13)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY p_brand, p_size""",
     )
 
@@ -4756,8 +4758,9 @@ FROM c, UNNEST(generate_series(0, nc - 1)) AS t(i)""",
   FROM tagged WHERE src_n >= 10 GROUP BY 1
 )
 SELECT text_hash, keep_doc_id, n_batch_dups FROM batch
-WHERE text_hash NOT IN (
-  SELECT DISTINCT text_hash FROM tagged WHERE src_n < 10
+WHERE NOT EXISTS (
+  SELECT 1 FROM tagged t
+  WHERE t.src_n < 10 AND t.text_hash = batch.text_hash
 )""",
     )
 

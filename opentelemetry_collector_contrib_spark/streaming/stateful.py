@@ -20,6 +20,7 @@ continuous deployment and is orthogonal to the arithmetic verified here.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -171,7 +172,15 @@ def zscore_stream(
                 s2 = sum(v * v for v in buf)
                 var = (s2 - s1 * s1 / n) / (n - 1)
                 if var > 0:
-                    z = round((c - s1 / n) / var**0.5, 4)
+                    # HALF_UP on the shortest decimal repr — exactly
+                    # Spark's F.round(double) (BigDecimal.valueOf +
+                    # HALF_UP), NOT Python round()'s half-to-even,
+                    # which diverges on representable ties (z=0.15625)
+                    z = float(
+                        Decimal(repr((c - s1 / n) / var**0.5)).quantize(
+                            Decimal("0.0001"), rounding=ROUND_HALF_UP
+                        )
+                    )
             out_ids.append(int(row["event_id"]))
             out_z.append(z)
             buf.append(c)

@@ -220,3 +220,32 @@ def test_rolling_zscore_null_on_zero_variance(spark):
     out = rolling_zscore(ev, keys=["user_id"], order_cols=["event_id"],
                          min_points=3).collect()
     assert all(r.zscore is None for r in out)
+
+
+def test_asof_join_null_payload_row_wins_atomically(spark):
+    """A newer right row whose payload field is genuinely NULL must win
+    over an older non-NULL value, and multi-column payloads must never
+    mix fields from different right rows (round-4 ADVICE: the payload
+    travels as ONE struct, so the most recent right ROW wins)."""
+    from opentelemetry_collector_contrib_spark.operators.enrich import (
+        asof_join,
+    )
+
+    left = _events(spark, [(1, "q", 15), (1, "q", 25)]).select(
+        "user_id", "ts"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 1.5, "a"),
+            (1, _ts(20), None, "b"),  # newer row, NULL rate
+        ],
+        "user_id int, ts timestamp_ntz, rate double, src string",
+    )
+    out = {
+        r.ts.minute: (r.rate, r.src)
+        for r in asof_join(left, right, by="user_id").collect()
+    }
+    # t=15: only the t=10 row precedes -> (1.5, 'a')
+    # t=25: the t=20 row is the most recent right ROW -> (NULL, 'b'),
+    # never the mixed (1.5, 'b') a per-column carry would produce
+    assert out == {15: (1.5, "a"), 25: (None, "b")}

@@ -227,3 +227,44 @@ def test_burst_stream_equals_batch_operator(spark, sf_dir, two_batch_ordered):
             grew += 1
         seen[k] = max(seen.get(k, 0), r["n"])
     assert grew > 0, "expected a bucket spanning both micro-batches"
+
+
+def test_zscore_stream_rounds_half_up_like_batch(spark, tmp_path):
+    """Exactly-representable 4th-decimal ties (z = 10/64 = 0.15625) must
+    round HALF_UP to 0.1563 in the stream, matching batch F.round —
+    Python round()'s half-to-even would emit 0.1562 and break the
+    per-event batch-equality contract (round-4 ADVICE)."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        rolling_zscore,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    # cents [936, 936, 1000, 1064, 1064]: mean=1000, var=4096, std=64 —
+    # all exact in float64; the 6th value 10.10 gives z = 10/64 = 0.15625
+    values = [9.36, 9.36, 10.00, 10.64, 10.64, 10.10]
+    rows = [
+        (i + 1, 7, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(values)
+    ]
+    schema = "event_id long, user_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "tie_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in _drain(spark, zscore_stream(stream), "zscore_tie").collect()
+    }
+    assert got[6] == 0.1563  # HALF_UP, not banker's 0.1562
+
+    want = {
+        r["event_id"]: r["zscore"]
+        for r in rolling_zscore(
+            spark.read.parquet(src), keys=["user_id"], order_cols=["event_id"]
+        ).select("event_id", "zscore").collect()
+    }
+    assert got == want
