@@ -117,6 +117,7 @@ BASE_PATTERNS: dict[str, str] = {
     "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
     "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     "URI": (
         r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?"
@@ -213,6 +214,10 @@ class GrokPattern:
                  named_captures_only: bool = True):
         self.expr = expr
         self.types: dict[str, str] = {}
+        # regex group name (sanitized, \w only) → display name (the
+        # original grok ident — go-grok's ECS patterns use dotted names
+        # like url.port, which regex groups can't carry)
+        self.display: dict[str, str] = {}
         self.named_captures_only = named_captures_only
         self._auto_used: set[str] = set()
         # default set + every product set = go-grok's Complete set (the
@@ -241,6 +246,7 @@ class GrokPattern:
             body = lib[syntax]
             if ident and capture:
                 name = re.sub(r"\W", "_", ident)
+                self.display[name] = ident
                 if typ:
                     self.types[name] = _TYPE_TO_SPARK.get(typ, "string")
                 return f"(?P<{name}>{body})"

@@ -77,11 +77,16 @@ AWS_PATTERNS: dict[str, str] = {
         r'(?:%{QS:referrer}|-) (?:"?%{QS:agent}"?|-) '
         r"(?:-|%{NOTSPACE:version_id})"
     ),
-    "ELB_URIHOST": r"%{IPORHOST:urihost_name}(?::%{POSINT:urihost_port})?",
-    "ELB_URIPATHPARAM": r"%{URIPATH:path}(?:%{URIPARAM:params})?",
+    # ECS capture names, exactly go-grok's aws pattern set (the dialect
+    # ExtractGrokPatterns exposes; pkg/ottl/e2e/e2e_test.go pins
+    # url.scheme/username/domain/port:int/path/query for %{ELB_URI})
+    "ELB_URIHOST": r"%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?",
+    "ELB_URIPATHQUERY": r"%{URIPATH:url.path}(?:\?%{URIQUERY:url.query})?",
+    "ELB_URIPATHPARAM": r"%{URIPATH:url.path}(?:\?%{URIQUERY:url.query})?",
     "ELB_URI": (
-        r"%{URIPROTO:proto}://(?:%{USER}(?::[^@]*)?@)?"
-        r"(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHPARAM})?"
+        r"%{URIPROTO:url.scheme}://"
+        r"(?:%{USER:url.username}(?::[^@]*)?@)?"
+        r"(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHQUERY})?"
     ),
     "ELB_REQUEST_LINE": (
         r"(?:%{WORD:verb} %{ELB_URI:request}"

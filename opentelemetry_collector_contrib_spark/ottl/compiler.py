@@ -44,6 +44,7 @@ from .parser import (
     HexBytes,
     ListExpr,
     Literal,
+    MapExpr,
     Not,
     OTTLError,
     Path,
@@ -95,6 +96,12 @@ DEFAULT_PATH_TYPES = {
     "resource": MAP,
     "scope_attributes": MAP,
     "cache": MAP,
+    # ids are hex-STRING columns physically, but their OTTL type is
+    # BYTES (pcommon.TraceID/SpanID) so `trace_id == TraceID(0x…)`
+    # compares bytes==bytes instead of falling into the string-vs-bytes
+    # mismatch arm (e2e corpus "Using hex")
+    "trace_id": BYTES,
+    "span_id": BYTES,
 }
 
 
@@ -465,6 +472,8 @@ def static_type(node, ctx: Context) -> str:
         return ctx.path_type(node)
     if isinstance(node, ListExpr):
         return ARRAY
+    if isinstance(node, MapExpr):
+        return MAP
     if isinstance(node, Call):
         return CONVERTER_TYPES.get(node.name, DYNAMIC)
     if isinstance(node, Binary):
@@ -503,6 +512,22 @@ def compile_value(node, ctx: Context) -> Column:
         return ctx.getter(node)
     if isinstance(node, ListExpr):
         return F.array(*[compile_value(i, ctx) for i in node.items])
+    if isinstance(node, MapExpr):
+        # map literal (grammar.go Map) → a typed VARIANT object: values
+        # keep their native kinds (nested maps recurse), exactly a
+        # pcommon.Map — JVM-side via to_json∘struct, no Python boundary
+        if not node.entries:
+            return F.parse_json(F.lit("{}"))
+        return F.parse_json(
+            F.to_json(
+                F.struct(
+                    *[
+                        compile_value(v, ctx).alias(k)
+                        for k, v in node.entries
+                    ]
+                )
+            )
+        )
     if isinstance(node, Call):
         fn = CONVERTERS.get(node.name)
         if fn is None:
@@ -895,19 +920,41 @@ def _map_edit(ctx, df, target, fn, cond, *, fn_variant=None):
     edited, and rebuilt (pdata.variant_map_edit), with non-map kinds a
     statement error (the reference's PMapGetter coercion failure →
     error modes). Key-only lambdas work on both; pass ``fn_variant``
-    when value handling differs."""
-    col = _map_target(ctx, target)
-    if ctx.path_types.get(col) == VARIANT:
-        from ..pdata import variant_map_edit
+    when value handling differs.
 
+    A KEYED target (e.g. ``keep_keys(attributes["foo"], …)``) edits the
+    nested map at that path of a VARIANT column and writes the subtree
+    back (map.go SetMapValue recursion — any editor at any depth, like
+    the reference's PMapGetter paths); keyed targets on erased
+    MAP<STRING,STRING> columns stay unsupported (values there are
+    strings, never maps)."""
+    col, keys = ctx.resolve(target)
+    if ctx.path_types.get(col) == VARIANT:
+        from ..pdata import variant_map_edit, variant_set_path
+
+        if keys:
+            sub = F.try_variant_get(
+                F.col(col), ctx._variant_json_path(keys), "variant"
+            )
+            new_sub, fail = variant_map_edit(sub, fn_variant or fn)
+            ctx.note_failure(fail, f"{col}{keys!r} is not a map")
+            new, fail2 = variant_set_path(F.col(col), keys, new_sub)
+            ctx.note_failure(fail2, f"cannot write back {col}{keys!r}")
+            return ctx.guard_map(df, col, new, cond)
         new, fail = variant_map_edit(F.col(col), fn_variant or fn)
         ctx.note_failure(fail, f"{col} is not a map")
         return ctx.guard_map(df, col, new, cond)
+    if keys:
+        raise OTTLError("editor target must be a whole map column here")
     return ctx.guard_map(df, col, fn(F.col(col)), cond)
 
 
 def _ed_set(stmt, ctx, df, cond):
     target, value = stmt.editor.args
+    if static_type(value, ctx) == NIL:
+        # func_set.go: `if val != nil` — setting a literal nil is a
+        # whole-statement no-op (e2e corpus: set(attributes["test"], nil))
+        return df
     vcol = compile_value(value, ctx)
     tcol, tkeys = ctx.resolve(target)
     target_is_variant = ctx.path_types.get(tcol) == VARIANT
@@ -1034,15 +1081,20 @@ _HASH_FNS = {
 def _ed_replace_pattern(stmt, ctx, df, cond):
     # replace_pattern(target, regex, replacement, Optional[function])
     # (README.md:343): with a hash function, each match is replaced by
-    # hash(match). Spark's regexp_replace can't invoke per-match exprs, so
-    # the hash of the FIRST match substitutes for all — exact whenever all
-    # matches of the pattern in one value are equal (e.g. literal patterns
-    # like "/"); documented deviation otherwise.
+    # hash(EXPANDED replacement) — func_replace_pattern.go
+    # applyOptReplaceFunction expands the replacement template against
+    # the match, hashes THAT, and substitutes (pinned by the e2e corpus:
+    # replace_pattern(…, "/", "@", SHA256) writes sha256("@")). Spark's
+    # regexp_replace can't invoke per-match exprs, so the expansion of
+    # the FIRST match substitutes for all — exact whenever all matches
+    # expand identically (always, for $-free replacements like here);
+    # documented deviation for $N replacements with differing matches.
     args = stmt.editor.args
     target, pat, repl = args[:3]
     c = compile_value(target, ctx)
     c, cond = _string_gate(ctx, target, c, cond)
     p = literal_arg(pat)
+    r = literal_arg(repl)
     fn_node = args[3] if len(args) > 3 else stmt.editor.kwargs.get("function")
     if fn_node is not None:
         name = fn_node.parts[0] if isinstance(fn_node, Path) else str(
@@ -1050,12 +1102,18 @@ def _ed_replace_pattern(stmt, ctx, df, cond):
         hash_fn = _HASH_FNS.get(name)
         if hash_fn is None:
             raise OTTLError(f"replace_pattern hash function {name!r}")
+        if "$" in r:
+            # expand the replacement against the first match, then hash
+            expanded = F.regexp_replace(F.regexp_extract(c, p, 0), p, r)
+        else:
+            expanded = F.lit(r)
         match = F.regexp_extract(c, p, 0)
         new = F.when(
-            match != "", F.regexp_replace(c, p, hash_fn(match).cast("string"))
+            match != "",
+            F.regexp_replace(c, p, hash_fn(expanded).cast("string")),
         ).otherwise(c)
     else:
-        new = F.regexp_replace(c, p, literal_arg(repl))
+        new = F.regexp_replace(c, p, r)
     return ctx.setter(df, target, new, cond)
 
 

@@ -126,7 +126,7 @@ def _split(args, ctx):
 # (ottlfuncs/README.md:975: Len of a slice/map is its cardinality, not the
 # length of a string rendering). Dispatch is static on the argument AST.
 _ARRAY_FNS = {"Split", "ParseCSV", "Sort"}
-_MAP_FNS = {"ParseJSON", "ParseKeyValue", "ExtractPatterns",
+_MAP_FNS = {"ParseKeyValue", "ExtractPatterns",
             "ExtractGrokPatterns", "ParseXML", "UserAgent", "URL"}
 
 
@@ -244,7 +244,9 @@ def _extract_grok(args, ctx):
         t = g.types.get(name)
         if t and t != "string":
             col = col.cast(t)
-        fields.append(col.alias(name))
+        # dotted ECS keys (url.port) ride as display names — regex
+        # groups are \w-sanitized, the output map is not
+        fields.append(col.alias(g.display.get(name, name)))
     return F.struct(*fields)
 
 
@@ -739,13 +741,98 @@ _TRUNC_UNIT = {3600.0: "hour", 60.0: "minute", 1.0: "second",
 
 def _truncate_time(args, ctx):
     c = _one(args, ctx)
-    secs = parse_go_duration(literal_arg(args[1]))
+    # the reference signature is TruncateTime(time, Duration) — accept
+    # both a Duration(...) call (e2e corpus form) and a bare Go-duration
+    # string literal ("1h", transformprocessor config shorthand)
+    dur_node = args[1]
+    if isinstance(dur_node, Call) and dur_node.name == "Duration":
+        dur_node = dur_node.args[0]
+    secs = parse_go_duration(literal_arg(dur_node))
     unit = _TRUNC_UNIT.get(secs)
     if unit:
         return F.date_trunc(unit, c)
     # arbitrary bucket: floor(epoch/secs)*secs
     e = c.cast("double")
     return F.timestamp_seconds(F.floor(e / secs) * int(secs))
+
+
+def _parse_key_value(args, ctx):
+    """ParseKeyValue(target, Optional[delimiter], Optional[pair_delimiter])
+    (README.md:1161; func_parse_key_value.go via parseutils): double-
+    quoted values may contain BOTH delimiters and unquote on output.
+    One JVM pass: pair-wise regexp_extract_all, then key/value split and
+    quote strip per element — no Python boundary."""
+    import re as _re
+
+    c = _one(args, ctx)
+    d1 = str(literal_arg(args[1])) if len(args) > 1 else "="
+    d2 = str(literal_arg(args[2])) if len(args) > 2 else " "
+    e1, e2 = _re.escape(d1), _re.escape(d2)
+    rx = f'(?:^|{e2})([^{e1}{e2}]+){e1}("[^"]*"|[^{e2}]*)'
+    pairs = F.regexp_extract_all(c, F.lit(rx), F.lit(0))
+
+    def entry(p):
+        p2 = F.regexp_replace(p, f"^{e2}", "")
+        k = F.substring_index(p2, d1, 1)
+        v = F.substring(p2, F.length(k) + (len(d1) + 1), F.length(p2))
+        v = F.when(
+            v.rlike('^".*"$'), F.substring(v, F.lit(2), F.length(v) - 2)
+        ).otherwise(v)
+        return F.struct(k.alias("key"), v.alias("value"))
+
+    return F.map_from_entries(F.transform(pairs, entry))
+
+
+def _hex(args, ctx):
+    """Hex(value) — Go %x of the value's byte encoding (func_hex.go):
+    bool → one byte 00/01, int64 → 8-byte big-endian, float64 → the
+    IEEE-754 bit pattern, string → its raw bytes. Dispatch is on the
+    STATIC OTTL type (a numeric-looking string still hexes its bytes).
+    Runtime-typed (variant/dynamic) inputs fall back to int-then-bytes,
+    and non-literal float columns hex their integral value (no JVM
+    builtin exposes raw double bits) — both documented deviations."""
+    node = args[0]
+    t = _stype(node, ctx)
+    if t == "bool":
+        if isinstance(node, Literal):
+            return F.lit("01" if node.value else "00")
+        return F.when(_raw_one(args, ctx), F.lit("01")).otherwise(F.lit("00"))
+    if t == "float" and isinstance(node, Literal):
+        import struct as _struct
+
+        return F.lit(_struct.pack(">d", float(node.value)).hex())
+    c = _one(args, ctx)
+    if t in ("int", "float"):
+        return F.lpad(F.lower(F.hex(c.try_cast("long"))), 16, "0")
+    if t == "string":
+        return F.lower(F.hex(c))
+    return F.when(
+        c.try_cast("long").isNotNull(),
+        F.lpad(F.lower(F.hex(c.try_cast("long"))), 16, "0"),
+    ).otherwise(F.lower(F.hex(c)))
+
+
+def _sort(args, ctx):
+    """Sort(target, order) — func_sort.go: homogeneous numeric slices
+    sort numerically (int+double widen to double); mixed-kind slices
+    fall back to ordering by each element's string rendering. Deviation:
+    Spark arrays are homogeneous, so a mixed literal list is coerced to
+    STRING elements (order identical to the reference, element types
+    erased to their renderings)."""
+    from .parser import ListExpr as _ListExpr
+
+    asc = len(args) < 2 or literal_arg(args[1]) != "desc"
+    node = args[0]
+    if isinstance(node, _ListExpr):
+        types = {_stype(i, ctx) for i in node.items}
+        if len(types) > 1 and not types <= {"int", "float"}:
+            from .compiler import compile_value
+
+            arr = F.array(
+                *[compile_value(i, ctx).cast("string") for i in node.items]
+            )
+            return F.sort_array(arr, asc=asc)
+    return F.sort_array(_one(args, ctx), asc=asc)
 
 
 def _decode(args, ctx):
@@ -789,8 +876,12 @@ def _parse_csv(args, ctx):
 
 
 def _parse_json(args, ctx):
+    # ParseJSON → typed VARIANT (objects → maps, arrays → slices, values
+    # keep native kinds — func_parse_json.go into pcommon). Deviation:
+    # JSON integer tokens stay int64 here; Go's encoding/json widens
+    # every number to float64 (so the reference stores 1 as 1.0).
     c = _one(args, ctx)
-    out = F.from_json(c, "map<string,string>")
+    out = F.try_parse_json(c)
     ctx.note_failure(c.isNotNull() & out.isNull(), "ParseJSON: invalid JSON")
     return out
 
@@ -801,12 +892,7 @@ CONVERTERS = {
     # encoding / hashing
     "Base64Decode": lambda a, c: F.unbase64(_one(a, c)).cast("string"),
     "Decode": _decode,
-    # Go %x of the 8-byte int64 encoding → lowercase, zero-padded to 16
-    # when the input is integral (func_hex.go); strings hex their bytes
-    "Hex": lambda a, c: F.when(
-        _one(a, c).try_cast("long").isNotNull(),
-        F.lpad(F.lower(F.hex(_one(a, c).try_cast("long"))), 16, "0"),
-    ).otherwise(F.lower(F.hex(_one(a, c)))),
+    "Hex": _hex,
     "MD5": lambda a, c: F.md5(_one(a, c)),
     "SHA1": lambda a, c: F.sha1(_one(a, c)),
     "SHA256": lambda a, c: F.sha2(_one(a, c), 256),
@@ -827,7 +913,14 @@ CONVERTERS = {
     # type conversion / checks
     "Double": _double_conv,
     "Int": _int_conv,
-    "String": lambda a, c: _one(a, c).cast("string"),
+    # String: pcommon AsString — slices render as compact JSON
+    # ("[1,2,3]", func_string.go → Value.AsString), scalars as their
+    # text form (Spark's array cast would render "[1, 2, 3]")
+    "String": lambda a, c: (
+        F.to_json(_raw_one(a, c))
+        if _stype(a[0], c) == "array"
+        else _one(a, c).cast("string")
+    ),
     "IsBool": _typecheck("bool"),
     "IsDouble": _typecheck("float"),
     "IsInt": _typecheck("int"),
@@ -835,6 +928,14 @@ CONVERTERS = {
     "IsMap": _is_map,
     "IsList": _is_list,
     "IsMatch": lambda a, c: _one(a, c).rlike(literal_arg(a[1])),
+    # span context (ottlfuncs/func_is_root_span.go): root = parent span
+    # id absent/empty (ids are hex-string columns in this engine)
+    "IsRootSpan": lambda a, c: F.coalesce(
+        F.col(c.path_map.get("parent_span_id", "parent_span_id")).isin(
+            "", "0000000000000000"
+        ),
+        F.lit(True),
+    ),
     # ids
     "SpanID": _span_id,
     "TraceID": _trace_id,
@@ -843,11 +944,7 @@ CONVERTERS = {
     "ExtractGrokPatterns": _extract_grok,
     "ParseJSON": _parse_json,
     "ParseXML": _parse_xml,
-    "ParseKeyValue": lambda a, c: F.str_to_map(
-        _one(a, c),
-        F.lit(literal_arg(a[1]) if len(a) > 1 else " "),
-        F.lit(literal_arg(a[2]) if len(a) > 2 else "="),
-    ),
+    "ParseKeyValue": _parse_key_value,
     "ParseCSV": _parse_csv,
     "UserAgent": _user_agent,
     "URL": lambda a, c: F.struct(
@@ -857,10 +954,7 @@ CONVERTERS = {
         F.parse_url(_one(a, c), F.lit("QUERY")).alias("query"),
     ),
     # arrays
-    "Sort": lambda a, c: (
-        F.sort_array(_one(a, c), asc=(
-            len(a) < 2 or literal_arg(a[1]) != "desc"))
-    ),
+    "Sort": _sort,
     # time
     "Day": lambda a, c: F.dayofmonth(_one(a, c)),
     "Hour": lambda a, c: F.hour(_one(a, c)),
@@ -899,9 +993,10 @@ CONVERTER_TYPES = {
     "Double": "float", "Int": "int", "String": "string",
     "IsBool": "bool", "IsDouble": "bool", "IsInt": "bool",
     "IsString": "bool", "IsMap": "bool", "IsList": "bool", "IsMatch": "bool",
+    "IsRootSpan": "bool",
     "SpanID": "bytes", "TraceID": "bytes",
     "ExtractPatterns": "map", "ExtractGrokPatterns": "map",
-    "ParseJSON": "map", "ParseXML": "variant", "ParseKeyValue": "map",
+    "ParseJSON": "variant", "ParseXML": "variant", "ParseKeyValue": "map",
     "ParseCSV": "array", "UserAgent": "map", "URL": "map",
     "Sort": "array",
     "Day": "int", "Hour": "int", "Minute": "int", "Month": "int",

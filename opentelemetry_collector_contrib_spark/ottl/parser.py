@@ -16,6 +16,7 @@ grammar.go:14-466) for the subset our engine executes:
   comparison := value (("=="|"!="|"<="|">="|"<"|">") value)?
   path       := IDENT ("." IDENT)* ("[" (STRING|INT) "]")*
   list       := "[" (value ("," value)*)? "]"
+  map        := "{" (STRING ":" value ("," STRING ":" value)*)? "}"
 """
 
 from __future__ import annotations
@@ -62,6 +63,13 @@ class Call:
 @dataclass
 class ListExpr:
     items: list
+
+
+@dataclass
+class MapExpr:
+    """Map literal (grammar.go Map: '{' String ':' Value ... '}')."""
+
+    entries: list  # list[tuple[str, node]] — insertion order preserved
 
 
 @dataclass
@@ -121,7 +129,7 @@ _TOKEN_RX = re.compile(
   | (?P<FLOAT>-?\d+\.\d+)
   | (?P<INT>-?\d+)
   | (?P<OP>==|!=|<=|>=|<|>)
-  | (?P<PUNCT>[()\[\],.+\-*/=])
+  | (?P<PUNCT>[()\[\]{},.:+\-*/=])
   | (?P<IDENT>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -193,6 +201,8 @@ class _Parser:
             return node
         if v == "[":
             return self.list_expr()
+        if v == "{":
+            return self.map_expr()
         if kind == "STRING":
             self.next()
             return Literal(_unquote(v))
@@ -235,6 +245,24 @@ class _Parser:
                 items.append(self.value())
         self.expect("]")
         return ListExpr(items)
+
+    def map_expr(self):
+        self.expect("{")
+        entries = []
+        if not self.at("}"):
+            entries.append(self._map_entry())
+            while self.at(","):
+                self.next()
+                entries.append(self._map_entry())
+        self.expect("}")
+        return MapExpr(entries)
+
+    def _map_entry(self):
+        kind, v = self.next()
+        if kind != "STRING":
+            raise OTTLError(f"map literal key must be a string, got {v!r}")
+        self.expect(":")
+        return (_unquote(v), self.value())
 
     def call(self, name: str) -> Call:
         self.expect("(")

@@ -1005,13 +1005,16 @@ def test_merge_maps_from_dynamic_source(log_df):
 
 
 def test_replace_pattern_with_hash_function(log_df):
+    # func_replace_pattern.go applyOptReplaceFunction: the hash applies
+    # to the EXPANDED REPLACEMENT ("@"), not the match — pinned by the
+    # reference e2e corpus (e2e_test.go replace_pattern/SHA256 case)
     fn = compile_statement(
         'replace_pattern(attributes["http.path"], "/", "@", SHA256)'
     )
     out = one(fn(log_df))["attributes"]["http.path"]
     import hashlib
 
-    h = hashlib.sha256(b"/").hexdigest()
+    h = hashlib.sha256(b"@").hexdigest()
     assert out == f"{h}health"
 
 
