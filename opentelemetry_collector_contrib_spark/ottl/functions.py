@@ -406,9 +406,44 @@ _UA_RULES = [
     ("Exabot", r"Exabot", r"Exabot/([0-9.]+)"),
     ("LinkedInBot", r"LinkedInBot", r"LinkedInBot/([0-9.]+)"),
     ("Discordbot", r"Discordbot", r"Discordbot/([0-9.]+)"),
-    ("TelegramBot", r"TelegramBot", r"TelegramBot"),
+    ("TelegramBot", r"TelegramBot", r"TelegramBot()"),
     ("Pinterestbot", r"Pinterest(?:bot)?/", r"Pinterest(?:bot)?/([0-9.]+)"),
     ("WhatsApp", r"WhatsApp/", r"WhatsApp/([0-9.]+)"),
+    ("AdsBot-Google", r"AdsBot-Google", r"AdsBot-Google[^0-9]*([0-9.]*)"),
+    ("Mediapartners-Google", r"Mediapartners-Google",
+     r"Mediapartners-Google/?([0-9.]*)"),
+    ("FeedFetcher-Google", r"FeedFetcher-Google",
+     r"FeedFetcher-Google;?\s*/?([0-9.]*)"),
+    ("Google-Read-Aloud", r"Google-Read-Aloud", r"Google-Read-Aloud()"),
+    ("APIs-Google", r"APIs-Google", r"APIs-Google()"),
+    ("Storebot-Google", r"Storebot-Google", r"Storebot-Google/?([0-9.]*)"),
+    ("Google-InspectionTool", r"Google-InspectionTool",
+     r"Google-InspectionTool/([0-9.]+)"),
+    ("GoogleOther", r"GoogleOther", r"GoogleOther()"),
+    ("SeznamBot", r"SeznamBot", r"SeznamBot/([0-9.]+)"),
+    ("archive.org_bot", r"archive\.org_bot", r"archive\.org_bot()"),
+    ("ia_archiver", r"ia_archiver", r"ia_archiver()"),
+    ("MojeekBot", r"MojeekBot", r"MojeekBot/([0-9.]+)"),
+    ("Qwantify", r"Qwantify", r"Qwantify/([0-9.]+)"),
+    ("Amazonbot", r"Amazonbot", r"Amazonbot/([0-9.]+)"),
+    ("ClaudeBot", r"ClaudeBot", r"ClaudeBot/([0-9.]+)"),
+    ("PerplexityBot", r"PerplexityBot", r"PerplexityBot/([0-9.]+)"),
+    ("OAI-SearchBot", r"OAI-SearchBot", r"OAI-SearchBot/([0-9.]+)"),
+    ("meta-externalagent", r"meta-externalagent",
+     r"meta-externalagent/([0-9.]+)"),
+    ("YisouSpider", r"YisouSpider", r"YisouSpider/?([0-9.]*)"),
+    ("360Spider", r"360Spider|HaosouSpider", r"360Spider()"),
+    ("BLEXBot", r"BLEXBot", r"BLEXBot/([0-9.]+)"),
+    ("rogerbot", r"rogerbot", r"rogerbot/([0-9.]+)"),
+    ("serpstatbot", r"serpstatbot", r"serpstatbot/([0-9.]+)"),
+    ("DataForSeoBot", r"DataForSeoBot", r"DataForSeoBot/([0-9.]+)"),
+    ("UptimeRobot", r"UptimeRobot", r"UptimeRobot/([0-9.]+)"),
+    ("PingdomBot", r"Pingdom\.com_bot", r"Pingdom\.com_bot_version_([0-9.]+)"),
+    ("StatusCake", r"StatusCake", r"StatusCake()"),
+    ("Site24x7", r"Site24x7", r"Site24x7()"),
+    ("coccocbot", r"coccocbot", r"coccocbot-\w+/([0-9.]+)"),
+    ("Yeti", r"\bYeti/", r"Yeti/([0-9.]+)"),
+    ("Daumoa", r"Daum[/ ]", r"Daum/([0-9.]+)"),
     # -- in-app webviews (uap keeps the app as the family) --
     ("Facebook", r"FBAV/|FBAN/", r"FBAV/([0-9.]+)"),
     ("Instagram", r"Instagram", r"Instagram ([0-9.]+)"),
@@ -434,6 +469,27 @@ _UA_RULES = [
     ("aiohttp", r"aiohttp/", r"aiohttp/([0-9.]+)"),
     ("httpx", r"^python-httpx/", r"^python-httpx/([0-9.]+)"),
     ("libwww-perl", r"^libwww-perl/", r"^libwww-perl/([0-9.]+)"),
+    ("PHP", r"^PHP/", r"^PHP/([0-9.]+)"),
+    ("Guzzle", r"^GuzzleHttp/", r"^GuzzleHttp/([0-9.]+)"),
+    ("WordPress", r"^WordPress/", r"^WordPress/([0-9.]+)"),
+    ("Dart", r"^Dart/", r"^Dart/([0-9.]+)"),
+    ("Scrapy", r"^Scrapy/", r"^Scrapy/([0-9.]+)"),
+    ("Faraday", r"^Faraday v", r"^Faraday v([0-9.]+)"),
+    ("rest-client", r"^rest-client/", r"^rest-client/([0-9.]+)"),
+    ("Ruby", r"^Ruby\b", r"^Ruby/?([0-9.]*)"),
+    ("HTTPie", r"^HTTPie/", r"^HTTPie/([0-9.]+)"),
+    ("node-superagent", r"^node-superagent/",
+     r"^node-superagent/([0-9.]+)"),
+    ("Deno", r"^Deno/", r"^Deno/([0-9.]+)"),
+    ("Bun", r"^Bun/", r"^Bun/([0-9.]+)"),
+    ("reqwest", r"^reqwest/", r"^reqwest/([0-9.]+)"),
+    ("Apache-HttpAsyncClient", r"^Apache-HttpAsyncClient/",
+     r"^Apache-HttpAsyncClient/([0-9.]+)"),
+    ("Jersey", r"^Jersey/", r"^Jersey/([0-9.]+)"),
+    ("Google-HTTP-Java-Client", r"^Google-HTTP-Java-Client/",
+     r"^Google-HTTP-Java-Client/([0-9.]+)"),
+    ("insomnia", r"^insomnia/", r"^insomnia/([0-9.]+)"),
+    ("libwww-perl", r"^libwww-perl/", r"^libwww-perl/([0-9.]+)"),
     ("GuzzleHttp", r"GuzzleHttp/", r"GuzzleHttp/([0-9.]+)"),
     ("Scrapy", r"^Scrapy/", r"^Scrapy/([0-9.]+)"),
     ("Faraday", r"^Faraday v", r"^Faraday v([0-9.]+)"),
@@ -451,6 +507,28 @@ _UA_RULES = [
     ("Vivaldi", r"Vivaldi/", r"Vivaldi/([0-9.]+)"),
     ("Whale", r"Whale/", r"Whale/([0-9.]+)"),
     ("Coc Coc", r"coc_coc_browser/", r"coc_coc_browser/([0-9.]+)"),
+    ("Firefox Focus", r"\bFocus/", r"Focus/([0-9.]+)"),
+    ("DuckDuckGo Mobile", r"DuckDuckGo/", r"DuckDuckGo/([0-9.]+)"),
+    ("Avast Secure Browser", r"Avast/", r"Avast/([0-9.]+)"),
+    ("AVG Secure Browser", r"AVG/", r"AVG/([0-9.]+)"),
+    ("Opera Touch", r"OPT/", r"OPT/([0-9.]+)"),
+    ("2345Explorer", r"2345Explorer", r"2345Explorer[ /]?v?([0-9.]*)"),
+    ("Dolphin", r"Dolphin[ /]", r"Dolphin[ /]?(?:\(INT\))?[ /]?([0-9.]*)"),
+    ("Quark", r"\bQuark/", r"Quark/([0-9.]+)"),
+    ("VivoBrowser", r"VivoBrowser/", r"VivoBrowser/([0-9.]+)"),
+    ("HeyTapBrowser", r"HeyTapBrowser/", r"HeyTapBrowser/([0-9.]+)"),
+    ("OppoBrowser", r"OppoBrowser/", r"OppoBrowser/([0-9.]+)"),
+    ("Mint Browser", r"Mint Browser/", r"Mint Browser/([0-9.]+)"),
+    ("Ecosia", r"Ecosia", r"Ecosia [a-z]+@([0-9.]+)"),
+    ("Iron", r"\bIron[ /]", r"Iron[ /]([0-9.]+)"),
+    ("Thunderbird", r"Thunderbird/", r"Thunderbird/([0-9.]+)"),
+    ("K-Meleon", r"K-Meleon/", r"K-Meleon/([0-9.]+)"),
+    ("Basilisk", r"Basilisk/", r"Basilisk/([0-9.]+)"),
+    ("Otter", r"Otter/", r"Otter/([0-9.]+)"),
+    ("Iridium", r"Iridium/", r"Iridium/([0-9.]+)"),
+    ("NetFront", r"NetFront/", r"NetFront/([0-9.]+)"),
+    ("Links", r"^Links ", r"^Links \(([0-9.]+)"),
+    ("ELinks", r"^ELinks", r"^ELinks[/ ]?\(?([0-9.]*)"),
     ("Maxthon", r"Maxthon[ /]", r"Maxthon[ /]?([0-9.]*)"),
     ("Sleipnir", r"Sleipnir/", r"Sleipnir/([0-9.]+)"),
     ("Puffin", r"Puffin/", r"Puffin/([0-9.]+)"),
@@ -471,7 +549,7 @@ _UA_RULES = [
     ("w3m", r"^w3m/", r"^w3m/([0-9.]+)"),
     ("Edge Mobile", r"EdgA/", r"EdgA/([0-9.]+)"),
     ("Edge", r"Edg(e|iOS)?/", r"Edg(?:e|iOS)?/([0-9.]+)"),
-    ("Opera Mobile", r"OPR/[0-9.]+.*Mobile|Opera Mobi",
+    ("Opera Mobile", r"OPR/[0-9.]+.*Mobile|Mobile.*OPR/|Opera Mobi",
      r"(?:OPR|Version)/([0-9.]+)"),
     ("Opera", r"OPR/|^Opera/", r"(?:OPR|Version|Opera)/([0-9.]+)"),
     ("Samsung Internet", r"SamsungBrowser/", r"SamsungBrowser/([0-9.]+)"),
@@ -541,7 +619,10 @@ _UA_OS_RULES = [
 # (uap-core device spiders block).
 _UA_DEVICE_RULES = [
     ("Spider",
-     r"[Bb]ot\b|bot/|[Ss]pider|[Cc]rawler|facebookexternalhit|Slurp"),
+     r"[Bb]ot\b|bot/|[Ss]pider|[Cc]rawler|facebookexternalhit|Slurp"
+     r"|Mediapartners|APIs-Google|Google-Read-Aloud|GoogleOther"
+     r"|FeedFetcher|ia_archiver|Qwantify|\bYeti/|\bDaum/|StatusCake"
+     r"|Site24x7|UptimeRobot|Pingdom|Google-InspectionTool"),
     ("Kindle", r"Kindle|\bSilk/"),
     ("Apple TV", r"Apple TV"),
     ("PlayStation", r"PlayStation \d"),
