@@ -1,0 +1,128 @@
+"""Template-mining scale campaign: drain_templates + template_cooccurrence
+at fixture tiers, with the distributions that decide 100 TB behavior —
+the per-conversation basket sizes the co-occurrence cap bounds, and the
+wildcard arity of the Drain fixed-point templates.
+
+Run: python jobs/bench_template_mining.py [--tiers sf0.1,sf1] [--cores 32]
+Prints one JSON line per tier plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiers", default="sf0.1,sf1")
+    ap.add_argument("--cores", default="32")
+    ap.add_argument("--max-per-conv", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.fixtures import (
+        ensure_fixture_dir,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.textops import (
+        drain_templates,
+        mask_log_variables,
+        template_cooccurrence,
+    )
+
+    spark = get_spark("template-mining-campaign", cores=args.cores)
+    out = []
+    for tier in args.tiers.split(","):
+        fx = ensure_fixture_dir(tier)
+        turns = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+        n_turns = turns.count()
+
+        t0 = time.time()
+        dt = drain_templates(turns)
+        n_assigned = dt.count()
+        drain_wall = time.time() - t0
+        assert n_assigned == n_turns
+
+        # wildcard arity distribution of the distinct fixed-point
+        # templates (how aggressive the collapse is at this tier)
+        arity = {
+            int(r["wc"]): int(r["n"])
+            for r in dt.select("template").distinct()
+            .select(
+                F.size(
+                    F.filter(
+                        F.split("template", " "),
+                        lambda t: t == F.lit("<*>"),
+                    )
+                ).alias("wc")
+            )
+            .groupBy("wc").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        t1 = time.time()
+        co = template_cooccurrence(turns, max_per_conv=args.max_per_conv)
+        n_pairs = co.count()
+        co_wall = time.time() - t1
+
+        # basket-size distribution BEFORE the cap: how many conversations
+        # the max_per_conv guard actually touches at this tier
+        baskets = (
+            turns.select(
+                "conv_id",
+                mask_log_variables(F.col("text")).alias("template"),
+            )
+            .groupBy("conv_id")
+            .agg(F.countDistinct("template").alias("k"))
+        )
+        bstats = baskets.agg(
+            F.count(F.lit(1)).alias("convs"),
+            F.max("k").alias("max_k"),
+            F.expr("percentile_approx(k, 0.5)").alias("p50_k"),
+            F.expr("percentile_approx(k, 0.99)").alias("p99_k"),
+            F.sum(
+                F.when(F.col("k") > args.max_per_conv, 1).otherwise(0)
+            ).alias("over_cap"),
+        ).collect()[0]
+
+        rec = {
+            "tier": tier,
+            "turns": n_turns,
+            "drain_wall_s": round(drain_wall, 1),
+            "drain_turns_per_s": int(n_turns / drain_wall),
+            "distinct_templates": sum(arity.values()),
+            "wildcard_arity_hist": dict(sorted(arity.items())),
+            "cooccur_wall_s": round(co_wall, 1),
+            "cooccur_pairs": n_pairs,
+            "basket_convs": int(bstats["convs"]),
+            "basket_p50": int(bstats["p50_k"]),
+            "basket_p99": int(bstats["p99_k"]),
+            "basket_max": int(bstats["max_k"]),
+            "baskets_over_cap": int(bstats["over_cap"]),
+        }
+        print(json.dumps(rec))
+        out.append(rec)
+
+    if len(out) >= 2:
+        a, b = out[0], out[-1]
+        print(json.dumps({
+            "turns_ratio": round(b["turns"] / a["turns"], 2),
+            "drain_wall_ratio": round(
+                b["drain_wall_s"] / a["drain_wall_s"], 2),
+            "cooccur_wall_ratio": round(
+                b["cooccur_wall_s"] / a["cooccur_wall_s"], 2),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,10 +40,17 @@ def main() -> int:
     ap.add_argument("--hash", default="xxhash64", choices=["xxhash64", "md5"])
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument(
+        "--auto-bands", action="store_true",
+        help="size (num_hashes, bands) from the corpus count via the "
+        "r-vs-N schedule (dedup_text.auto_banding) instead of the "
+        "explicit flags",
+    )
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
 
     from opentelemetry_collector_contrib_spark.dedup_text import (
+        auto_banding,
         dedup_clusters,
         dedup_survivors,
         lsh_candidate_pairs,
@@ -65,6 +72,14 @@ def main() -> int:
 
     def _docs(sp):
         return sp.read.parquet(docs_path)
+
+    if args.auto_bands:
+        args.num_hashes, args.bands = auto_banding(_docs(spark).count())
+        print(
+            f"auto_banding: num_hashes={args.num_hashes} "
+            f"bands={args.bands} "
+            f"(r={args.num_hashes // args.bands} rows/band)"
+        )
 
     stages = [
         Stage(

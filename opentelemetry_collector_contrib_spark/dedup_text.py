@@ -80,6 +80,40 @@ def lsh_candidate_pairs(
     )
 
 
+def auto_banding(
+    n_docs: int,
+    bands: int = 4,
+    background_jaccard: float = 0.1,
+    budget: float = 5000.0,
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) so the LSH candidate join stays LINEAR
+    in corpus size without hand-tuning.
+
+    The false-positive candidate mass is b·C(N,2)·E[J^r] — fixed
+    rows-per-band r means FP pairs grow with N² (the round-4 2M-doc
+    campaign measured exactly this cliff at r=2: 2× docs = 2.6-2.9×
+    wall; BASELINE.md "banding-vs-N"). Keeping FP candidates O(N) needs
+    N·J̄^r ≤ budget, i.e. r ≥ ln(N/budget)/ln(1/J̄) — so r must GROW
+    logarithmically with N. With the defaults (J̄=0.1 background
+    jaccard of non-dup pairs, budget 5e3) the schedule is:
+
+        N ≤ 5e5 → r=2 (8×4)    5e5 < N ≤ 5e7 → r=4 (16×4)
+        5e7 < N ≤ 5e9 → r=6 (24×4)      beyond → r=8 (32×4)
+
+    which reproduces the measured calibration: r=2 linear at ≤500k,
+    super-linear at 1M-2M; r=4 linear at 2M (1.93× wall per 2× docs).
+    Even r only (band hashes concatenate cleanly); recall per verified-
+    designed pair at the 0.8 threshold stays ≥95% through r=4
+    (measured) — the trade the reference corpus-dedup literature makes
+    at scale."""
+    r = 2
+    # 1e-9 relative slack: 0.1**r is not exactly 10**-r in binary, and
+    # the schedule edges (N = budget·J̄^-r) must land on the cheaper r
+    while n_docs * (background_jaccard**r) > budget * (1 + 1e-9) and r < 8:
+        r += 2
+    return r * bands, bands
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -88,6 +122,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     hash_fn: str = "md5",
+    auto_bands: bool = False,
 ) -> DataFrame:
     """Full LSH dedup: candidates from banding, verified by exact jaccard
     computed ONLY over candidate pairs — the whole point of LSH.
@@ -98,8 +133,16 @@ def minhash_dedup_pairs(
     counts flow through the candidate-pair join itself, so verify cost is
     Σ_pairs(shingles per doc) — linear in candidates, independent of
     corpus². (Round-1 version intersected with a full-corpus
-    ngram_jaccard_pairs; at 100 TB that IS the job.)"""
+    ngram_jaccard_pairs; at 100 TB that IS the job.)
+
+    ``auto_bands=True`` sizes (num_hashes, bands) from the corpus count
+    via :func:`auto_banding` — one metadata-cheap count() against the
+    input, then the r-vs-N schedule the round-4 2M-doc campaign
+    calibrated (BASELINE.md). Explicit num_hashes/bands are ignored in
+    that mode."""
     docs = _spread_small_input(docs)
+    if auto_bands:
+        num_hashes, bands = auto_banding(docs.count(), bands)
     sigs = minhash_signatures(docs, num_hashes, n, text_col, hash_fn)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
 

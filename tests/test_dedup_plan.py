@@ -742,3 +742,37 @@ def test_render_dialogs_order_and_token_sum(spark):
     # partition layout cannot change the rendered string (array_sort)
     out2 = {r.conv_id: r.dialog for r in render_dialogs(turns.repartition(8)).collect()}
     assert out2["a"] == out["a"].dialog
+
+
+def test_auto_banding_schedule():
+    """r must grow logarithmically with N (round-4 campaign calibration:
+    r=2 linear ≤500k docs, super-linear at 1M-2M; r=4 linear at 2M)."""
+    from opentelemetry_collector_contrib_spark.dedup_text import (
+        auto_banding,
+    )
+
+    assert auto_banding(5_000) == (8, 4)        # r=2
+    assert auto_banding(500_000) == (8, 4)      # r=2 upper edge
+    assert auto_banding(1_000_000) == (16, 4)   # the measured cliff tier
+    assert auto_banding(2_000_000) == (16, 4)
+    assert auto_banding(50_000_000) == (16, 4)  # r=4 upper edge
+    assert auto_banding(100_000_000) == (24, 4)
+    assert auto_banding(10_000_000_000) == (32, 4)  # r caps at 8
+
+
+def test_minhash_auto_bands_matches_explicit(spark):
+    """auto_bands=True on a small corpus resolves to the r=2 default and
+    produces the identical verified-pair set as the explicit flags."""
+    import os
+
+    from opentelemetry_collector_contrib_spark.dedup_text import (
+        minhash_dedup_pairs,
+    )
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    auto = minhash_dedup_pairs(docs, auto_bands=True)
+    explicit = minhash_dedup_pairs(docs, num_hashes=8, bands=4)
+    a = {(r.doc_a, r.doc_b) for r in auto.collect()}
+    b = {(r.doc_a, r.doc_b) for r in explicit.collect()}
+    assert a == b and len(a) > 0

@@ -268,3 +268,138 @@ def test_zscore_stream_rounds_half_up_like_batch(spark, tmp_path):
         ).select("event_id", "zscore").collect()
     }
     assert got == want
+
+
+def _drain_foreach_parquet(spark, build_stream, out, ckpt):
+    """Drain an update-mode stateful query into an append-parquet log via
+    foreachBatch, tagging rows with the micro-batch id (the 'last
+    emission per key' reducer needs an order)."""
+
+    def sink(bdf, bid):
+        bdf.withColumn("_b", F.lit(bid)).write.mode("append").parquet(out)
+
+    q = (
+        build_stream()
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_zscore_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart mid-stream (round-4 VERDICT #7): run the z-score
+    twin over the FIRST half of the stream, terminate, land the second
+    half, resume from the SAME checkpoint — the trailing per-user buffer
+    must come back from the state store so second-half scores equal the
+    batch operator over the full stream."""
+    from opentelemetry_collector_contrib_spark.operators.aggregate import (
+        rolling_zscore,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        zscore_stream,
+    )
+
+    t = (
+        pq.read_table(os.path.join(EVENTS_DIR, "events.parquet"))
+        .sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(in_dir / "part0.parquet"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(os.path.join(EVENTS_DIR, "events.parquet")).schema
+
+    def build():
+        return zscore_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    _drain_foreach_parquet(spark, build, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first <= half
+
+    # the "restart": second half lands, resume from the same checkpoint
+    pq.write_table(t.slice(half), str(in_dir / "part1.parquet"))
+    _drain_foreach_parquet(spark, build, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == t.num_rows
+    got = {}
+    for r in rows:
+        if r["event_id"] not in got or r["_b"] > got[r["event_id"]][1]:
+            got[r["event_id"]] = (r["zscore"], r["_b"])
+    batch = spark.read.parquet(os.path.join(EVENTS_DIR, "events.parquet"))
+    want = {
+        r["event_id"]: r["zscore"]
+        for r in rolling_zscore(
+            batch, keys=["user_id"], order_cols=["event_id"]
+        ).select("event_id", "zscore").collect()
+    }
+    diffs = [
+        k for k in want
+        if (got[k][0] is None) != (want[k] is None)
+        or (got[k][0] is not None and abs(got[k][0] - want[k]) > 1e-9)
+    ]
+    assert not diffs, diffs[:5]
+
+
+def test_burst_stream_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """burst_stream kill-and-restart: trailing (bucket, count) state must
+    survive the checkpoint so post-restart emissions carry full-bucket
+    counts and the identical integer burst decision as the batch
+    template_bursts over the whole stream."""
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        burst_stream,
+    )
+    from opentelemetry_collector_contrib_spark.textops import (
+        template_bursts,
+    )
+
+    t = (
+        pq.read_table(os.path.join(sf_dir, "transcripts.parquet"))
+        .sort_by([("ts", "ascending"), ("conv_id", "ascending"),
+                  ("turn_idx", "ascending")])
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(in_dir / "part0.parquet"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def build():
+        return burst_stream(
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir)),
+            bucket_s=3600, lookback=3, factor=4, min_count=10,
+        )
+
+    _drain_foreach_parquet(spark, build, out, ckpt)
+    assert spark.read.parquet(out).count() > 0
+    pq.write_table(t.slice(half), str(in_dir / "part1.parquet"))
+    _drain_foreach_parquet(spark, build, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in rows:
+        k = (r["template"], r["bucket_epoch"])
+        if k not in got or r["_b"] > got[k][2]:
+            got[k] = (r["n"], r["is_burst"], r["_b"])
+    batch = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    want = {
+        (r["template"], r["bucket_epoch"]): (r["n"], r["is_burst"])
+        for r in template_bursts(
+            batch, bucket_s=3600, lookback=3, factor=4, min_count=10
+        ).collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in got.items()} == want
