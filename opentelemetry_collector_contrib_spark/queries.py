@@ -686,6 +686,7 @@ FROM {_TR}""",
     _register_relational(reg)
     _register_round4_features(reg)
     _register_template_mining(reg)
+    _register_round5_features(reg)
     # Emission order: least-recently-driver-verified FIRST. The driver's
     # correctness artifact samples a prefix of this dict, so through
     # round 4 the prefix kept re-testing the same 75/150 queries while
@@ -2926,6 +2927,7 @@ SELECT doc_id, term, tf, score, rank::INT AS rank FROM (
     PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
   FROM scored) WHERE rank <= 3""",
     )
+
 
 
 # ---------------------------------------------------------------------------
@@ -5200,4 +5202,73 @@ SELECT cell, count(*)::BIGINT AS n_vecs,
        round(count(*) / tot.n, 6) AS share,
        round(sum(qc) / 1e6 / count(*), 4) AS mean_cos
 FROM q, tot GROUP BY cell, tot.n""",
+    )
+
+def _register_round5_features(reg) -> None:
+    """Round-5 additions, appended at the registry tail = their true
+    build order (same precedent as the round-4 block): under the
+    least-recently-verified rotation they queue BEHIND the existing
+    never-driver-tested backlog, so the documented round-5 window is
+    untouched and these surface in the round-6 window."""
+
+    # ---- d_bm25_topk: Okapi BM25 top-k retrieval --------------------------
+    # quality-targeted corpus selection: score every document against a
+    # deterministic query set (every 97th doc's first 3 words), keep the
+    # best 5 per query. Inverted-index join, stopword df cap, per-term
+    # partial scores BIGINT-quantized before the order-immune sum
+    # (unigram-xent float discipline) — hash-exact vs the oracle.
+    def d_bm25_topk(spark, sf_dir):
+        from .textops import bm25_topk
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 3), " "
+            ).alias("qtext"),
+        )
+        # the synthetic corpus draws from a ~30-word vocabulary, so every
+        # term exceeds a realistic stopword df cap — disable it here (the
+        # cap's drop behavior is unit-tested in test_corpus_ops)
+        return bm25_topk(docs, queries, k=5, max_df_ratio=1.0)
+
+    reg(
+        "d_bm25_topk",
+        d_bm25_topk,
+        """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(dl)::DOUBLE / count(*)) AS avgdl
+  FROM dl
+), post AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dft.df, s.n_docs, s.avgdl
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), stats s
+  WHERE dft.df <= s.n_docs * 1.0
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest((string_split(text, ' '))[1:3]) AS term
+  FROM documents WHERE doc_id % 97 = 0
+), scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(round(ln(1.0 + (p.n_docs - p.df + 0.5) / (p.df + 0.5))
+             * ((p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * (p.dl / p.avgdl))))
+             * 1e6)::BIGINT) AS q_sum
+  FROM qt JOIN post p USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank::INT AS rank,
+       round(q_sum / 1000000.0, 4) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY q_sum DESC, doc_id ASC) AS rank
+  FROM scored) WHERE rank <= 5""",
     )

@@ -1707,6 +1707,105 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+    text_col: str = "text",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus — the
+    quality-targeted-selection / search-style dedup primitive a
+    training-data pipeline runs constantly (score every document
+    against a query set, keep the best k per query).
+
+    Scale shape — an INVERTED-INDEX equi-join, never query×corpus:
+    term frequencies and doc lengths come from ONE exploded pass
+    (map-side-combinable hash aggs); document frequencies re-aggregate
+    the already-distinct (doc, term) pairs; corpus stats (N, avgdl) are
+    a 1-row broadcast. Query terms join the postings on the TERM key,
+    so per-query cost is Σ df(term) — and terms with
+    df > max_df_ratio·N (stopwords, the postings that would dominate
+    the join at 100 TB) are dropped up front, the standard cap; their
+    idf ≈ ln(1+~1/2) contributes little. Top-k per query is a bounded
+    window partitioned on query_id (query count ≪ corpus, no hot key).
+
+    Cross-engine float identity (the unigram-xent recipe): each
+    (query, doc, term) partial score — idf(term)·tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl)) — is ONE fixed-association float expression
+    over exact integer operands (tf, dl, df, N; avgdl is the same
+    exact division in both engines), quantized to a BIGINT in 1e-6
+    units BEFORE the per-(query,doc) sum; integer sums are
+    order-immune, so the DuckDB oracle is hash-exact. Deterministic
+    ties: score DESC, doc_id ASC. Query terms are DISTINCT per query
+    (the common simplification; query-side tf weighting is a flag away
+    but not what selection pipelines use). Returns
+    (query_id, doc_id, rank, score).
+    """
+    from pyspark.sql import Window as W
+
+    toks = _spread_small_input(docs).select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+    )
+    qterms = queries.select(
+        "query_id", F.explode(_words(F.col(qtext_col))).alias("term")
+    ).distinct()
+    # one fixed-association expression → identical IEEE tree in the oracle
+    q_part = F.round(
+        F.ln(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (
+            (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        qterms.join(postings, "term")
+        .select("query_id", "doc_id", q_part.alias("q"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("q").alias("q_sum"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("q_sum").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("q_sum") / 1e6, 4).alias("score"),
+        )
+    )
+
+
 def context_windows(
     turns: DataFrame,
     n_context: int = 3,

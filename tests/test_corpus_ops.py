@@ -219,3 +219,54 @@ def test_new_ops_plan_shapes_hold_at_campaign_tier(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     _assert_hash_only_anti_join(plan)
+
+
+def test_bm25_topk_ranks_and_caps(spark):
+    """BM25 semantics: the document repeating the query's rare term wins;
+    terms above the df cap are dropped so an all-stopword query returns
+    nothing; ties and ranks deterministic."""
+    from opentelemetry_collector_contrib_spark.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zephyr zephyr zephyr common common"),
+            (1, "zephyr common common common common"),
+            (2, "common common common common common"),
+            (3, "other words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zephyr"), (101, "common")], "query_id long, qtext string"
+    )
+    out = bm25_topk(docs, queries, k=3, max_df_ratio=0.6).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    # zephyr: df=2/4 ≤ 0.6 cap → kept; doc 0 (tf=3) beats doc 1 (tf=1)
+    assert [d for _, d, _ in sorted(by_q[100])] == [0, 1]
+    assert by_q[100][0][2] > 0
+    # common: df=3/4 > 0.6 cap → dropped entirely, no results
+    assert 101 not in by_q
+
+
+def test_bm25_plan_is_inverted_index_join(spark):
+    """The retrieval join must be an equi-join on the term key with a
+    1-row broadcast for corpus stats — never a query×corpus nested loop."""
+    import os
+
+    from opentelemetry_collector_contrib_spark.textops import bm25_topk
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    queries = docs.limit(4).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 20).alias("qtext"),
+    )
+    plan = bm25_topk(docs, queries)._jdf.queryExecution().executedPlan().toString()
+    # the only non-equi join allowed is the 1-row stats broadcast; the
+    # postings⋈query join itself must never plan as a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
