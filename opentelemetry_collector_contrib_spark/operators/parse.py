@@ -196,6 +196,56 @@ def json_parser(
     return df.withColumn(to, F.from_json(F.col(source), schema))
 
 
+def json_field_profile(df: DataFrame, source: str) -> DataFrame:
+    """Schema-on-read profiling of a JSON-lines column: one row per
+    top-level key with its presence count, per-kind counts (string /
+    int / double / bool / json-null / object / array), and fill rate
+    against ALL input rows — the drift report an operator reads before
+    pointing a typed parser at a feed (which fields exist, how often,
+    and whether a field's type wobbles between producers).
+
+    Plan: one parse_json, one explode of the top-level object map, one
+    hash agg on the key (map-side partials; key cardinality = schema
+    width, tiny) with the 1-row total broadcast into the projection —
+    entirely JVM-side, no Python. Non-object / unparseable lines simply
+    contribute no keys (their absence shows up in every fill_rate).
+    Deterministic: counts are exact integers, fill_rate rounds at 4."""
+    from ..pdata import variant_kind, variant_object_map
+
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    kv = df.select(
+        F.explode(
+            variant_object_map(F.try_parse_json(F.col(source)))
+        ).alias("key", "val")
+    ).select("key", variant_kind(F.col("val")).alias("kind"))
+
+    def n(kind: str, alias: str):
+        return F.sum(
+            F.when(F.col("kind") == kind, 1).otherwise(0)
+        ).cast("long").alias(alias)
+
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            n("string", "n_string"),
+            n("int", "n_int"),
+            n("double", "n_double"),
+            n("bool", "n_bool"),
+            n("empty", "n_null"),
+            n("map", "n_object"),
+            n("slice", "n_array"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_present", "n_string", "n_int", "n_double",
+            "n_bool", "n_null", "n_object", "n_array",
+            F.round(F.col("n_present") / F.col("total"), 4)
+            .alias("fill_rate"),
+        )
+    )
+
+
 def csv_parser(
     df: DataFrame,
     source: str,

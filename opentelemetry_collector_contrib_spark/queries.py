@@ -5272,3 +5272,80 @@ FROM (
     PARTITION BY query_id ORDER BY q_sum DESC, doc_id ASC) AS rank
   FROM scored) WHERE rank <= 5""",
     )
+
+    # ---- e_json_profile: schema-on-read JSON field profiling --------------
+    # lines constructed from events with deliberate schema drift: "value"
+    # wobbles int/double by event_id%3, "flag" cycles null/true/false/
+    # missing by %5, and even/odd ids carry "tags" (array) vs "meta"
+    # (object). The profile reports per-key presence, per-kind counts,
+    # and fill rate — the drift report read before pointing a typed
+    # parser at a feed. Oracle recomputes kinds via DuckDB json_type.
+    def e_json_profile(spark, sf_dir):
+        from .operators.parse import json_field_profile
+
+        ev = _ev(spark, sf_dir)
+        eid = F.col("event_id")
+        line = F.concat(
+            F.format_string(
+                '{"event":"%s","seq":%d', F.col("event_type"), eid
+            ),
+            F.when(
+                eid % 3 == 0,
+                F.format_string(',"value":%d', (eid % 50).cast("int")),
+            ).otherwise(
+                F.format_string(
+                    ',"value":%s', ((eid % 100) / 4.0).cast("string")
+                )
+            ),
+            F.when(eid % 5 == 0, F.lit(',"flag":null'))
+            .when(eid % 5 == 1, F.lit(',"flag":true'))
+            .when(eid % 5 == 2, F.lit(',"flag":false'))
+            .otherwise(F.lit("")),
+            F.when(
+                eid % 2 == 0,
+                F.format_string(',"tags":["a","%s"]', F.col("event_type")),
+            ).otherwise(
+                F.format_string(
+                    ',"meta":{"u":%d}', (F.col("user_id") % 100).cast("int")
+                )
+            ),
+            F.lit("}"),
+        )
+        return json_field_profile(ev.select(line.alias("line")), "line")
+
+    reg(
+        "e_json_profile",
+        e_json_profile,
+        """WITH src AS (
+  SELECT '{"event":"' || event_type || '","seq":' || event_id::VARCHAR
+    || CASE WHEN event_id % 3 = 0
+            THEN ',"value":' || (event_id % 50)::VARCHAR
+            ELSE ',"value":' || ((event_id % 100) / 4.0)::VARCHAR END
+    || CASE WHEN event_id % 5 = 0 THEN ',"flag":null'
+            WHEN event_id % 5 = 1 THEN ',"flag":true'
+            WHEN event_id % 5 = 2 THEN ',"flag":false'
+            ELSE '' END
+    || CASE WHEN event_id % 2 = 0
+            THEN ',"tags":["a","' || event_type || '"]'
+            ELSE ',"meta":{"u":' || (user_id % 100)::VARCHAR || '}' END
+    || '}' AS line
+  FROM events
+), tot AS (
+  SELECT count(*)::BIGINT AS total FROM src
+), kv AS (
+  SELECT key, json_type(line::JSON, key) AS t
+  FROM (SELECT line, unnest(json_keys(line)) AS key FROM src)
+)
+SELECT key,
+  count(*)::BIGINT AS n_present,
+  sum(CASE WHEN t = 'VARCHAR' THEN 1 ELSE 0 END)::BIGINT AS n_string,
+  sum(CASE WHEN t IN ('UBIGINT', 'BIGINT') THEN 1 ELSE 0 END)::BIGINT
+    AS n_int,
+  sum(CASE WHEN t = 'DOUBLE' THEN 1 ELSE 0 END)::BIGINT AS n_double,
+  sum(CASE WHEN t = 'BOOLEAN' THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+  sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+  sum(CASE WHEN t = 'OBJECT' THEN 1 ELSE 0 END)::BIGINT AS n_object,
+  sum(CASE WHEN t = 'ARRAY' THEN 1 ELSE 0 END)::BIGINT AS n_array,
+  round(count(*) / tot.total, 4) AS fill_rate
+FROM kv, tot GROUP BY key, tot.total""",
+    )

@@ -131,3 +131,32 @@ def test_jsonarray_parser(spark):
     hdr = jsonarray_parser(df, "line", header=["id", "sev", "msg"]).collect()
     assert hdr[0]["parsed"] == {"id": "1", "sev": "debug", "msg": "hello"}
     assert hdr[1]["parsed"] == {"id": "only-one", "sev": None, "msg": None}
+
+
+def test_json_field_profile_kinds_and_fill(spark):
+    """Per-key presence/kind counts incl. JSON null vs missing, and fill
+    rate against all rows (unparseable lines count in the denominator
+    but contribute no keys)."""
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        json_field_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"a":1,"b":"x","c":null}',),
+            ('{"a":2.5,"b":"y","d":[1,2]}',),
+            ('{"a":true,"e":{"k":1}}',),
+            ("not json",),
+        ],
+        "line string",
+    )
+    got = {r["key"]: r.asDict() for r in
+           json_field_profile(df, "line").collect()}
+    assert got["a"]["n_present"] == 3
+    assert (got["a"]["n_int"], got["a"]["n_double"], got["a"]["n_bool"]) \
+        == (1, 1, 1)
+    assert got["a"]["fill_rate"] == 0.75  # 3 of 4 rows (bad line counts)
+    assert got["b"]["n_string"] == 2 and got["b"]["fill_rate"] == 0.5
+    assert got["c"]["n_null"] == 1
+    assert got["d"]["n_array"] == 1
+    assert got["e"]["n_object"] == 1
