@@ -5349,3 +5349,81 @@ SELECT key,
   round(count(*) / tot.total, 4) AS fill_rate
 FROM kv, tot GROUP BY key, tot.total""",
     )
+
+    # ---- d_retrieval_eval: recall@k + reciprocal rank of BM25 -------------
+    # self-retrieval closure: each query is built from its source doc's
+    # first 3 words, so the source doc is the gold answer; the metrics
+    # quantify whether the retriever actually surfaces it (mean rr over
+    # queries = MRR@5). Composes bm25_topk → retrieval_metrics in one
+    # oracle-gated DAG.
+    def d_retrieval_eval(spark, sf_dir):
+        from .textops import bm25_topk, retrieval_metrics
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 3), " "
+            ).alias("qtext"),
+        )
+        results = bm25_topk(docs, queries, k=5, max_df_ratio=1.0)
+        gold = queries.select(
+            "query_id", F.col("query_id").alias("doc_id")
+        )
+        return retrieval_metrics(results, gold, k=5)
+
+    reg(
+        "d_retrieval_eval",
+        d_retrieval_eval,
+        """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(dl)::DOUBLE / count(*)) AS avgdl
+  FROM dl
+), post AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dft.df, s.n_docs, s.avgdl
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term), stats s
+  WHERE dft.df <= s.n_docs * 1.0
+), qt AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest((string_split(text, ' '))[1:3]) AS term
+  FROM documents WHERE doc_id % 97 = 0
+), scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(round(ln(1.0 + (p.n_docs - p.df + 0.5) / (p.df + 0.5))
+             * ((p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * (p.dl / p.avgdl))))
+             * 1e6)::BIGINT) AS q_sum
+  FROM qt JOIN post p USING (term)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY q_sum DESC, doc_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+), gold AS (
+  SELECT doc_id AS query_id, doc_id FROM documents WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT r.query_id, count(*)::BIGINT AS hits_at_k,
+         min(r.rank) AS first_hit
+  FROM ranked r
+  JOIN gold g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+  GROUP BY 1
+), perq AS (
+  SELECT query_id, count(*)::BIGINT AS n_gold FROM gold GROUP BY 1
+)
+SELECT p.query_id, p.n_gold,
+       coalesce(h.hits_at_k, 0)::BIGINT AS hits_at_k,
+       round(coalesce(h.hits_at_k, 0) / least(p.n_gold, 5), 4)
+         AS recall_at_k,
+       round(coalesce(1.0 / h.first_hit, 0.0), 4) AS rr
+FROM perq p LEFT JOIN hits h USING (query_id)""",
+    )

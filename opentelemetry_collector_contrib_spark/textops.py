@@ -1806,6 +1806,55 @@ def bm25_topk(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame, gold: DataFrame, k: int = 10
+) -> DataFrame:
+    """Retrieval evaluation: per-query recall@k and reciprocal rank
+    against a gold relevance set — the measurement loop every
+    quality-targeted selection pipeline closes (did BM25/ANN actually
+    surface the known-relevant documents?).
+
+    ``results``: (query_id, doc_id, rank) from bm25_topk / cosine_topk /
+    any ranked retriever. ``gold``: (query_id, doc_id) relevant pairs.
+    Returns (query_id, n_gold, hits_at_k, recall_at_k, rr) where rr =
+    1/rank of the FIRST relevant hit within k (0.0 when none) — mean(rr)
+    over queries is MRR@k.
+
+    Scale shape: one equi-join of the top-k results (≤ k rows per
+    query) against gold on (query_id, doc_id), two query-keyed hash
+    aggs, a left join to keep zero-hit queries. Everything is
+    map-side-combinable; no corpus data moves."""
+    hits = (
+        results.filter(F.col("rank") <= k)
+        .join(gold, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits_at_k"),
+            F.min("rank").alias("first_hit"),
+        )
+    )
+    per_q = gold.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_gold",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long")
+            .alias("hits_at_k"),
+            F.round(
+                F.coalesce(F.col("hits_at_k"), F.lit(0))
+                / F.least(F.col("n_gold"), F.lit(k)),
+                4,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 4
+            ).alias("rr"),
+        )
+    )
+
+
 def context_windows(
     turns: DataFrame,
     n_context: int = 3,

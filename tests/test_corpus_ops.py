@@ -270,3 +270,59 @@ def test_bm25_plan_is_inverted_index_join(spark):
     # postings⋈query join itself must never plan as a cartesian product
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_retrieval_metrics_recall_and_rr(spark):
+    """recall@k clamps at min(n_gold, k); rr is 1/first-hit rank and 0.0
+    for zero-hit queries (which must still appear in the output)."""
+    from opentelemetry_collector_contrib_spark.textops import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    gold = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),   # 2 of 3 gold found, first at rank 2
+         (2, 20),                     # found at rank 1
+         (3, 77)],                    # never found
+        "query_id long, doc_id long",
+    )
+    got = {r["query_id"]: r.asDict()
+           for r in retrieval_metrics(results, gold, k=3).collect()}
+    assert got[1]["hits_at_k"] == 2 and got[1]["rr"] == 0.5
+    assert got[1]["recall_at_k"] == round(2 / 3, 4)
+    assert got[2] == {"query_id": 2, "n_gold": 1, "hits_at_k": 1,
+                      "recall_at_k": 1.0, "rr": 1.0}
+    assert got[3]["hits_at_k"] == 0 and got[3]["rr"] == 0.0
+
+
+def test_bm25_self_retrieval_finds_source_doc(spark):
+    """Composition premise: when each doc carries a distinctive term,
+    querying that term retrieves the source doc at rank 1 (MRR = 1.0).
+    (The ORACLE gate over the synthetic fixture checks exactness only —
+    its ~30-word vocabulary gives every term corpus-wide df, so ranking
+    quality there is deliberately not asserted.)"""
+    from opentelemetry_collector_contrib_spark.textops import (
+        bm25_topk,
+        retrieval_metrics,
+    )
+
+    common = "the quick brown fox jumps over lazy dogs"
+    docs = spark.createDataFrame(
+        [(i, f"{common} marker{i} marker{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(i, f"marker{i} fox") for i in range(0, 20, 4)],
+        "query_id long, qtext string",
+    )
+    res = bm25_topk(docs, queries, k=3, max_df_ratio=1.0)
+    gold = queries.select("query_id", F.col("query_id").alias("doc_id"))
+    m = retrieval_metrics(res, gold, k=3)
+    rows = m.collect()
+    assert len(rows) == 5
+    assert all(r["rr"] == 1.0 and r["recall_at_k"] == 1.0 for r in rows)
