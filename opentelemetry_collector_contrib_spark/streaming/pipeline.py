@@ -319,3 +319,41 @@ def stratified_sample_stream(
         stream, strata_col, rates, key_col=key_col,
         default_rate=default_rate,
     )
+
+
+def json_field_profile_stream(stream: DataFrame, source: str) -> DataFrame:
+    """Streaming twin of operators/parse.json_field_profile: cumulative
+    per-key presence and kind counts over a JSON-lines stream — the
+    schema-drift monitor running continuously against a live feed (a new
+    key appearing, or an existing key's kind counts starting to wobble,
+    IS the drift alert). Update mode: each micro-batch re-emits the keys
+    it touched with their new cumulative counts.
+
+    Plain streaming aggregation (no custom state): parse_json + explode
+    + groupBy(key) — state is one row per distinct key (schema width,
+    tiny, bounded). fill_rate needs the total row count, which a
+    streaming agg cannot broadcast-join; derive it downstream from a
+    parallel count stream or the batch profiler."""
+    from ..pdata import variant_kind, variant_object_map
+
+    kv = stream.select(
+        F.explode(
+            variant_object_map(F.try_parse_json(F.col(source)))
+        ).alias("key", "val")
+    ).select("key", variant_kind(F.col("val")).alias("kind"))
+
+    def n(kind: str, alias: str):
+        return F.sum(
+            F.when(F.col("kind") == kind, 1).otherwise(0)
+        ).cast("long").alias(alias)
+
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        n("string", "n_string"),
+        n("int", "n_int"),
+        n("double", "n_double"),
+        n("bool", "n_bool"),
+        n("empty", "n_null"),
+        n("map", "n_object"),
+        n("slice", "n_array"),
+    )

@@ -564,3 +564,54 @@ def test_otlp_envelope_stream_checkpoint_restart(spark, tmp_path):
         .collect()
     )
     assert [r["n"] for r in typed] == [7]
+
+
+def test_json_field_profile_stream_matches_batch(spark, tmp_path):
+    """The streaming drift monitor's final cumulative counts per key
+    equal the batch profiler over the full input, with state crossing
+    the micro-batch boundary (maxFilesPerTrigger=1 over two files)."""
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        json_field_profile,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.pipeline import (
+        json_field_profile_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "f1.jsonl").write_text(
+        '{"a":1,"b":"x"}\n{"a":2.5,"c":null}\nnot json\n'
+    )
+    (in_dir / "f2.jsonl").write_text(
+        '{"a":true,"b":"y","d":[1]}\n{"e":{"k":1}}\n'
+    )
+    stream = (
+        spark.readStream.schema("line string")
+        .option("maxFilesPerTrigger", 1)
+        .format("csv").option("sep", "\x01").option("quote", "")
+        .load(str(in_dir))
+    )
+    q = (
+        json_field_profile_stream(stream, "line")
+        .writeStream.format("memory")
+        .queryName("json_profile_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["key"]: (r["n_present"], r["n_string"], r["n_int"],
+                   r["n_double"], r["n_bool"], r["n_null"],
+                   r["n_object"], r["n_array"])
+        for r in spark.table("json_profile_stream").collect()
+    }
+    batch = spark.read.schema("line string").format("csv") \
+        .option("sep", "\x01").option("quote", "").load(str(in_dir))
+    want = {
+        r["key"]: (r["n_present"], r["n_string"], r["n_int"],
+                   r["n_double"], r["n_bool"], r["n_null"],
+                   r["n_object"], r["n_array"])
+        for r in json_field_profile(batch, "line").collect()
+    }
+    assert got == want and got["a"] == (3, 0, 1, 1, 1, 0, 0, 0)
