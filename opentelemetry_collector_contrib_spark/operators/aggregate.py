@@ -472,5 +472,8 @@ def rolling_zscore(
     z = (F.col("_c") - mean) / F.sqrt(var)
     return df.withColumn(
         "zscore",
-        F.when((n >= min_points) & (var > 0), F.round(z, 4)),
+        # + 0.0 normalizes IEEE negative zero: a tiny negative z rounds
+        # to -0.0, which string-renders differently across engines
+        # ("-0" in DuckDB) — caught by the sf0.1 replay, round 5
+        F.when((n >= min_points) & (var > 0), F.round(z, 4) + F.lit(0.0)),
     ).drop("_c")

@@ -5163,7 +5163,7 @@ SELECT event_id, user_id,
        CASE WHEN n >= 5
               AND (s2 - s1 * s1 / n) / (n - 1) > 0
             THEN round((cents - s1 * 1.0 / n)
-                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) + 0.0
        END AS zscore
 FROM s""",
     )

@@ -176,11 +176,13 @@ def zscore_stream(
                     # Spark's F.round(double) (BigDecimal.valueOf +
                     # HALF_UP), NOT Python round()'s half-to-even,
                     # which diverges on representable ties (z=0.15625)
+                    # trailing + 0.0 normalizes IEEE -0.0, matching the
+                    # batch operator's zero-sign normalization
                     z = float(
                         Decimal(repr((c - s1 / n) / var**0.5)).quantize(
                             Decimal("0.0001"), rounding=ROUND_HALF_UP
                         )
-                    )
+                    ) + 0.0
             out_ids.append(int(row["event_id"]))
             out_z.append(z)
             buf.append(c)
