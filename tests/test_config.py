@@ -1057,3 +1057,39 @@ def test_filelog_file_attrs_and_static_stamps(spark, tmp_path):
     df2 = _rx_filelog(spark, {"include": [str(p)],
                               "include_file_name": False})
     assert "attributes" not in df2.columns
+
+
+def test_transform_processor_round5_grammar(spark, tmp_path):
+    """The YAML transform processor accepts the round-5 OTTL grammar:
+    map literals as set() values and editors on nested map paths —
+    end-to-end through CollectorConfig, not just the compiler API."""
+    src = str(tmp_path / "r5")
+    spark.createDataFrame(
+        [("a", "ERROR", 17, {}), ("b", "INFO", 9, {})],
+        "id string, severity_text string, severity_number int, "
+        "attributes map<string,string>",
+    ).write.mode("overwrite").parquet(src)
+
+    from opentelemetry_collector_contrib_spark.config import CollectorConfig
+
+    out = CollectorConfig({
+        "receivers": {"parquet": {"path": src}},
+        "processors": {"transform/r5": {"log_statements": [
+            'set(attributes["ctx"], {"sev": severity_text,'
+            ' "pair": {"n": severity_number}})',
+            'set(attributes["keys"], Len(ParseJSON('
+            '"{\\"x\\":1,\\"y\\":2}")))',
+        ]}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs/in": {
+            "receivers": ["parquet"], "processors": ["transform/r5"],
+            "exporters": ["debug"],
+        }}},
+    }).run(spark)["debug"]
+    rows = {r["id"]: r["attributes"] for r in out.collect()}
+    import json as _json
+
+    got = _json.loads(rows["a"]["ctx"])
+    assert got == {"sev": "ERROR", "pair": {"n": 17}}
+    assert rows["a"]["keys"] == "2"
+    assert _json.loads(rows["b"]["ctx"])["pair"]["n"] == 9
