@@ -1,0 +1,107 @@
+"""BM25 retrieval scale campaign: inverted-index join behavior at a
+realistic (Zipf-ish) vocabulary, with and without the stopword df cap.
+
+The synthetic dedup corpus reuses a ~50-word vocabulary, which makes
+every term a stopword — fine for exactness gates, useless for measuring
+retrieval shape. This campaign generates its own corpus: each doc mixes
+high-df head words (Zipf head, the postings the cap exists to drop) with
+two rare tail tokens unique to ~1/K of the corpus, then runs a rare-term
+query set where each query's gold answer is the doc that repeats its
+tail token.
+
+Run: python jobs/bench_bm25.py [--docs 500000] [--queries 200] [--cores 32]
+Prints one JSON line per configuration plus a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+HEAD_WORDS = 30      # appear in ~every doc (df ≈ N → capped)
+MID_WORDS = 2000     # mid-frequency body vocabulary
+TAIL_KEYS = 100_000  # rare-token space (df ≈ N / TAIL_KEYS)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--cores", default="32")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.session import get_spark
+    from opentelemetry_collector_contrib_spark.textops import (
+        bm25_topk,
+        retrieval_metrics,
+    )
+
+    spark = get_spark("bm25-campaign", cores=args.cores)
+    ids = spark.range(0, args.docs).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    # 8 head words + 8 mid words + the doubled rare tail token per doc
+    head = [F.format_string("h%d", (d * (i + 3)) % HEAD_WORDS)
+            for i in range(8)]
+    mid = [F.format_string("m%d", (d * (i + 7) + i) % MID_WORDS)
+           for i in range(8)]
+    tail = F.format_string("r%d", d % TAIL_KEYS)
+    docs = ids.select(
+        "doc_id",
+        F.concat_ws(" ", *head, *mid, tail, tail).alias("text"),
+    ).persist()
+    n = docs.count()
+
+    # rare-term queries: gold = the LOWEST doc_id carrying the tail token
+    # (deterministic tie-break of bm25_topk ranks it first among equals)
+    queries = spark.range(0, args.queries).select(
+        F.col("id").alias("query_id"),
+        F.format_string("r%d h0 h1", F.col("id") * 487 % TAIL_KEYS)
+        .alias("qtext"),
+    )
+    gold = queries.select(
+        "query_id",
+        ((F.col("query_id") * 487) % TAIL_KEYS).alias("doc_id"),
+    )
+
+    out = []
+    for cap in (1.0, 0.5):
+        t0 = time.time()
+        res = bm25_topk(docs, queries, k=10, max_df_ratio=cap)
+        n_res = res.count()
+        wall = time.time() - t0
+        m = retrieval_metrics(res, gold, k=10)
+        agg = m.agg(
+            F.round(F.avg("rr"), 4).alias("mrr"),
+            F.round(F.avg("recall_at_k"), 4).alias("recall"),
+        ).collect()[0]
+        rec = {
+            "docs": n,
+            "queries": args.queries,
+            "max_df_ratio": cap,
+            "wall_s": round(wall, 1),
+            "result_rows": n_res,
+            "mrr_at_10": float(agg["mrr"]),
+            "recall_at_10": float(agg["recall"]),
+        }
+        print(json.dumps(rec))
+        out.append(rec)
+
+    print(json.dumps({
+        "cap_speedup": round(out[0]["wall_s"] / out[1]["wall_s"], 2),
+        "cap_mrr_delta": round(
+            out[1]["mrr_at_10"] - out[0]["mrr_at_10"], 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
